@@ -1,0 +1,65 @@
+"""Sinks.
+
+Reference behavior being re-expressed:
+  * Per sink ``{input, name, paths[], format, saveMode}`` the named frame is
+    written to one or more paths; saveMode defaults to overwrite
+    (``/root/reference/main.py:42-78``).
+  * Before CSV writes, array columns are flattened to comma-joined strings
+    because CSV cannot hold arrays (``/root/reference/main.py:62-70``).
+
+Improvements for scale:
+  * parquet sink with optional ``partitionBy`` (partition pruning on read)
+    and optional ``repartition`` (control output file count — at 100 TB you
+    never want one file per shuffle partition of a previous stage).
+  * ``maxRecordsPerFile`` option passthrough for bounded file sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+
+def flatten_arrays_for_csv(df: DataFrame) -> DataFrame:
+    """Stringify array columns (``concat_ws(",", col)``) so CSV can hold them."""
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, ArrayType):
+            out = out.withColumn(field.name, F.concat_ws(",", F.col(field.name)))
+    return out
+
+
+def write_sink(df: DataFrame, sink: Mapping[str, Any]) -> None:
+    """Write ``df`` per sink spec to every path in ``paths``."""
+    fmt = str(sink.get("format", "parquet")).strip().lower()
+    mode = str(sink.get("saveMode", "overwrite")).strip().lower()
+    paths = sink.get("paths") or [sink["path"]]
+    options = dict(sink.get("options") or {})
+    partition_by = sink.get("partitionBy") or []
+    num_files = sink.get("repartition")
+
+    out = df
+    if fmt == "csv":
+        out = flatten_arrays_for_csv(out)
+        options.setdefault("header", "true")
+    if num_files:
+        out = out.repartition(int(num_files))
+
+    for path in paths:
+        writer = out.write.mode(mode).options(**options)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.format(fmt).save(path)
+
+
+def write_sinks(
+    dataflow: Mapping[str, Any], frames: Mapping[str, DataFrame]
+) -> None:
+    for sink in dataflow.get("sinks", []):
+        name = sink["input"]
+        if name not in frames:
+            raise KeyError(f"Sink input frame not found: {name!r}")
+        write_sink(frames[name], sink)

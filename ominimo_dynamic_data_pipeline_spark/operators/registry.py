@@ -1,0 +1,266 @@
+"""Operator registry + pure compile step.
+
+The reference interprets the transformation list with a hard-coded
+if/elif dispatcher and runs stats jobs mid-interpretation
+(``/root/reference/src/transformations.py:294-377``).  Our compiler is a
+registry of builders producing ONLY lazy DataFrame plans; side-effecting
+work (stats, sidecar writes) is recorded as deferred actions executed in
+the explicit run phase (see ``pipeline.run_dataflow``).  Unknown operator
+type -> ValueError (same contract).
+
+Every output frame is also registered as a temp view, making SQL a
+first-class second front-end: a step may be
+``{"type": "sql", "params": {"query": "SELECT ... FROM view"}}``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ominimo_dynamic_data_pipeline_spark.operators import basic, normalize, validate
+
+
+@dataclass
+class StatsRequest:
+    """Deferred compute_stats action (run phase executes it)."""
+
+    input_name: str
+    fields: list[str] | None
+    stats_name: str
+    output_path: str | None
+    include_validation_stats: bool
+    ok_input: str | None
+    ko_input: str | None
+    approx: bool = False
+
+
+@dataclass
+class CompileContext:
+    spark: SparkSession
+    frames: dict[str, DataFrame] = field(default_factory=dict)
+    deferred_stats: list[StatsRequest] = field(default_factory=list)
+    clock: Column | None = None  # fixed-clock override for determinism
+    strict: bool = True
+    register_views: bool = True
+
+    def get(self, name: str) -> DataFrame:
+        if name not in self.frames:
+            raise KeyError(
+                f"Input frame {name!r} not found; have {sorted(self.frames)}"
+            )
+        return self.frames[name]
+
+    def put(self, name: str, df: DataFrame) -> None:
+        self.frames[name] = df
+        if self.register_views:
+            df.createOrReplaceTempView(name)
+
+
+# An operator builder consumes (ctx, step) and publishes output frames.
+OpBuilder = Callable[[CompileContext, Mapping[str, Any]], None]
+
+OPERATORS: dict[str, OpBuilder] = {}
+
+
+def register_operator(name: str) -> Callable[[OpBuilder], OpBuilder]:
+    def deco(fn: OpBuilder) -> OpBuilder:
+        OPERATORS[name] = fn
+        return fn
+
+    return deco
+
+
+def _io_names(step: Mapping[str, Any]) -> tuple[str, str]:
+    params = step.get("params", {})
+    return params["input"], params.get("output", step["name"])
+
+
+@register_operator("normalize_fields")
+def _op_normalize(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(
+        out_name,
+        normalize.normalize_fields(
+            ctx.get(in_name),
+            params.get("fields", []),
+            params.get("auto_flatten_naming", "snake_case"),
+        ),
+    )
+
+
+@register_operator("drop_columns")
+def _op_drop(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(out_name, basic.drop_columns(ctx.get(in_name), params.get("columns", [])))
+
+
+@register_operator("select_columns")
+def _op_select(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(
+        out_name, basic.select_columns(ctx.get(in_name), params.get("columns", []))
+    )
+
+
+@register_operator("add_fields")
+def _op_add_fields(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(
+        out_name,
+        basic.add_fields(ctx.get(in_name), params.get("fields", []), ctx.clock),
+    )
+
+
+@register_operator("validate_fields")
+def _op_validate(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    in_name = params["input"]
+    ok_name = params.get("ok_output", f"{step['name']}_ok")
+    ko_name = params.get("ko_output", f"{step['name']}_ko")
+    result = validate.apply_validations(
+        ctx.get(in_name), params.get("validations", []), strict=ctx.strict
+    )
+    ctx.put(ok_name, result.ok)
+    ctx.put(ko_name, result.ko)
+
+
+@register_operator("compute_stats")
+def _op_compute_stats(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Passthrough node; the aggregation itself is deferred to run phase
+    (the reference runs it eagerly mid-compile — fixed here)."""
+    params = step.get("params", {})
+    in_name = params["input"]
+    ctx.deferred_stats.append(
+        StatsRequest(
+            input_name=in_name,
+            fields=params.get("fields"),
+            stats_name=params.get("name", step["name"]),
+            output_path=params.get("output_path"),
+            include_validation_stats=params.get("include_validation_stats", False),
+            ok_input=params.get("ok_input"),
+            ko_input=params.get("ko_input"),
+            approx=params.get("approx", False),
+        )
+    )
+    ctx.put(step["name"], ctx.get(in_name))
+
+
+@register_operator("filter")
+def _op_filter(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(out_name, ctx.get(in_name).filter(F.expr(params["condition"])))
+
+
+@register_operator("with_columns")
+def _op_with_columns(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    exprs = {name: F.expr(e) for name, e in params.get("columns", {}).items()}
+    ctx.put(out_name, ctx.get(in_name).withColumns(exprs))
+
+
+@register_operator("sql")
+def _op_sql(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    out_name = params.get("output", step["name"])
+    ctx.put(out_name, ctx.spark.sql(params["query"]))
+
+
+@register_operator("join")
+def _op_join(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    out_name = params.get("output", step["name"])
+    left = ctx.get(params["left"])
+    right = ctx.get(params["right"])
+    if params.get("broadcast_right"):
+        right = F.broadcast(right)
+    on: Any = params.get("on")
+    if isinstance(on, str) and params.get("on_is_expr"):
+        on = F.expr(on)
+    ctx.put(out_name, left.join(right, on=on, how=params.get("how", "inner")))
+
+
+@register_operator("aggregate")
+def _op_aggregate(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    df = ctx.get(in_name)
+    keys = [F.expr(k) for k in params.get("group_by", [])]
+    aggs = [
+        F.expr(e).alias(name) for name, e in params.get("aggregates", {}).items()
+    ]
+    ctx.put(out_name, df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs))
+
+
+@register_operator("dedup")
+def _op_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    subset = params.get("columns")
+    df = ctx.get(in_name)
+    ctx.put(out_name, df.dropDuplicates(subset) if subset else df.distinct())
+
+
+@register_operator("sort")
+def _op_sort(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    cols = [F.expr(c) for c in params.get("by", [])]
+    ctx.put(out_name, ctx.get(in_name).orderBy(*cols))
+
+
+@register_operator("limit")
+def _op_limit(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(out_name, ctx.get(in_name).limit(int(params["n"])))
+
+
+@register_operator("union")
+def _op_union(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    params = step.get("params", {})
+    out_name = params.get("output", step["name"])
+    frames = [ctx.get(n) for n in params["inputs"]]
+    out = frames[0]
+    for other in frames[1:]:
+        out = out.unionByName(other, allowMissingColumns=params.get("allow_missing", False))
+    ctx.put(out_name, out)
+
+
+@register_operator("repartition")
+def _op_repartition(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Explicit partitioning control for scale tuning: pre-shuffle on join/agg
+    keys so downstream wide ops reuse the exchange."""
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    df = ctx.get(in_name)
+    cols = [F.col(c) for c in params.get("columns", [])]
+    n = params.get("num_partitions")
+    if n and cols:
+        out = df.repartition(int(n), *cols)
+    elif cols:
+        out = df.repartition(*cols)
+    else:
+        out = df.repartition(int(n))
+    ctx.put(out_name, out)
+
+
+def apply_transformations(
+    ctx: CompileContext, dataflow: Mapping[str, Any]
+) -> dict[str, DataFrame]:
+    """Walk the declared transformation chain, building lazy plans only."""
+    for step in dataflow.get("transformations", []) or []:
+        op = OPERATORS.get(step.get("type"))
+        if op is None:
+            raise ValueError(f"Unsupported transformation type: {step.get('type')!r}")
+        op(ctx, step)
+    return ctx.frames

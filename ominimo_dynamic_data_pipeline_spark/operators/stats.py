@@ -1,0 +1,152 @@
+"""Global per-field statistics + validation statistics.
+
+Re-expresses ``compute_field_stats`` / ``compute_validation_stats``
+(``/root/reference/src/stats.py:22-142``) producing the same JSON document
+shape, but fixes the reference's main inefficiency: it runs ONE Spark job
+per field over a cached frame (``stats.py:43-70``).  Here all fields'
+null/non-null/distinct/min/max aggregates are computed in a SINGLE
+``df.agg(...)`` pass — one job, map-side partial aggregation, no per-field
+rescans.  At 100 TB this is the difference between 1 scan and N scans.
+
+Exact ``countDistinct`` per field forces an expand+shuffle per distinct
+aggregate; ``approx=True`` switches to ``approx_count_distinct`` (HLL,
+single pass, mergeable) — the recommended mode at scale.
+
+Document shape (parity with reference):
+  {total_records, fields: {f: {null_count, non_null_count, distinct_count,
+   min/max | min_date/max_date, null_percentage}}, validation_stats?: {...},
+   generated_at, stats_name}
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, NumericType, TimestampType
+
+from ominimo_dynamic_data_pipeline_spark.operators.validate import ERRORS_COL
+
+
+def compute_field_stats(
+    df: DataFrame,
+    fields: Sequence[str] | None = None,
+    approx: bool = False,
+) -> dict[str, Any]:
+    """All per-field stats in one aggregation pass."""
+    if fields is None:
+        fields = df.columns
+    by_name = {f.name: f for f in df.schema.fields}
+    live = [f for f in fields if f in by_name]
+
+    distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(c))
+    )
+
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    typed: dict[str, str] = {}  # field -> "numeric" | "temporal" | "other"
+    for f in live:
+        c = F.col(f)
+        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"{f}__null"))
+        aggs.append(F.count(F.when(c.isNotNull(), 1)).alias(f"{f}__nonnull"))
+        aggs.append(distinct(c).alias(f"{f}__distinct"))
+        dt = by_name[f].dataType
+        if isinstance(dt, NumericType):
+            typed[f] = "numeric"
+            aggs.append(F.min(c).alias(f"{f}__min"))
+            aggs.append(F.max(c).alias(f"{f}__max"))
+        elif isinstance(dt, (DateType, TimestampType)):
+            typed[f] = "temporal"
+            aggs.append(F.min(c).alias(f"{f}__min"))
+            aggs.append(F.max(c).alias(f"{f}__max"))
+        else:
+            typed[f] = "other"
+
+    row = df.agg(*aggs).first()
+    total = row["__total"]
+    if total == 0:
+        return {"total_records": 0, "fields": {}}
+
+    out: dict[str, Any] = {"total_records": total, "fields": {}}
+    for f in live:
+        fs: dict[str, Any] = {
+            "null_count": row[f"{f}__null"],
+            "non_null_count": row[f"{f}__nonnull"],
+            "distinct_count": row[f"{f}__distinct"],
+        }
+        if typed[f] == "numeric":
+            fs["min"] = row[f"{f}__min"]
+            fs["max"] = row[f"{f}__max"]
+        elif typed[f] == "temporal":
+            fs["min_date"] = str(row[f"{f}__min"]) if row[f"{f}__min"] else None
+            fs["max_date"] = str(row[f"{f}__max"]) if row[f"{f}__max"] else None
+        fs["null_percentage"] = fs["null_count"] / total * 100
+        out["fields"][f] = fs
+    return out
+
+
+def compute_validation_stats(
+    ok_df: DataFrame, ko_df: DataFrame, top_k: int | None = None
+) -> dict[str, Any]:
+    """Pass/fail rates + top validation-error counts.
+
+    The error ranking is the reference's only groupBy+sort
+    (``stats.py:126-137``): explode the errors array, count per label,
+    order desc.  ``top_k`` bounds the collected list (the reference
+    collects all labels; label cardinality is tiny so either is safe).
+    """
+    ok_count = ok_df.count()
+    ko_count = ko_df.count()
+    total = ok_count + ko_count
+    stats: dict[str, Any] = {
+        "total_records": total,
+        "valid_records": ok_count,
+        "rejected_records": ko_count,
+        "validation_pass_rate": (ok_count / total * 100) if total else 0,
+        "validation_fail_rate": (ko_count / total * 100) if total else 0,
+    }
+    if ko_count > 0 and ERRORS_COL in ko_df.columns:
+        ranked = (
+            ko_df.select(F.explode(F.col(ERRORS_COL)).alias("error"))
+            .groupBy("error")
+            .count()
+            .orderBy(F.desc("count"), "error")
+        )
+        if top_k:
+            ranked = ranked.limit(top_k)
+        stats["top_validation_errors"] = [
+            {"error": r["error"], "count": r["count"]} for r in ranked.collect()
+        ]
+    return stats
+
+
+def write_stats_sidecar(
+    stats: Mapping[str, Any],
+    name: str,
+    output_path: str | Path | None,
+    clock: Callable[[], datetime] = datetime.now,
+) -> str | None:
+    """Stamp and persist the stats document as a JSON sidecar file.
+
+    Driver-side plain file I/O, matching the reference
+    (``stats.py:145-170``, ``transformations.py:365-371``) — the artifact is
+    tiny regardless of data scale.  ``clock`` is injectable so golden tests
+    are deterministic.
+    """
+    doc = dict(stats)
+    doc["generated_at"] = clock().isoformat()
+    doc["stats_name"] = name
+    payload = json.dumps(doc, indent=2, default=str)
+    if output_path is None:
+        return None
+    base = Path(output_path)
+    base.mkdir(parents=True, exist_ok=True)
+    target = base / f"{name}.json"
+    target.write_text(payload, encoding="utf-8")
+    return str(target)

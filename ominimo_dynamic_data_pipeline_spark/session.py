@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+The reference builds a bare ``local[*]`` session with no tuning
+(``/root/reference/main.py:16-23``).  We centralize session construction so
+every entry point (CLI, tests, driver contract, bench) gets the same
+scale-aware configuration:
+
+  * AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+  * Arrow execution for the pandas-UDF escape hatch
+  * UTC session timezone so temporal semantics match the DuckDB oracle
+  * shuffle partitions sized for the local harness but overridable via env
+    (on a real cluster you'd set this to ~2-3x total cores or rely on AQE
+    coalescing from a high initial value)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Reference-parity + ETL posture: Spark 4 defaults ANSI on, which makes
+    # invalid casts throw and changes string/numeric coercion (coalesce of
+    # string+bigint becomes bigint).  The reference ran Spark 3.5 non-ANSI;
+    # a 100 TB ingest pipeline wants bad records to become nulls/KO rows,
+    # not stage failures.
+    "spark.sql.ansi.enabled": "false",
+    # Local-harness sizing; a cluster deployment overrides via spark-submit.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "8g",
+    # Small-dim broadcast: default 10MB is fine, keep explicit for clarity.
+    "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "ominimo-dynamic-data-pipeline-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the configured SparkSession.
+
+    ``master`` defaults to ``local[N]`` where N comes from
+    ``$SPARK_GRAFT_CPUS`` (driver contract) or all cores.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,144 @@
+"""Golden end-to-end tests: both motor dataflows on the FIXTURES.md inputs.
+
+Expected OK/KO membership and error contents per the row->behavior matrix
+(FIXTURES.md §1-§2): 5 OK / 5 KO for both the JSON and CSV fixtures.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ominimo_dynamic_data_pipeline_spark.config import load_metadata, select_dataflow
+from ominimo_dynamic_data_pipeline_spark.pipeline import (
+    compile_dataflow,
+    run_dataflow,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+META = REPO / "examples" / "motor_pipeline.json"
+
+EXPECTED_KO_ERRORS = {
+    "P-20004": {"driver_age:must_not_be_null", "driver_age:must_be_numeric"},
+    "P-20005": {
+        "plate_number:must_be_non_empty",
+        "plate_number:must_match_pattern",
+        "driver_age:must_be_at_least_18.0",
+    },
+    "P-20006": {"policy_start_date:must_be_before_policy_end_date"},
+    "P-20007": {"driver_age:must_not_be_null", "driver_age:must_be_numeric"},
+    "P-20009": {
+        "policy_start_date:must_be_valid_date",
+        "policy_start_date:must_be_before_policy_end_date",
+    },
+}
+# CSV: empty plate arrives as NULL (not ""), so notEmpty fails but pattern
+# passes (null-permissive); likewise null start date passes dateBefore.
+EXPECTED_KO_ERRORS_CSV = {
+    "P-20004": {"driver_age:must_not_be_null", "driver_age:must_be_numeric"},
+    "P-20005": {"plate_number:must_be_non_empty", "driver_age:must_be_at_least_18.0"},
+    "P-20006": {"policy_start_date:must_be_before_policy_end_date"},
+    "P-20007": {"driver_age:must_not_be_null", "driver_age:must_be_numeric"},
+    "P-20009": {
+        "policy_start_date:must_be_valid_date",
+        "policy_start_date:must_be_before_policy_end_date",
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def metadata():
+    return load_metadata(META)
+
+
+def _fixed_clock():
+    return F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+
+
+def _run(spark, metadata, flow_name, input_path, tmp):
+    flow = select_dataflow(metadata, flow_name)
+    compiled = compile_dataflow(
+        spark, flow, input_path_override=str(input_path), clock=_fixed_clock()
+    )
+    # Redirect sink + stats paths into tmp.
+    flow2 = dict(compiled.dataflow)
+    flow2["sinks"] = [
+        {**s, "paths": [str(tmp / f"sink_{i}")]}
+        for i, s in enumerate(flow2.get("sinks", []))
+    ]
+    for req in compiled.ctx.deferred_stats:
+        req.output_path = str(tmp / "stats")
+    compiled.dataflow = flow2
+    return compiled, run_dataflow(compiled, write=True, verbose=False)
+
+
+def test_json_dataflow_golden(spark, metadata, tmp_path):
+    compiled, result = _run(
+        spark, metadata, "motor-ingestion", REPO / "tests/data/motor_policies.json", tmp_path
+    )
+    ok = compiled.frames["validation_ok"]
+    ko = compiled.frames["validation_ko"]
+
+    ok_ids = {r["policy_number"] for r in ok.select("policy_number").collect()}
+    assert ok_ids == {"P-20001", "P-20002", "P-20003", "P-20008", "P-20010"}
+
+    ko_rows = {r["policy_number"]: set(r["validation_errors"]) for r in ko.collect()}
+    assert ko_rows == EXPECTED_KO_ERRORS
+
+    # Canonical schema after normalize+select+add_fields
+    assert ok.columns == [
+        "policy_number",
+        "driver_age",
+        "plate_number",
+        "policy_start_date",
+        "policy_end_date",
+        "ingestion_dt",
+    ]
+    # Row 2's nested values surfaced through coalesce
+    row2 = [r for r in ok.collect() if r["policy_number"] == "P-20002"][0]
+    assert row2["driver_age"] == "45"
+    assert row2["plate_number"] == "XYZ-222"
+    assert row2["policy_start_date"] == "2024-03-01"
+
+    # Stats sidecar document
+    stats = result.stats["global_stats"]
+    assert stats["total_records"] == 10
+    assert stats["fields"]["driver_age"]["null_count"] == 2
+    vs = stats["validation_stats"]
+    assert (vs["valid_records"], vs["rejected_records"]) == (5, 5)
+    assert vs["validation_pass_rate"] == 50.0
+    top = {e["error"]: e["count"] for e in vs["top_validation_errors"]}
+    assert top["driver_age:must_not_be_null"] == 2
+    assert top["policy_start_date:must_be_before_policy_end_date"] == 2
+
+    # Sidecar file written and parseable
+    sidecar = json.loads((tmp_path / "stats" / "global_stats.json").read_text())
+    assert sidecar["stats_name"] == "global_stats"
+
+    # JSON sinks materialized
+    ok_out = spark.read.json(str(tmp_path / "sink_0"))
+    assert ok_out.count() == 5
+
+
+def test_csv_dataflow_golden(spark, metadata, tmp_path):
+    compiled, result = _run(
+        spark, metadata, "motor-ingestion-csv", REPO / "tests/data/motor_policies.csv", tmp_path
+    )
+    ok = compiled.frames["validation_ok"]
+    ko = compiled.frames["validation_ko"]
+
+    ok_ids = {r["policy_number"] for r in ok.select("policy_number").collect()}
+    assert ok_ids == {"P-20001", "P-20002", "P-20003", "P-20008", "P-20010"}
+    ko_rows = {r["policy_number"]: set(r["validation_errors"]) for r in ko.collect()}
+    assert ko_rows == EXPECTED_KO_ERRORS_CSV
+
+    # CSV sink flattens the errors array to a comma-joined string.
+    ko_out = spark.read.option("header", "true").csv(str(tmp_path / "sink_1"))
+    errs = {
+        r["policy_number"]: r["validation_errors"] for r in ko_out.collect()
+    }
+    assert errs["P-20006"] == "policy_start_date:must_be_before_policy_end_date"
+    assert "," in errs["P-20004"]
