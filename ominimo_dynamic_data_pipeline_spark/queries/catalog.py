@@ -1,0 +1,28 @@
+"""Unified query catalog: merges every query family into the single
+``QUERIES`` / ``ORACLES`` maps consumed by ``__spark_entry__.py``."""
+
+from __future__ import annotations
+
+from ominimo_dynamic_data_pipeline_spark.queries import relational
+from ominimo_dynamic_data_pipeline_spark.queries.tables import load_tables
+
+QUERIES = dict(relational.QUERIES)
+ORACLES = dict(relational.ORACLES)
+
+
+def _merge(module) -> None:
+    for name, fn in module.QUERIES.items():
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+    ORACLES.update(module.ORACLES)
+
+
+try:  # LLM-data extension queries (added incrementally)
+    from ominimo_dynamic_data_pipeline_spark.queries import llm as _llm
+
+    _merge(_llm)
+except ImportError:
+    pass
+
+__all__ = ["QUERIES", "ORACLES", "load_tables"]

@@ -1,0 +1,750 @@
+"""Relational query catalog (SURVEY.md §2.4): joins, aggregations, windows,
+set ops, top-k, grouping sets, range/as-of joins, JSON + scalar functions.
+
+Every query here is a pure DataFrame plan over the TESTDATA tables with a
+matching DuckDB oracle (ANSI SQL) in ``ORACLES`` — the driver hash-compares
+them at sf0.01.  Conventions that keep the hash comparison stable:
+
+  * every computed/aggregate column is aliased identically in both engines;
+  * double aggregates are ROUNDed (2-6 digits) in BOTH engines — IEEE
+    addition is non-associative, so unrounded sums of 60k doubles differ in
+    the last bits between engines/partitionings;
+  * temporal outputs are formatted to strings in both engines;
+  * top-k orderings always carry a unique tie-break key so LIMIT is
+    deterministic.
+
+Scale notes are per-query docstrings: broadcast hints on small dims,
+pre-aggregation before joins where legal, single-shuffle window layouts.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+# --- exact money arithmetic ------------------------------------------------
+# IEEE double summation is order-dependent, and Spark's round() (shortest-
+# repr HALF_UP) disagrees with DuckDB's (binary-value) at exact .xx5
+# boundaries — which 2-decimal money data hits constantly.  The fix is
+# structural, not cosmetic: aggregate money as DECIMAL (exact, associative,
+# order-independent, and what a production pipeline should do with currency
+# anyway), cast the exact result to double at the very end.  A single
+# decimal->double cast and a single division are correctly-rounded IEEE ops,
+# identical across engines.  Sums of integer-valued doubles (quantities,
+# counts) are exact in double and need none of this.
+#
+# Scale bound: decimal(18,2) intermediate sums hold up to ~1e16 — fine
+# through sf10; at larger SFs widen to decimal(38,*).
+
+
+def dec2(name: str):
+    """Money column as exact decimal."""
+    return F.col(name).cast("decimal(18,2)")
+
+
+def dsum(expr) -> F.Column:
+    """Exact decimal sum surfaced as double."""
+    return F.sum(expr).cast("double")
+
+
+def davg(expr, count_expr=None) -> F.Column:
+    """Exact-sum average: decimal sum -> double -> one division."""
+    cnt = count_expr if count_expr is not None else F.count(F.lit(1))
+    return F.sum(expr).cast("double") / cnt
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# q01 — flagship: TPC-H Q1-style pricing summary.
+# Scan -> filter (pushed to parquet) -> partial+final hash agg (one shuffle
+# on low-cardinality keys) -> sort.  At 100 TB: map-side combine means the
+# shuffle carries ~|groups| rows per task, not data rows.
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    price, disc, tax = dec2("l_extendedprice"), F.col("l_discount").cast("decimal(4,2)"), F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (1 - disc)
+    cnt = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum(price).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + tax)).alias("sum_charge"),
+            (F.sum("l_quantity") / cnt).alias("avg_qty"),
+            davg(price).alias("avg_price"),
+            davg(disc).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — shipping-priority style 3-way join + top-k (TPC-H Q3 shape).
+# customer is the small side after the segment filter -> broadcast; the
+# orders⨝lineitem join shuffles on orderkey.  Deterministic LIMIT via
+# (revenue DESC, o_orderkey) tie-break.
+# --------------------------------------------------------------------------
+@query(
+    "q02_top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o.o_orderkey, order_date
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+        )
+        .agg(
+            dsum(dec2("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(4,2)"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — revenue per nation (TPC-H Q5 shape): 5-way join where region,
+# nation, supplier are broadcast dims; only orders⨝lineitem shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "q03_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(dec2("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(4,2)"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 / q05 — semi and anti joins.  Spark's left_semi/left_anti never
+# materialize the right side's columns and stop at first match.
+# --------------------------------------------------------------------------
+@query(
+    "q04_customers_with_open_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+          AND o.o_totalprice > 200000
+    )
+    """,
+)
+def q04_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q05_customers_without_big_orders",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def q05_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — per-group top-k via row_number window: the canonical "top N per key"
+# pattern — one shuffle on the partition key, no global sort.
+# --------------------------------------------------------------------------
+@query(
+    "q06_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q06_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — running aggregates + lag/lead over one window layout.  All four
+# functions share a single (partition, order) -> ONE shuffle+sort total.
+# --------------------------------------------------------------------------
+@query(
+    "q07_customer_order_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+               / COUNT(*) OVER w3 AS avg_3
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ),
+    w3 AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q07_customer_order_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliding = w.rowsBetween(-2, Window.currentRow)
+    price_dec = dec2("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(price_dec).over(run).cast("double").alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (
+            F.sum(price_dec).over(sliding).cast("double")
+            / F.count(F.lit(1)).over(sliding)
+        ).alias("avg_3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — rank family over a second layout (per-nation customer balances).
+# --------------------------------------------------------------------------
+@query(
+    "q08_customer_balance_ranks",
+    """
+    SELECT c_custkey, c_nationkey,
+           RANK() OVER w AS bal_rank,
+           DENSE_RANK() OVER w AS bal_dense_rank,
+           NTILE(4) OVER w AS bal_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q08_customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — multi-distinct + plain aggregates per nation (broadcast dim join).
+# --------------------------------------------------------------------------
+@query(
+    "q09_nation_customer_profile",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_balance,
+           MAX(c.c_acctbal) AS max_balance,
+           MIN(c.c_acctbal) AS min_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q09_nation_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            davg(dec2("c_acctbal")).alias("avg_balance"),
+            F.max("c_acctbal").alias("max_balance"),
+            F.min("c_acctbal").alias("min_balance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — ROLLUP hierarchy totals (status -> priority -> grand total).
+# NULL group keys are coalesced to 'ALL' in both engines so the hash
+# compares; neither key column is null in the data.
+# --------------------------------------------------------------------------
+@query(
+    "q10_order_status_rollup",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q10_order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec2("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — CUBE over two independent dimensions.
+# --------------------------------------------------------------------------
+@query(
+    "q11_returnflag_status_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q11_returnflag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "total_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — set operations: INTERSECT and EXCEPT on key sets.
+# --------------------------------------------------------------------------
+@query(
+    "q12_building_big_spenders",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q12_building_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(big)
+
+
+@query(
+    "q13_machinery_never_urgent",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q13_machinery_never_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return machinery.exceptAll(urgent).distinct()
+
+
+# --------------------------------------------------------------------------
+# q14 — range (non-equi) join: lineitems shipped >30 days after order date.
+# Equi key (orderkey) carries the join; the range predicate is a post-join
+# filter, so this stays a sort-merge/hash join, NOT a cross product.
+# --------------------------------------------------------------------------
+@query(
+    "q14_late_shipments",
+    """
+    SELECT o.o_orderkey,
+           COUNT(*) AS late_items,
+           ROUND(SUM(l.l_quantity), 2) AS late_qty
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def q14_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(l, cond)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("late_items"),
+            F.round(F.sum("l_quantity"), 2).alias("late_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — as-of join: for each purchase event, the user's latest click
+# STRICTLY before it (attribution pattern).  Expressed as equi-join on user
+# + range filter + row_number pick; DuckDB oracle uses native ASOF JOIN.
+# At scale the join explosion is bounded by bucketing events by user and a
+# max-lookback watermark on ts; Spark 4's native asofJoin could replace the
+# window pick but this composition keeps the plan in vanilla operators.
+# --------------------------------------------------------------------------
+@query(
+    "q15_purchase_click_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.event_id AS click_id,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id AND c.ts < p.ts
+    """,
+)
+def q15_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("user_id"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user_id"),
+    )
+    joined = p.join(
+        c, (F.col("c_user_id") == F.col("user_id")) & (F.col("c_ts") < F.col("p_ts"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("c_ts"), F.desc("click_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "click_id",
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            "user_id",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — JSON access on events.props (semi-structured column).
+# --------------------------------------------------------------------------
+@query(
+    "q16_events_json_profile",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q16_events_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — string function library over part.
+# --------------------------------------------------------------------------
+@query(
+    "q17_part_string_features",
+    """
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INT) AS brand_num,
+           UPPER(p_type) AS type_upper,
+           SUBSTRING(p_name, 1, 5) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           SPLIT_PART(p_name, ' ', 1) AS name_first_word,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           TRIM(p_name) AS name_trim
+    FROM part
+    """,
+)
+def q17_part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
+        F.upper("p_type").alias("type_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("name_first_word"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim("p_name").alias("name_trim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — date/time function library over orders.
+# --------------------------------------------------------------------------
+@query(
+    "q18_order_date_features",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS order_quarter,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           MIN(STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d')) AS month_start,
+           MAX(CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)) AS max_days_since_epoch
+    FROM orders
+    GROUP BY order_year, order_quarter, order_month
+    """,
+)
+def q18_order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec2("o_totalprice")).alias("revenue"),
+            F.min(
+                F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd")
+            ).alias("month_start"),
+            F.max(
+                F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            ).alias("max_days_since_epoch"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — math function library over lineitem (bounded key range so the
+# per-row doubles compare exactly; functions rounded to 6 digits to absorb
+# last-ulp libm differences between JVM and DuckDB).
+# --------------------------------------------------------------------------
+@query(
+    "q19_lineitem_math_features",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+           ROUND(POW(l_discount, 2), 6) AS disc_sq,
+           ABS(l_quantity - 25) AS qty_dev,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_kilo_ceil,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def q19_lineitem_math_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_kilo_ceil"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — union + distinct across heterogeneous sources.
+# --------------------------------------------------------------------------
+@query(
+    "q20_all_account_keys",
+    """
+    SELECT DISTINCT entity_key, entity_kind FROM (
+        SELECT c_custkey AS entity_key, 'customer' AS entity_kind FROM customer
+        WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT s_suppkey AS entity_key, 'supplier' AS entity_kind FROM supplier
+        WHERE s_acctbal > 9000
+    )
+    """,
+)
+def q20_all_account_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    cu = c.select(
+        F.col("c_custkey").alias("entity_key"), F.lit("customer").alias("entity_kind")
+    )
+    su = s.select(
+        F.col("s_suppkey").alias("entity_key"), F.lit("supplier").alias("entity_kind")
+    )
+    return cu.unionByName(su).distinct()

@@ -31,12 +31,16 @@ _DEFAULTS: dict[str, str] = {
     # a 100 TB ingest pipeline wants bad records to become nulls/KO rows,
     # not stage failures.
     "spark.sql.ansi.enabled": "false",
+    # The events table stores TIMESTAMP(NANOS) parquet, which Spark cannot
+    # read natively; read as long and convert in tables.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Local-harness sizing; a cluster deployment overrides via spark-submit.
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "8g",
     # Small-dim broadcast: default 10MB is fine, keep explicit for clarity.
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
