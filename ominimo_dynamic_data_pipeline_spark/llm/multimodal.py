@@ -1,0 +1,101 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Spark-side plumbing is real and tested: BinaryType payload columns, a
+StructType metadata column, Arrow-batched ``mapInPandas`` feature
+extraction with an explicit output schema, and partition sizing notes.
+The actual media decode is STUBBED — image/audio libraries are not in
+this container — behind ``decode_image`` which raises NotImplementedError
+unless ``fake=True``, in which case a deterministic md5-derived fake
+"decode" exercises the identical batch path.
+
+At 100 TB: payloads ride in parquet binary columns (or out-of-line object
+storage with URI columns); repartition by size so Arrow batches stay
+~10-100 MB; never collect payloads to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, features array<float>"
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal table: utf-8 payload bytes + metadata struct.
+    (In production the payload is the raw media; everything downstream is
+    agnostic to what the bytes mean.)"""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+            F.sha2(payload, 256).alias("sha256"),
+        ),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[float]]:
+    """Decode a media payload to (width, height, feature vector).
+
+    STUB: real decoding requires PIL/ffmpeg, not available here.  The
+    fake path derives deterministic pseudo-features from the payload md5 so
+    the distributed plumbing (batching, schema, partitioning) is fully
+    exercised and testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires imaging libraries not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    digest = hashlib.md5(payload or b"").digest()
+    width = 1 + digest[0]
+    height = 1 + digest[1]
+    feats = [round(b / 255.0, 6) for b in digest[2 : 2 + FEATURE_DIM]]
+    return width, height, feats
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = True
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` keeps the transfer columnar (one Arrow batch per
+    pandas chunk) — the correct escape hatch when the operation cannot be a
+    Catalyst expression.  Output schema is declared, so downstream plans
+    stay fully typed.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                width, height, feats = decode_image(data, fake=fake)
+                rows.append((doc_id, len(data), width, height, feats))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "width", "height", "features"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Byte-size distribution of payloads — pure Catalyst, no decode."""
+    n = F.octet_length(F.col(payload_col))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum(n).alias("total_bytes"),
+        F.min(n).alias("min_bytes"),
+        F.max(n).alias("max_bytes"),
+        (F.sum(n) / F.count(F.lit(1))).alias("avg_bytes"),
+    )

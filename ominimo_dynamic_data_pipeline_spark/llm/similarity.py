@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths sharing one API:
+
+  * brute-force — exact cosine top-k: queries x corpus join, window top-k.
+    Correct baseline; cost |Q| * N.  Fine when |Q| is small or N fits a
+    broadcast.
+  * LSH-bucketed — random-hyperplane signatures restrict candidates to
+    matching buckets, then exact cosine re-ranks within candidates.  At
+    100 TB this is the only viable shape: the join key is the bucket, so
+    comparisons are sum(|bucket|^2), and recall is tuned by
+    (num_planes, num_tables).
+
+Hyperplanes are generated deterministically from md5-derived pseudo-random
+values (no RNG state, reproducible across runs and engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ominimo_dynamic_data_pipeline_spark.llm.dedup import cosine, md5_long
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The queries side is broadcast (it is small by construction); the corpus
+    is scanned once — no shuffle until the per-query top-k window, which
+    partitions by query id.  Excludes self-matches when ids collide.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component seeds (+1/-1).
+    Derived from md5 bits so any engine can reproduce them."""
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane:{plane}:dim:{d}".encode()).hexdigest()
+        comps.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+    return comps
+
+
+def lsh_signature(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit i = sign(dot(v, h_i)).  Returned as
+    a bigint bucket id."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        comps = hyperplane(dim, p)
+        plane_col = F.array(*[F.lit(c) for c in comps])
+        positive = dot(vec, plane_col) >= 0
+        sig = sig + F.when(positive, F.lit(2 ** p).cast("bigint")).otherwise(0)
+    return sig
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    return df.withColumn(
+        "lsh_bucket", lsh_signature(F.col(vec_col), dim, num_planes)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine re-ranks.  Recall < 1 by design; raise num_planes for
+    precision, add multiple tables (union of signatures) for recall."""
+    cb = lsh_buckets(corpus, dim, id_col, vec_col, num_planes).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("lsh_bucket").alias("nb_bucket"),
+    )
+    qb = lsh_buckets(
+        queries.withColumnRenamed(query_id_col, "query_id"), dim, "query_id", vec_col, num_planes
+    ).select(
+        F.col("query_id"), F.col(vec_col).alias("qv"), F.col("lsh_bucket").alias("q_bucket")
+    )
+    scored = (
+        cb.join(
+            F.broadcast(qb),
+            (F.col("nb_bucket") == F.col("q_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

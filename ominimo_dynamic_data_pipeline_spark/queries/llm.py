@@ -1,0 +1,383 @@
+"""LLM-data query catalog: text analysis, dedup, similarity search,
+multimodal plumbing (SURVEY.md §2.4 extension surface).
+
+Oracle strategy: every hash in the Spark operators is md5-derived
+(llm.dedup.md5_long), so even the MinHash-LSH pipeline is replicated in
+DuckDB SQL and hash-compared — the oracle checks algorithm parity, not just
+row counts.  Genuinely engine-private paths (pandas-UDF feature extraction,
+LSH hyperplane top-k) are registered rows-only (no oracle entry).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ominimo_dynamic_data_pipeline_spark.llm import dedup as D
+from ominimo_dynamic_data_pipeline_spark.llm import multimodal as M
+from ominimo_dynamic_data_pipeline_spark.llm import similarity as S
+from ominimo_dynamic_data_pipeline_spark.llm import text as T
+from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- shared DuckDB SQL fragments mirroring llm.text normalization ----------
+SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+SQL_TOKS = f"list_filter(string_split({SQL_NORM}, ' '), t -> t <> '')"
+SQL_SHINGLES = (
+    "list_distinct([concat_ws(' ', tk[i], tk[i+1], tk[i+2]) "
+    "for i in range(1, len(tk) - 1)])"
+)
+
+
+def _sql_md5_long(expr: str, seed: int) -> str:
+    return f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# q21 — per-document quality features (LLM corpus filtering signals).
+# --------------------------------------------------------------------------
+@query(
+    "q21_doc_quality",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang, {SQL_NORM} AS norm, {SQL_TOKS} AS tk FROM documents
+    )
+    SELECT doc_id, lang,
+           LENGTH(norm) AS n_chars,
+           LEN(tk) AS n_tokens,
+           ROUND(CASE WHEN LEN(tk) > 0
+                 THEN (LENGTH(norm) - LEN(tk) + 1.0) / LEN(tk) END, 6) AS avg_token_len,
+           ROUND(LENGTH(regexp_replace(norm, '[^.,;:!?]', '', 'g')) * 1.0
+                 / NULLIF(LENGTH(norm), 0), 6) AS punct_ratio,
+           ROUND(LENGTH(regexp_replace(norm, '[^0-9]', '', 'g')) * 1.0
+                 / NULLIF(LENGTH(norm), 0), 6) AS digit_ratio,
+           ROUND(LEN(list_filter(tk, t -> list_contains(['the','a','of','and','is'], t)))
+                 * 1.0 / NULLIF(LEN(tk), 0), 6) AS stopword_ratio
+    FROM base
+    """,
+)
+def q21_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = T.normalize_text(F.col("text"))
+    toks = T.tokens(F.col("text"))
+    n_chars = F.length(norm)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(norm, r"[^.,;:!?]", ""))
+    digits = F.length(F.regexp_replace(norm, r"[^0-9]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*T.LANG_MARKERS["en"])))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.when(n_tokens > 0, (n_chars - n_tokens + 1.0) / n_tokens), 6
+        ).alias("avg_token_len"),
+        F.round(punct / F.nullif(n_chars, F.lit(0)), 6).alias("punct_ratio"),
+        F.round(digits / F.nullif(n_chars, F.lit(0)), 6).alias("digit_ratio"),
+        F.round(stop_hits / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — heuristic language ID (argmax of marker hits, deterministic ties).
+# --------------------------------------------------------------------------
+def _lang_sql() -> str:
+    score_cols = []
+    for lang, markers in T.LANG_MARKERS.items():
+        lit_list = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"LEN(list_intersect(tk, [{lit_list}])) AS s_{lang}"
+        )
+    langs = list(T.LANG_MARKERS)
+    mx = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + mx + " <= 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN s_{l} = {mx} THEN '{l}' "
+    case += "END"
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents),
+    scored AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM toks)
+    SELECT doc_id, lang, {case} AS lang_pred FROM scored
+    """
+
+
+@query("q22_language_id", _lang_sql())
+def q22_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.language_id(d.select("doc_id", "lang", "text")).drop("text")
+
+
+# --------------------------------------------------------------------------
+# q23 — corpus term frequencies, top 50.
+# --------------------------------------------------------------------------
+@query(
+    "q23_term_frequencies",
+    f"""
+    WITH toks AS (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+    SELECT token, COUNT(*) AS tf
+    FROM toks GROUP BY token
+    ORDER BY tf DESC, token LIMIT 50
+    """,
+)
+def q23_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        T.term_frequencies(d)
+        .orderBy(F.desc("tf"), "token")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — tf-idf, top-3 terms per document (docs 0-49).
+# --------------------------------------------------------------------------
+@query(
+    "q24_tfidf_top_terms",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+    n AS (SELECT COUNT(*) AS n_docs FROM docs),
+    doc_term AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest({SQL_TOKS}) AS token FROM docs
+        ) GROUP BY doc_id, token
+    ),
+    term_df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM doc_term GROUP BY token),
+    scored AS (
+        SELECT dt.doc_id, dt.token, dt.tf, td.df,
+               ROUND(dt.tf * LN(CAST(n.n_docs AS DOUBLE) / td.df), 6) AS tfidf
+        FROM doc_term dt JOIN term_df td USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q24_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = T.tf_idf(d, top_k_per_doc=3)
+    return out.withColumn("tfidf", F.round("tfidf", 6))
+
+
+# --------------------------------------------------------------------------
+# q25 — exact dedup by normalized-text fingerprint.
+# --------------------------------------------------------------------------
+@query(
+    "q25_exact_dedup",
+    f"""
+    SELECT md5({SQL_NORM}) AS fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY fp
+    """,
+)
+def q25_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q26 — MinHash-LSH near-dup pipeline, oracle-verified end to end:
+# shingle -> 16 seeded min-hashes -> 4 band buckets -> candidate pairs ->
+# exact Jaccard >= 0.5.  The DuckDB twin replicates the exact hash math.
+# --------------------------------------------------------------------------
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    mh_exprs = ", ".join(
+        f"list_min([{_sql_md5_long('s', i)} for s in sh]) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    rows = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        parts = ", ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('-', {parts})) AS bucket FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks WHERE len(tk) >= 3),
+    sig AS (SELECT doc_id, {mh_exprs} FROM sh WHERE len(sh) > 0),
+    bands AS ({bands_sql}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(LEN(list_intersect(sa.sh, sb.sh)) * 1.0
+                 / LEN(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE LEN(list_intersect(sa.sh, sb.sh)) * 1.0
+          / LEN(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    """
+
+
+@query("q26_minhash_near_dups", _minhash_sql())
+def q26_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = D.minhash_near_dups(d, threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+# --------------------------------------------------------------------------
+# q27 — 16-bit SimHash signatures (oracle replicates the bit math).
+# --------------------------------------------------------------------------
+def _simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        h = _sql_md5_long("t", 101)
+        terms.append(
+            f"CASE WHEN list_sum([CASE WHEN (({h}) >> {i}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END for t in tk]) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    sig = " + ".join(terms)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct({SQL_TOKS}) AS tk FROM documents
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM toks WHERE LEN(tk) > 0
+    """
+
+
+@query("q27_simhash_signatures", _simhash_sql())
+def q27_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return (
+        d.filter(F.size(toks) > 0)
+        .select("doc_id", D.simhash(F.col("text"), bits=16).alias("sig"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — embedding near-dup pairs above a cosine threshold (brute force at
+# this scale; bucket_col= path for 100 TB).  Cosine rounded to 4 in both
+# engines to absorb last-ulp summation differences.
+# --------------------------------------------------------------------------
+@query(
+    "q28_embedding_similar_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                4) >= 0.45
+    """,
+)
+def q28_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = D.embedding_near_dups(e, threshold=-2.0)  # threshold applied on rounded
+    return out.withColumn("cos", F.round("cos", 4)).filter(F.col("cos") >= 0.45)
+
+
+# --------------------------------------------------------------------------
+# q29 — brute-force cosine top-5 neighbors for query vectors 0-4.
+# --------------------------------------------------------------------------
+@query(
+    "q29_knn_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[])
+                     / (SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                        * SQRT(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                     4) AS cos
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q29_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    from pyspark.sql.window import Window
+
+    q = queries.select("query_id", F.col("embedding").alias("qv"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(D.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — LSH-bucketed approximate top-k (the 100 TB path).  Engine-private
+# hyperplane signatures -> rows-only check.
+# --------------------------------------------------------------------------
+@query("q30_knn_lsh")
+def q30_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return S.lsh_topk(e, queries, dim=64, k=5, num_planes=6)
+
+
+# --------------------------------------------------------------------------
+# q31 — multimodal payload stats (binary column, no decode).
+# --------------------------------------------------------------------------
+@query(
+    "q31_payload_stats",
+    """
+    SELECT COUNT(*) AS n_payloads,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MIN(octet_length(encode(text))) AS min_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes,
+           SUM(octet_length(encode(text))) * 1.0 / COUNT(*) AS avg_bytes
+    FROM documents
+    """,
+)
+def q31_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    return M.payload_stats(d)
+
+
+# --------------------------------------------------------------------------
+# q32 — Arrow-batched feature extraction over binary payloads (pandas UDF
+# escape hatch; deterministic fake decode).  Rows-only.
+# --------------------------------------------------------------------------
+@query("q32_multimodal_features")
+def q32_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    return M.extract_features(d, fake=True)

@@ -1,0 +1,173 @@
+"""Unit tests for the LLM-data operators (dedup, similarity, text,
+multimodal) against engineered micro-fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ominimo_dynamic_data_pipeline_spark.llm import dedup as D
+from ominimo_dynamic_data_pipeline_spark.llm import multimodal as M
+from ominimo_dynamic_data_pipeline_spark.llm import similarity as S
+from ominimo_dynamic_data_pipeline_spark.llm import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "The  Quick Brown  Fox jumps over the lazy dog"),  # exact dup of 0 (normalized)
+        (3, "completely different words entirely unrelated topic matter here"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id bigint, text string")
+
+
+def test_normalize_and_tokens(spark):
+    df = spark.createDataFrame([("  A  b\tC ",)], schema="text string")
+    out = df.select(
+        T.normalize_text(F.col("text")).alias("n"),
+        T.tokens(F.col("text")).alias("t"),
+    ).collect()[0]
+    assert out["n"] == "a b c"
+    assert out["t"] == ["a", "b", "c"]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 42 times",)], schema="text string")
+    out = df.select(
+        T.whitespace_token_count(F.col("text")).alias("ws"),
+        T.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert out["ws"] == 4
+    # hello , world ! 42 times -> 6 BPE-ish tokens
+    assert out["bpe"] == 6
+
+
+def test_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], schema="text string")
+    out = df.select(T.ngrams(F.col("text"), 3).alias("g")).collect()
+    assert out[0]["g"] == ["a b c", "b c d"]
+    assert out[1]["g"] == []
+
+
+def test_exact_dedup_collapses_normalized_duplicates(docs):
+    out = D.exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id[0] == 2  # docs 0 and 2 share a fingerprint; min id kept
+    assert 2 not in by_id
+    assert by_id[1] == 1 and by_id[3] == 1
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = D.minhash_near_dups(docs, threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in got  # identical after normalization (jaccard 1.0)
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(0, 2)] == 1.0
+    # (0, 1) share 6 of their 8 distinct shingles -> jaccard 0.6
+    if (0, 1) in jac:
+        assert 0.4 < jac[(0, 1)] < 0.9
+    # unrelated doc 3 never pairs with 0/1/2
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_deterministic_and_close_for_near_dups(spark, docs):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in docs.filter(F.col("text") != "")
+        .select("doc_id", D.simhash(F.col("text"), bits=16).alias("sig"))
+        .collect()
+    }
+    assert sigs[0] == sigs[2]  # normalization-identical docs
+    ham_near = bin(sigs[0] ^ sigs[1]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0]
+    b = [-1.0, 0.5, 2.0]
+    df = spark.createDataFrame(
+        [(a, b)], schema="a array<double>, b array<double>"
+    )
+    got = df.select(D.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    expect = float(
+        np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    )
+    assert math.isclose(got, expect, rel_tol=1e-12)
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(vecs, schema="vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0).withColumnRenamed("vec_id", "query_id")
+    out = S.brute_force_topk(df, q, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [3, 1]  # by cosine to [1,0]
+    assert out[0]["rank"] == 1
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    vecs = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(vecs, schema="vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+    out = S.lsh_topk(df, q, dim=8, k=3, num_planes=4)
+    # sanity: runs, respects k, never returns self
+    rows = out.collect()
+    assert all(r["rank"] <= 3 for r in rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_multimodal_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError, match="imaging libraries"):
+        M.decode_image(b"xx", fake=False)
+
+
+def test_multimodal_feature_extraction_deterministic(docs):
+    with_payload = M.attach_payload(docs)
+    out1 = {r["doc_id"]: r for r in M.extract_features(with_payload).collect()}
+    out2 = {r["doc_id"]: r for r in M.extract_features(with_payload).collect()}
+    assert len(out1) == 5
+    for k in out1:
+        assert out1[k]["features"] == out2[k]["features"]
+        assert len(out1[k]["features"]) == M.FEATURE_DIM
+    meta = {r["doc_id"]: r["media_meta"] for r in with_payload.collect()}
+    assert meta[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert len(meta[0]["sha256"]) == 64
+
+
+def test_tfidf_rare_term_scores_higher(spark):
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta delta"),
+        (2, "alpha epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    out = T.tf_idf(df, top_k_per_doc=3).collect()
+    doc0 = {r["token"]: r for r in out if r["doc_id"] == 0}
+    assert doc0["gamma"]["tfidf"] > doc0["beta"]["tfidf"] > doc0["alpha"]["tfidf"]
+    assert doc0["alpha"]["tfidf"] == 0.0  # appears in every doc
+
+
+def test_language_id_markers(spark):
+    rows = [
+        (0, "the cat is on the mat"),
+        (1, "el gato es de la casa"),
+        (2, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    out = {r["doc_id"]: r["lang_pred"] for r in T.language_id(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"
