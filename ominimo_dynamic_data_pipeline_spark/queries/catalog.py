@@ -18,11 +18,10 @@ def _merge(module) -> None:
     ORACLES.update(module.ORACLES)
 
 
-try:  # LLM-data extension queries (added incrementally)
-    from ominimo_dynamic_data_pipeline_spark.queries import llm as _llm
+from ominimo_dynamic_data_pipeline_spark.queries import llm as _llm
+from ominimo_dynamic_data_pipeline_spark.queries import windows_batch as _wb
 
-    _merge(_llm)
-except ImportError:
-    pass
+_merge(_llm)
+_merge(_wb)
 
 __all__ = ["QUERIES", "ORACLES", "load_tables"]

@@ -1,0 +1,173 @@
+"""Structured Streaming parity surface (SURVEY.md §2.4 "Streaming").
+
+The reference is purely batch; this module gives the engine streaming
+versions of its aggregation/validation shapes over the ``events`` table:
+
+  * tumbling / sliding windowed aggregates with watermarks
+  * session windows (gap-based)
+  * streaming dedup within a watermark
+  * foreachBatch OK/KO validated split to dual sinks (the streaming twin
+    of the batch validate_fields operator)
+
+Every transformation here works IDENTICALLY on a static DataFrame (Spark's
+unified batch/stream semantics) — the tests exploit that for
+batch-equivalence checks: stream(availableNow) == batch on the same data.
+
+Scale posture: watermarks bound state; windowed aggs shuffle on
+(window, key) with partial aggregation; dedup state is pruned by the
+watermark.  State stores live per-partition — at 1000 executors state is
+sharded horizontally, the watermark keeps it O(active window) not O(data).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ts arrives as epoch
+    nanos via nanosAsLong; converted exactly like the batch loader)."""
+    # The file stream source requires a directory; pathGlobFilter narrows it
+    # to the events file within the scale-factor dir.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-(window, event_type) counts + value sums; late rows beyond the
+    watermark are dropped.  Works on static frames too (watermark is a
+    no-op there) — used by the batch-equivalence tests."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based session windows per user: a session closes after ``gap``
+    of inactivity.  State per (user, open session); watermark closes and
+    evicts sessions."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drops repeats of the key within the
+    watermark horizon (bounded state).  Static frames fall back to
+    dropDuplicates (global)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
+def validated_split_writer(
+    rules: Sequence[Mapping[str, Any]],
+    ok_path: str,
+    ko_path: str,
+    fmt: str = "parquet",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: per micro-batch, apply the batch validation
+    operator and append OK/KO streams to their sinks — the streaming twin
+    of the reference's dual-sink contract (OK rows clean, KO rows carry
+    validation_errors).  Exactly-once per sink comes from the streaming
+    checkpoint + idempotent appends."""
+    from ominimo_dynamic_data_pipeline_spark.operators.validate import (
+        apply_validations,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        result = apply_validations(batch_df, rules, cache_tagged=True)
+        try:
+            result.ok.write.mode("append").format(fmt).save(ok_path)
+            ko = result.ko.withColumn(
+                "validation_errors", F.concat_ws(",", "validation_errors")
+            ) if fmt == "csv" else result.ko
+            ko.write.mode("append").format(fmt).save(ko_path)
+        finally:
+            result.tagged.unpersist()
+
+    return write_batch
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a stream with availableNow into an in-memory table and return
+    the result as a DataFrame (test/verification harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

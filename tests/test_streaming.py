@@ -1,0 +1,136 @@
+"""Streaming parity tests: every streaming op's availableNow run over the
+events table must equal the same aggregation computed on the static frame
+(batch-equivalence, SURVEY.md §5.5), plus watermark late-data and
+foreachBatch split behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+from ominimo_dynamic_data_pipeline_spark.streaming import ops
+
+
+def _collect_sorted(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def static_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark, sf_dir):
+    return ops.read_events_stream(spark, sf_dir)
+
+
+def test_tumbling_batch_equivalence(spark, static_events, stream_events):
+    streamed = ops.run_to_completion(
+        ops.tumbling_counts(stream_events), "t_tumbling"
+    )
+    batch = ops.tumbling_counts(static_events)
+    cols = ["window_start", "event_type", "n_events", "value_sum"]
+    assert _collect_sorted(streamed, cols) == _collect_sorted(batch, cols)
+    assert streamed.count() > 0
+
+
+def test_sliding_batch_equivalence(spark, static_events, stream_events):
+    streamed = ops.run_to_completion(
+        ops.sliding_counts(stream_events), "t_sliding"
+    )
+    batch = ops.sliding_counts(static_events)
+    cols = ["window_start", "event_type", "n_events"]
+    assert _collect_sorted(streamed, cols) == _collect_sorted(batch, cols)
+    # sliding windows overlap: more windows than tumbling
+    assert streamed.count() > ops.tumbling_counts(static_events).count()
+
+
+def test_session_batch_equivalence(spark, static_events, stream_events):
+    streamed = ops.run_to_completion(
+        ops.session_counts(stream_events), "t_session"
+    )
+    batch = ops.session_counts(static_events)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _collect_sorted(streamed, cols) == _collect_sorted(batch, cols)
+
+
+def test_session_window_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:03:00"),  # same session (< 5 min gap)
+        (1, "2024-01-01 00:20:00"),  # new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = ops.session_counts(df, gap="5 minutes")
+    per_user = {(r["user_id"], str(r["session_start"])): r["n_events"] for r in out.collect()}
+    assert per_user[(1, "2024-01-01 00:00:00")] == 2
+    assert per_user[(1, "2024-01-01 00:20:00")] == 1
+    assert per_user[(2, "2024-01-01 00:00:00")] == 1
+
+
+def test_stream_dedup_drops_repeats(spark, tmp_path):
+    # Write a parquet dir with duplicated event_ids, stream-dedup it.
+    base_ns = 1_704_067_200 * 1_000_000_000  # 2024-01-01, clear of epoch 0
+    rows = [
+        (i % 3, base_ns + (i % 3) * 1_000_000_000, 1, "click", 1.0, "{}")
+        for i in range(9)
+    ]
+    src = spark.createDataFrame(rows, ops.EVENTS_SCHEMA)
+    src_dir = str(tmp_path / "dup_events")
+    src.write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ops.EVENTS_SCHEMA).format("parquet").load(src_dir)
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = ops.stream_dedup(stream, keys=["event_id"])
+
+    out_dir = str(tmp_path / "dedup_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 3
+    assert {r["event_id"] for r in got.collect()} == {0, 1, 2}
+
+
+def test_foreachbatch_validated_split(spark, sf_dir, tmp_path):
+    """Streaming OK/KO split must partition the input exactly like the
+    batch validator."""
+    rules = [{"field": "event_type", "validations": ["notEmpty"]},
+             {"field": "value", "validations": ["min:50"]}]
+    stream = ops.read_events_stream(spark, sf_dir)
+    ok_path = str(tmp_path / "ok")
+    ko_path = str(tmp_path / "ko")
+    q = (
+        stream.writeStream.foreachBatch(
+            ops.validated_split_writer(rules, ok_path, ko_path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    static = load_table(spark, sf_dir, "events")
+    from ominimo_dynamic_data_pipeline_spark.operators.validate import (
+        apply_validations,
+    )
+
+    batch_split = apply_validations(static, rules)
+    ok = spark.read.parquet(ok_path)
+    ko = spark.read.parquet(ko_path)
+    assert ok.count() == batch_split.ok.count()
+    assert ko.count() == batch_split.ko.count()
+    assert ok.count() + ko.count() == static.count()
+    sample_errors = ko.filter(F.col("value") < 50).select("validation_errors").first()
+    assert sample_errors["validation_errors"] == ["value:must_be_at_least_50.0"]
