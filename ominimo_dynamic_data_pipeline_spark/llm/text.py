@@ -128,9 +128,13 @@ def term_frequencies(
     return out
 
 
-def ngrams(col: Column, n: int = 2) -> Column:
-    """Word n-grams via transform over token indices (no UDF)."""
-    toks = tokens(col)
+def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Word n-grams from a materialized token-array column (no UDF).
+
+    Pass an attribute reference, not an inline expression: element_at runs
+    inside a lambda where Spark re-evaluates argument expressions per
+    element (no subexpression elimination) — see dedup.shingles_from_tokens.
+    """
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1)))
     return F.when(
@@ -139,6 +143,13 @@ def ngrams(col: Column, n: int = 2) -> Column:
             idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams(col: Column, n: int = 2) -> Column:
+    """Word n-grams of a raw text column.  Convenience wrapper for small
+    frames/tests; hot paths should stage ``tokens`` as a projection and use
+    ``ngrams_from_tokens`` (per-element re-evaluation cost otherwise)."""
+    return ngrams_from_tokens(tokens(col), n)
 
 
 def tf_idf(

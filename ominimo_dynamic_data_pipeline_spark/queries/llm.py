@@ -85,8 +85,8 @@ def q21_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         F.round(
             F.when(n_tokens > 0, (n_chars - n_tokens + 1.0) / n_tokens), 6
         ).alias("avg_token_len"),
@@ -175,7 +175,9 @@ def q23_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     out = T.tf_idf(d, top_k_per_doc=3)
-    return out.withColumn("tfidf", F.round("tfidf", 6))
+    return out.withColumn("tfidf", F.round("tfidf", 6)).withColumn(
+        "rn", F.col("rn").cast("bigint")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -196,12 +198,16 @@ def q25_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q26 — MinHash-LSH near-dup pipeline, oracle-verified end to end:
-# shingle -> 16 seeded min-hashes -> 4 band buckets -> candidate pairs ->
-# exact Jaccard >= 0.5.  The DuckDB twin replicates the exact hash math.
+# shingle -> one 60-bit md5 base per shingle -> 16 double-hashed min-hashes
+# (Kirsch-Mitzenmacher: (hi30 + (i+1)*lo30) mod P, llm.dedup) -> 4 band
+# buckets -> candidate pairs -> exact Jaccard >= 0.5.  The DuckDB twin
+# replicates the exact hash math.
 # --------------------------------------------------------------------------
 def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    base = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
     mh_exprs = ", ".join(
-        f"list_min([{_sql_md5_long('s', i)} for s in sh]) AS mh_{i}"
+        f"list_min([((h >> 30) + {i + 1} * (h & 1073741823)) % 1073741789"
+        f" for h in hs]) AS mh_{i}"
         for i in range(num_hashes)
     )
     rows = num_hashes // bands
@@ -217,7 +223,8 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
     return f"""
     WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
     sh AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks WHERE len(tk) >= 3),
-    sig AS (SELECT doc_id, {mh_exprs} FROM sh WHERE len(sh) > 0),
+    hsrc AS (SELECT doc_id, [{base} for s in sh] AS hs FROM sh),
+    sig AS (SELECT doc_id, {mh_exprs} FROM hsrc WHERE len(hs) > 0),
     bands AS ({bands_sql}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -337,7 +344,7 @@ def q29_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
@@ -361,9 +368,9 @@ def q30_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_payload_stats",
     """
     SELECT COUNT(*) AS n_payloads,
-           SUM(octet_length(encode(text))) AS total_bytes,
-           MIN(octet_length(encode(text))) AS min_bytes,
-           MAX(octet_length(encode(text))) AS max_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
            SUM(octet_length(encode(text))) * 1.0 / COUNT(*) AS avg_bytes
     FROM documents
     """,

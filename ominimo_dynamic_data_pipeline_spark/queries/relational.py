@@ -293,7 +293,7 @@ def q06_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -364,9 +364,9 @@ def q08_customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
-        F.ntile(4).over(w).alias("bal_quartile"),
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
     )
 
 
@@ -639,7 +639,7 @@ def q17_part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
         F.upper("p_type").alias("type_upper"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("name_first_word"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
