@@ -301,7 +301,11 @@ def q27_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q28_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    out = D.embedding_near_dups(e, threshold=-2.0)  # threshold applied on rounded
+    # Arrow/numpy kernel; bit-identical doubles to the Catalyst fold (see
+    # embedding_near_dups_blas).  Kernel threshold 0.449 sits safely below
+    # every value that could round to >= 0.45; the exact filter runs on the
+    # rounded column, mirroring the oracle.
+    out = D.embedding_near_dups_blas(e, threshold=0.449)
     return out.withColumn("cos", F.round("cos", 4)).filter(F.col("cos") >= 0.45)
 
 
@@ -388,3 +392,127 @@ def q31_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = M.attach_payload(load_table(spark, sf_dir, "documents"))
     return M.extract_features(d, fake=True)
+
+
+# --------------------------------------------------------------------------
+# q35 — n-gram (bigram) Jaccard near-dup pairs on a bounded id range.
+# Brute-force pair space is the oracle-checkable baseline; at corpus scale
+# the same jaccard_pairs verify runs on MinHash-LSH candidates (q26), which
+# bounds comparisons by band-bucket sizes instead of N^2.
+# --------------------------------------------------------------------------
+SQL_BIGRAMS = (
+    "list_distinct([concat_ws(' ', tk[i], tk[i+1]) "
+    "for i in range(1, len(tk))])"
+)
+
+
+@query(
+    "q35_ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS} AS tk FROM documents WHERE doc_id < 200
+    ),
+    sh AS (SELECT doc_id, {SQL_BIGRAMS} AS sh FROM toks WHERE len(tk) >= 2)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(LEN(list_intersect(a.sh, b.sh)) * 1.0
+                 / LEN(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE LEN(list_intersect(a.sh, b.sh)) * 1.0
+          / LEN(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+    """,
+)
+def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = D.shingle_frame(d, n=2)
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .withColumn("jaccard", F.round("jaccard", 6))
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — SimHash near-dup pairs: bucket on the signature's high byte for
+# candidates, verify by Hamming distance <= 3.  Oracle replicates the
+# bucket join and bit math (xor + bit_count).
+# --------------------------------------------------------------------------
+def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    sig_inner = _simhash_sql(bits).strip()
+    return f"""
+    WITH sigs AS ({sig_inner}),
+    bucketed AS (SELECT doc_id, sig, sig >> {bits // 2} AS bucket FROM sigs)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+@query("q36_simhash_near_dups", _simhash_pairs_sql())
+def q36_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = D.simhash_near_dups(d, bits=16, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# q37 — token counting: whitespace tokens and a BPE-ish subword proxy
+# (letter runs / digit runs / single symbols), both narrow projections.
+# --------------------------------------------------------------------------
+@query(
+    "q37_token_stats",
+    f"""
+    SELECT doc_id,
+           LEN({SQL_TOKS}) AS ws_tokens,
+           LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q37_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q38 — rolling polynomial fingerprint over the token stream:
+# fp = fold(tokens, 0, (acc, t) -> (acc*131 + h(t) mod P) mod P).
+# Order-sensitive (unlike the q25 md5 of the whole text) and incremental —
+# the shape a streaming fingerprinter uses.  Safe as an inline HOF because
+# the lambda body only touches (acc, t), never an outer expression.
+# --------------------------------------------------------------------------
+@query(
+    "q38_doc_fingerprints",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents)
+    SELECT doc_id,
+           list_reduce(
+               [CAST(0 AS BIGINT)] ||
+               [{_sql_md5_long('t', 7)} % 1073741789 for t in tk],
+               (a, b) -> (a * 131 + b) % 1073741789) AS fp
+    FROM toks
+    """,
+)
+def q38_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    p = F.lit(D.MINHASH_PRIME)
+    fp = F.aggregate(
+        T.tokens(F.col("text")),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 131 + D.md5_long(t, seed=7) % p) % p,
+    )
+    return d.select("doc_id", fp.alias("fp"))

@@ -748,3 +748,145 @@ def q20_all_account_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("entity_key"), F.lit("supplier").alias("entity_kind")
     )
     return cu.unionByName(su).distinct()
+
+
+# --------------------------------------------------------------------------
+# q39 — GROUPING SETS via the SQL front end (every loaded frame is also a
+# temp view, so dataflow steps can be plain SQL).  Disjoint single-dim sets
+# + grand total — the shape ROLLUP/CUBE (q10/q11) cannot express.
+# --------------------------------------------------------------------------
+@query(
+    "q39_order_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q39_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q40 — approximate distinct (HyperLogLog++).  At 100 TB this replaces the
+# exact shuffle-heavy COUNT(DISTINCT) for profiling; sketch values are
+# engine-specific, so the driver records the rows-only check.  The exact
+# count rides along to document the accuracy envelope.
+# --------------------------------------------------------------------------
+@query("q40_approx_distinct_parts")
+def q40_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q41 — fuzzy string matching + remaining string library: levenshtein,
+# reverse, instr/strpos, translate, repeat.
+# --------------------------------------------------------------------------
+@query(
+    "q41_part_fuzzy_features",
+    """
+    SELECT p_partkey,
+           CAST(levenshtein(p_brand, 'Brand#23') AS BIGINT) AS brand_dist,
+           reverse(p_brand) AS brand_rev,
+           CAST(strpos(p_name, 'o') AS BIGINT) AS o_pos,
+           translate(p_brand, '#', '-') AS brand_dash,
+           repeat(p_type, 2) AS type_twice
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+)
+def q41_part_fuzzy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#23")).cast("bigint").alias(
+            "brand_dist"
+        ),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_name", "o").cast("bigint").alias("o_pos"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.repeat("p_type", 2).alias("type_twice"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — semi-structured map access: parse events.props into a typed map,
+# then map_keys / element_at / cardinality.  from_json is the scale path
+# (single parse per row feeding many accesses vs repeated get_json_object).
+# --------------------------------------------------------------------------
+@query(
+    "q42_event_props_map",
+    """
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS key_list,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def q42_event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    pm = e.select(
+        "event_id", F.from_json("props", "map<string,bigint>").alias("pm")
+    )
+    return pm.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys("pm")), ",").alias("key_list"),
+        F.size(F.map_keys("pm")).cast("bigint").alias("n_keys"),
+        F.element_at("pm", "k").alias("k_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — array function library over embeddings: size, element access,
+# min/max, L1 norm via transform+aggregate (all JVM-side HOFs; lambda
+# bodies only touch lambda variables, so inline args are safe).
+# --------------------------------------------------------------------------
+@query(
+    "q43_embedding_array_features",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+           ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> abs(x))), 4) AS l1_norm
+    FROM embeddings
+    WHERE vec_id < 500
+    """,
+)
+def q43_embedding_array_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l1 = F.aggregate(
+        F.transform(vd, lambda x: F.abs(x)), F.lit(0.0), lambda a, v: a + v
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        F.round(l1, 4).alias("l1_norm"),
+    )

@@ -171,3 +171,64 @@ def test_language_id_markers(spark):
     assert out[0] == "en"
     assert out[1] == "es"
     assert out[2] == "und"
+
+
+def test_embedding_near_dups_blas_matches_catalyst(spark):
+    import random
+
+    rnd = random.Random(7)
+    vecs = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ]
+    vecs.append((60, [v * 1.0 for v in vecs[0][1]]))  # exact dup of 0
+    df = spark.createDataFrame(
+        vecs, schema="vec_id bigint, embedding array<double>"
+    )
+    a = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in D.embedding_near_dups(df, threshold=0.5).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in D.embedding_near_dups_blas(df, threshold=0.5).collect()
+    }
+    assert a == b  # bit-identical doubles, same pair set
+    assert (0, 60) in a and math.isclose(a[(0, 60)], 1.0, rel_tol=1e-12)
+
+
+def test_band_candidates_pairs_within_buckets(spark, docs):
+    sigs = D.minhash_signatures(docs)
+    cands = D.minhash_band_candidates(sigs).collect()
+    got = {(r["id_a"], r["id_b"]) for r in cands}
+    assert (0, 2) in got  # identical docs agree on every band
+    assert all(a < b for a, b in got)
+    assert len(got) == len(cands)  # distinct pairs
+
+
+def test_shingle_frame_drops_short_docs(docs):
+    out = {r["doc_id"] for r in D.shingle_frame(docs).select("doc_id").collect()}
+    assert 4 not in out  # empty text -> no shingles
+    assert {0, 1, 2, 3} <= out
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha"), (2, "alpha beta")],
+        schema="doc_id bigint, text string",
+    )
+    p = F.lit(D.MINHASH_PRIME)
+    fp = F.aggregate(
+        T.tokens(F.col("text")),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 131 + D.md5_long(t, seed=7) % p) % p,
+    )
+    out = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fp.alias("fp")).collect()}
+    assert out[0] == out[2]
+    assert out[0] != out[1]
+
+
+def test_simhash_near_dups_hamming_bound(spark, docs):
+    pairs = D.simhash_near_dups(docs, bits=16, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 2)) == 0  # identical after normalization
+    assert all(h <= 3 for h in got.values())
