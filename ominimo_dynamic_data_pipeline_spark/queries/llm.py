@@ -272,11 +272,7 @@ def _simhash_sql(bits: int = 16) -> str:
 @query("q27_simhash_signatures", _simhash_sql())
 def q27_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    return (
-        d.filter(F.size(toks) > 0)
-        .select("doc_id", D.simhash(F.col("text"), bits=16).alias("sig"))
-    )
+    return D.simhash_frame(d, bits=16)
 
 
 # --------------------------------------------------------------------------

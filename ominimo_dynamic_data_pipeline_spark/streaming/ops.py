@@ -171,3 +171,59 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+USER_TOTALS_OUTPUT = (
+    "user_id bigint, n_events bigint, value_sum double, batches bigint"
+)
+USER_TOTALS_STATE = "n bigint, total double, batches bigint"
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event counts and value sums maintained across micro-batches, one updated
+    row emitted per user per batch.
+
+    This is the escape hatch for aggregation logic Spark's built-in
+    streaming aggs can't express (arbitrary per-key state transitions).
+    State is one tiny struct per user, sharded across partitions by the
+    groupBy — at 1000 executors state scales horizontally; pair with a
+    TTL/timeout in production to evict idle keys.
+
+    On a static frame this degrades to the equivalent one-shot groupBy
+    (batches=1), which the batch-equivalence test exploits.
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+            F.lit(1).cast("bigint").alias("batches"),
+        )
+
+    def update(key, pdfs, state) -> Any:
+        import pandas as pd
+
+        n, total, batches = (
+            state.get if state.exists else (0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        batches += 1
+        state.update((n, total, batches))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [total],
+                "batches": [batches],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_TOTALS_OUTPUT,
+        stateStructType=USER_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

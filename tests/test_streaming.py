@@ -134,3 +134,43 @@ def test_foreachbatch_validated_split(spark, sf_dir, tmp_path):
     assert ok.count() + ko.count() == static.count()
     sample_errors = ko.filter(F.col("value") < 50).select("validation_errors").first()
     assert sample_errors["validation_errors"] == ["value:must_be_at_least_50.0"]
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir):
+    from ominimo_dynamic_data_pipeline_spark.streaming import ops
+
+    stream = ops.stateful_user_totals(ops.read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: r
+        for r in spark.table("user_totals")
+        .groupBy("user_id")  # keep the last emit per user
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_sum").alias("value_sum"),
+        )
+        .collect()
+    }
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    batch = {
+        r["user_id"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid in got:
+        assert got[uid]["n_events"] == batch[uid]["n_events"]
+        assert abs(got[uid]["value_sum"] - batch[uid]["value_sum"]) < 1e-6
