@@ -99,3 +99,83 @@ def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.max(n).cast("bigint").alias("max_bytes"),
         (F.sum(n) / F.count(F.lit(1))).alias("avg_bytes"),
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, payload binary"
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_payload binary"
+
+
+def resize_image_bytes(
+    payload: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """STUB resize: real resampling needs PIL; the fake path derives a
+    deterministic byte string of length width*height from the payload md5
+    so batch shapes and schemas are exercised end to end."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires imaging libraries not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    seed = hashlib.md5(payload or b"").digest()
+    reps = (width * height) // len(seed) + 1
+    return (seed * reps)[: width * height]
+
+
+def resize_payloads(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched resize over binary payloads (mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                rows.append(
+                    (doc_id, width, height,
+                     resize_image_bytes(data, width, height, fake=fake))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "payload"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame
+    (mapInPandas; a real decoder would seek keyframes — the deterministic
+    stub slices the payload into n_frames md5-tagged chunks)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "frame sampling requires video libraries not present "
+                        "in this environment; pass fake=True for the stub"
+                    )
+                step = max(1, len(data) // max(n_frames, 1))
+                for i in range(n_frames):
+                    chunk = data[i * step : (i + 1) * step]
+                    rows.append(
+                        (doc_id, i, hashlib.md5(chunk).digest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_payload"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)

@@ -175,3 +175,153 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_lists: int = 16,
+    iters: int = 5,
+    train_limit: int = 2048,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: k-means on a deterministic sample.
+
+    Standard IVF practice — the quantizer is trained on a bounded sample
+    driver-side (numpy, deterministic: lowest-id rows seed and feed Lloyd
+    iterations), then shipped to executors as literals.  Assignment and
+    search stay fully distributed (ivf_assign / ivf_topk); only the tiny
+    k_lists x dim centroid matrix ever lives on the driver.
+    """
+    import numpy as np
+
+    pdf = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_limit)
+        .toPandas()
+    )
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = x[:k_lists].copy()
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k_lists):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return [[float(v) for v in c] for c in cents]
+
+
+def _centroid_scores(vec_d: Column, centroids: list[list[float]]) -> Column:
+    """Array of dot(vec, centroid_i) — centroids are literal arrays, the
+    vector is a staged attribute; inner lambdas touch lambda vars only."""
+    cents = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in centroids]
+    )
+    return F.transform(cents, lambda c: dot_double(vec_d, c))
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec_d, nrm, ivf_list) — each vector tagged with its nearest
+    centroid list.  Pure projection; at 100 TB pair with a partitioned
+    write on ivf_list so probes prune partitions."""
+    nf = norm_frame(df, id_col, vec_col)
+    scored = nf.select(
+        F.col(id_col), "vec_d", "nrm",
+        _centroid_scores(F.col("vec_d"), centroids).alias("cscores"),
+    )
+    return scored.select(
+        F.col(id_col), "vec_d", "nrm",
+        (F.array_position(F.col("cscores"), F.array_max("cscores")) - 1)
+        .cast("int")
+        .alias("ivf_list"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k_lists: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: candidates come from each query's ``nprobe``
+    closest centroid lists, exact cosine re-ranks.
+
+    The probe join key is the list id, so comparisons are
+    sum(|probed list|) per query instead of N; recall tunes with nprobe
+    (nprobe = k_lists degrades to exact brute force).
+    """
+    centroids = ivf_train_centroids(corpus, id_col, vec_col, k_lists, iters)
+    cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec_d").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("ivf_list").alias("c_list"),
+    )
+    qn = norm_frame(
+        queries.withColumnRenamed(query_id_col, "query_id"), "query_id", vec_col
+    )
+    q_scored = qn.select(
+        F.col("query_id"),
+        F.col("vec_d").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+        _centroid_scores(F.col("vec_d"), centroids).alias("cscores"),
+    )
+    # top-nprobe centroid indices per query: sort (score, idx) structs desc
+    probes = q_scored.select(
+        "query_id", "qv", "q_nrm",
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.zip_with(
+                        F.col("cscores"),
+                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                        lambda s, i: F.struct(
+                            s.alias("score"), i.alias("idx")
+                        ),
+                    )
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("probe_structs"),
+    ).select(
+        "query_id", "qv", "q_nrm",
+        F.explode(F.col("probe_structs.idx")).alias("q_list"),
+    )
+    scored = (
+        cb.join(
+            F.broadcast(probes),
+            (F.col("c_list") == F.col("q_list"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_double(F.col("qv"), F.col("cv"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

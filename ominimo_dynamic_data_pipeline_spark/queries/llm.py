@@ -512,3 +512,15 @@ def q38_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: (acc * 131 + D.md5_long(t, seed=7) % p) % p,
     )
     return d.select("doc_id", fp.alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# q44 — IVF approximate top-k: sample-trained coarse quantizer (driver-side
+# numpy k-means on lowest-id rows), distributed assign + nprobe search.
+# Engine-private centroids -> rows-only.
+# --------------------------------------------------------------------------
+@query("q44_knn_ivf")
+def q44_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return S.ivf_topk(e, queries, k=5, k_lists=16, nprobe=4)

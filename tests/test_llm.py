@@ -232,3 +232,41 @@ def test_simhash_near_dups_hamming_bound(spark, docs):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert got.get((0, 2)) == 0  # identical after normalization
     assert all(h <= 3 for h in got.values())
+
+
+def test_ivf_topk_recall_against_bruteforce(spark, sf_dir):
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(e, q, k=5, k_lists=8, nprobe=4).collect()
+    }
+    assert len(approx) <= 25
+    # recall@5 with half the lists probed should recover most of the truth
+    assert len(exact & approx) >= len(exact) * 0.5
+    # full probe = exact brute force
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(e, q, k=5, k_lists=8, nprobe=8).collect()
+    }
+    assert full == exact
+
+
+def test_resize_and_frame_sample_plumbing(docs):
+    from ominimo_dynamic_data_pipeline_spark.llm import multimodal as MM
+
+    with_payload = MM.attach_payload(docs)
+    resized = MM.resize_payloads(with_payload, 16, 8).collect()
+    assert len(resized) == 5
+    assert all(len(r["payload"]) == 16 * 8 for r in resized)
+    frames = MM.sample_frames(with_payload, n_frames=3).collect()
+    assert len(frames) == 15
+    assert all(len(r["frame_payload"]) == 16 for r in frames)
+    with pytest.raises(NotImplementedError, match="imaging"):
+        MM.resize_image_bytes(b"x", 4, 4, fake=False)
