@@ -1,0 +1,83 @@
+"""Scale-tuning operators: skew-salted joins and bucketed co-located joins.
+
+These are the two knobs SURVEY.md §4.2 reserves for 100 TB shapes that AQE
+alone cannot fix:
+
+  * **Salting** — when one join key dominates (a "hot" customer, a null
+    bucket), hash partitioning sends the whole key to one task.  Salting
+    splits the hot side's rows across ``salt_factor`` sub-keys and
+    replicates the other side once per sub-key, so the hot key fans out to
+    ``salt_factor`` tasks.  Results are identical to the unsalted join.
+    (AQE's skew-join handles sort-merge spills per-partition; salting is
+    the declarative fallback that also works for hash joins and stateful
+    streaming joins.)
+
+  * **Bucketing** — pre-shuffling both tables into the same bucket layout
+    at WRITE time (``bucketBy`` + ``saveAsTable``) lets every later equi
+    join/aggregation on the bucket key run shuffle-free: the exchange
+    happens once when data lands, not once per query.  The classic trade
+    for dimension/fact tables that are joined daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the LEFT side treated as skewed on ``on``.
+
+    left rows get a random-but-deterministic salt in [0, salt_factor)
+    (hash of the full row's key + a per-row uniform via ``pmod(hash)``);
+    right rows are replicated once per salt value.  The join key becomes
+    (key, salt), spreading each hot key over ``salt_factor`` partitions.
+
+    Equivalent to ``left.join(right, on, how)`` for inner/left joins; the
+    replicated side must be the non-preserved side for outer joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(
+        F.hash(F.monotonically_increasing_id()), F.lit(salt_factor)
+    ).alias("_salt")
+    salted_left = left.withColumn("_salt", salt)
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_factor - 1))
+    ).alias("_salt")
+    replicated_right = right.select("*", salts)
+    out = salted_left.join(replicated_right, on=[on, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed table.
+    Joins/aggregations on ``bucket_col`` between tables sharing this layout
+    need no exchange (verify: the plan has no Exchange on the bucketed
+    side)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two pre-bucketed tables on their bucket key (shuffle-free when
+    bucket layouts match)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

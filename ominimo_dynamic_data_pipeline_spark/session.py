@@ -41,6 +41,11 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # Managed-table surface (bucketed tables): keep the warehouse and the
+    # derby metastore out of the repo tree.  Static configs — must be set
+    # at session build, not at runtime.
+    "spark.sql.warehouse.dir": "/tmp/spark-graft-warehouse",
+    "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/spark-graft-derby",
 }
 
 

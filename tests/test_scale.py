@@ -1,0 +1,61 @@
+"""Scale-knob tests: salted joins return exactly the plain-join result;
+bucketed tables join without an exchange on the bucketed key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ominimo_dynamic_data_pipeline_spark.operators import scale
+from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+from tests.test_plans import plan_of
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    # engineer skew: every order keyed to one hot customer plus originals
+    hot = o.withColumn("o_custkey", F.lit(1).cast(o.schema["o_custkey"].dataType))
+    skewed = o.unionByName(hot).withColumnRenamed("o_custkey", "c_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = skewed.join(c, on="c_custkey")
+    salted = scale.salted_join(skewed, c, on="c_custkey", salt_factor=4)
+    cols = ["c_custkey", "o_orderkey", "c_mktsegment"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (99, "c")], schema="k bigint, v string"
+    )
+    right = spark.createDataFrame([(1, "x")], schema="k bigint, w string")
+    out = scale.salted_join(left, right, on="k", salt_factor=3, how="left")
+    rows = _sorted_rows(out, ["k", "v", "w"])
+    assert (99, "c", None) in rows
+    assert len(rows) == 3
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # warehouse + metastore live under /tmp via the session factory's
+    # static configs (spark.sql.warehouse.dir cannot change at runtime)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    scale.write_bucketed(c, "t_cust_b", "c_custkey", num_buckets=8)
+    scale.write_bucketed(
+        o.withColumnRenamed("o_custkey", "c_custkey"), "t_ord_b",
+        "c_custkey", num_buckets=8,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = scale.bucketed_join(spark, "t_cust_b", "t_ord_b", on="c_custkey")
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located: bucket layout replaces shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
