@@ -1,0 +1,4 @@
+from ominimo_dynamic_data_pipeline_spark.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -68,6 +68,10 @@ def read_source(spark: SparkSession, source: Mapping[str, Any]) -> DataFrame:
         if schema:
             reader = reader.schema(schema)
         return reader.parquet(*paths)
+    if fmt == "binaryfile":
+        # Multimodal ingestion: (path, modificationTime, length, content)
+        # rows; narrow with options.pathGlobFilter (e.g. "*.jpg").
+        return spark.read.format("binaryFile").options(**options).load(paths)
     raise ValueError(f"Unsupported source format: {source.get('format')!r}")
 
 
