@@ -890,3 +890,46 @@ def q43_embedding_array_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
         F.round(l1, 4).alias("l1_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q45 — RANGE-framed window + first/last_value: per customer, the 30-day
+# trailing spend (range frame over the order-date epoch — rows at equal
+# distance enter together, unlike ROWS frames) and the first/latest order
+# price per key.  One window layout -> one shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q45_trailing_spend_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(ts)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_spend,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS latest_price
+    FROM (SELECT *, CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q45_trailing_spend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate")
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w_range).cast("double").alias(
+            "trailing_30d_spend"
+        ),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_all).alias("latest_price"),
+    )
