@@ -933,3 +933,110 @@ def q45_trailing_spend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w_all).alias("latest_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q46 — pivot (wide conditional aggregation): order counts + revenue per
+# priority, one column per order status.  Catalyst compiles pivot to a
+# single hash agg with CASE-guarded partials — one shuffle, no per-status
+# scans; the oracle uses the equivalent conditional aggregation.
+# --------------------------------------------------------------------------
+@query(
+    "q46_status_pivot",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS rev_f,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS rev_o,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS rev_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q46_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("o_totalprice")).alias("rev"),
+        )
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.coalesce(F.col("F_rev").cast("double"), F.lit(0.0)).alias("rev_f"),
+        F.coalesce(F.col("O_rev").cast("double"), F.lit(0.0)).alias("rev_o"),
+        F.coalesce(F.col("P_rev").cast("double"), F.lit(0.0)).alias("rev_p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q47 — exact percentiles (linear interpolation): Spark `percentile` and
+# DuckDB `quantile_cont` share the definition; a 6-digit round absorbs
+# last-ulp interpolation differences.  At 100 TB swap to approx_percentile
+# (t-digest) — exact percentile holds per-group values in memory.
+# --------------------------------------------------------------------------
+@query(
+    "q47_price_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q47_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    pct = lambda p: F.round(F.percentile("l_extendedprice", F.lit(p)), 6)
+    return l.groupBy("l_returnflag").agg(
+        pct(0.25).alias("p25"),
+        pct(0.50).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.95).alias("p95"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q48 — statistical aggregates: sample stddev/variance, correlation and
+# covariance between quantity and price.  All single-pass partial-agg
+# shapes (sum/sum-of-squares/cross-products), shuffle carries one row per
+# group.  6-digit round absorbs summation-order ulps.
+# --------------------------------------------------------------------------
+@query(
+    "q48_stats_aggregates",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
+           ROUND(var_samp(l_quantity), 6) AS qty_var,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(AVG(l_quantity), 6) AS qty_mean
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q48_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("qty_mean"),
+    )
