@@ -142,3 +142,27 @@ def test_csv_dataflow_golden(spark, metadata, tmp_path):
     }
     assert errs["P-20006"] == "policy_start_date:must_be_before_policy_end_date"
     assert "," in errs["P-20004"]
+
+
+def test_field_stats_approx_mode(spark):
+    from ominimo_dynamic_data_pipeline_spark.operators.stats import (
+        compute_field_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), None if i % 3 == 0 else f"v{i % 11}") for i in range(200)],
+        schema="id bigint, x double, s string",
+    )
+    exact = compute_field_stats(df)
+    approx = compute_field_stats(df, approx=True)
+    assert exact["total_records"] == approx["total_records"] == 200
+    for f in ("id", "x", "s"):
+        e, a = exact["fields"][f], approx["fields"][f]
+        assert e["null_count"] == a["null_count"]
+        # HLL at 5% rsd on tiny cardinalities is near-exact
+        assert abs(a["distinct_count"] - e["distinct_count"]) <= max(
+            2, 0.1 * e["distinct_count"]
+        )
+    assert exact["fields"]["x"]["min"] == 0.0
+    assert exact["fields"]["x"]["max"] == 6.0
+    assert exact["fields"]["s"]["null_count"] == 67
