@@ -527,3 +527,23 @@ def embedding_near_dups_blas(
 
     schema = f"id_a {id_field}, id_b {id_field}, cos double"
     return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the deduplicated corpus from near-dup ``pairs``
+    (id_a < id_b): greedy keep-lowest-id — every id_b of a confirmed pair
+    is dropped, id_a survives.  A left-anti join on the victim set; at
+    100 TB the victim frame is tiny relative to the corpus and broadcasts.
+
+    Greedy-by-id is the standard corpus-dedup policy (transitive chains
+    collapse to their minimum id because every later member pairs with an
+    earlier survivor or an earlier victim whose own pair named a smaller
+    id); full connected components are only needed for cluster analytics,
+    not for filtering.
+    """
+    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(F.broadcast(victims), on=id_col, how="left_anti")

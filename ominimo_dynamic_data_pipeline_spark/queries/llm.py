@@ -524,3 +524,25 @@ def q44_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     return S.ivf_topk(e, queries, k=5, k_lists=16, nprobe=4)
+
+
+# --------------------------------------------------------------------------
+# q49 — the dedup END PRODUCT: surviving corpus after MinHash-LSH near-dup
+# removal (greedy keep-lowest-id).  Oracle embeds the full q26 pipeline and
+# anti-selects its victims — verifying the materialization step, not just
+# the pair list.
+# --------------------------------------------------------------------------
+def _dedup_corpus_sql() -> str:
+    pairs = _minhash_sql().strip()
+    return f"""
+    WITH pairs AS ({pairs})
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """
+
+
+@query("q49_dedup_corpus_minhash", _dedup_corpus_sql())
+def q49_dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(d, threshold=0.5)
+    return D.dedup_corpus(d, pairs).select("doc_id", "lang")

@@ -999,12 +999,21 @@ def q46_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q47_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    pct = lambda p: F.round(F.percentile("l_extendedprice", F.lit(p)), 6)
-    return l.groupBy("l_returnflag").agg(
-        pct(0.25).alias("p25"),
-        pct(0.50).alias("p50"),
-        pct(0.75).alias("p75"),
-        pct(0.95).alias("p95"),
+    # one percentile aggregate with an array of percentages — a single
+    # sort/collection per group instead of four
+    pcts = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(p) for p in (0.25, 0.50, 0.75, 0.95)])
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(pcts.alias("pcts"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 6).alias("p25"),
+            F.round(F.col("pcts")[1], 6).alias("p50"),
+            F.round(F.col("pcts")[2], 6).alias("p75"),
+            F.round(F.col("pcts")[3], 6).alias("p95"),
+        )
     )
 
 
