@@ -1049,3 +1049,59 @@ def q48_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("l_quantity"), 6).alias("qty_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# q50 — the reference-parity validation operator AT SCALE, oracle-checked:
+# the declarative rule language (operators/validate.py) applied to
+# lineitem, emitting per-row verdict + ordered error labels.  The DuckDB
+# twin re-states each check's null-permissive semantics; errors surface as
+# a comma-joined string so the hash compare stays scalar.  Validation is a
+# single narrow codegen'd projection — no shuffle at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "q50_validated_lineitem",
+    """
+    WITH checked AS (
+        SELECT l_orderkey, l_linenumber,
+               [
+                 CASE WHEN NOT (l_quantity IS NOT NULL)
+                      THEN 'l_quantity:must_not_be_null' END,
+                 CASE WHEN NOT (l_quantity IS NULL OR l_quantity >= 2)
+                      THEN 'l_quantity:must_be_at_least_2.0' END,
+                 CASE WHEN NOT (l_quantity IS NULL OR l_quantity <= 49)
+                      THEN 'l_quantity:must_be_at_most_49.0' END,
+                 CASE WHEN NOT (l_discount IS NULL
+                                OR (l_discount >= 0.0 AND l_discount <= 0.08))
+                      THEN 'l_discount:must_be_between_0.0_and_0.08' END,
+                 CASE WHEN NOT (l_returnflag IS NULL
+                                OR regexp_matches(l_returnflag, '^(A|N)$'))
+                      THEN 'l_returnflag:must_match_pattern' END
+               ] AS raw
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           LEN(list_filter(raw, x -> x IS NOT NULL)) = 0 AS is_valid,
+           COALESCE(array_to_string(list_filter(raw, x -> x IS NOT NULL), ','),
+                    '') AS errors
+    FROM checked
+    """,
+)
+def q50_validated_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.validate import (
+        apply_validations,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        {"field": "l_quantity", "validations": ["notNull", "min:2", "max:49"]},
+        {"field": "l_discount", "validations": ["range:0-0.08"]},
+        {"field": "l_returnflag", "validations": ["pattern:^(A|N)$"]},
+    ]
+    tagged = apply_validations(l, rules).tagged
+    return tagged.select(
+        "l_orderkey",
+        "l_linenumber",
+        "is_valid",
+        F.concat_ws(",", "validation_errors").alias("errors"),
+    )
