@@ -202,7 +202,9 @@ def ivf_train_centroids(
         .toPandas()
     )
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0  # zero vectors stay zero instead of NaN
+    x = x / norms
     cents = x[:k_lists].copy()
     for _ in range(iters):
         sims = x @ cents.T
