@@ -382,12 +382,41 @@ def q31_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q32 — Arrow-batched feature extraction over binary payloads (pandas UDF
-# escape hatch; deterministic fake decode).  Rows-only.
+# escape hatch; deterministic fake decode).  The md5-derived fake decode is
+# replicated in DuckDB (md5(VARCHAR) hashes the utf-8 bytes == the payload),
+# so the whole mapInPandas path is hash-verified; the array<float> features
+# are projected to scalar f0..f7 columns so the output is canonicalizable.
 # --------------------------------------------------------------------------
-@query("q32_multimodal_features")
+def _multimodal_sql(dim: int = M.FEATURE_DIM) -> str:
+    feats = ", ".join(
+        f"ROUND(CAST(('0x' || substr(md5(text), {5 + 2 * i}, 2)) AS INT)"
+        f" / 255.0, 6) AS f{i}"
+        for i in range(dim)
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS width,
+           1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS height,
+           {feats}
+    FROM documents
+    """
+
+
+@query("q32_multimodal_features", _multimodal_sql())
 def q32_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = M.attach_payload(load_table(spark, sf_dir, "documents"))
-    return M.extract_features(d, fake=True)
+    out = M.extract_features(d, fake=True)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        *[
+            F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
+            for i in range(M.FEATURE_DIM)
+        ],
+    )
 
 
 # --------------------------------------------------------------------------
