@@ -483,10 +483,11 @@ def embedding_near_dups_blas(
     """Brute-force embedding near-dup pairs via an Arrow-batched numpy
     kernel (mapInPandas) — the fast path for the all-pairs baseline.
 
-    Each partition's block of vectors is compared against the full corpus
-    matrix (closed over; the brute-force strategy presumes the corpus fits
-    one machine — at 100 TB use embedding_near_dups(bucket_col=...), which
-    keeps comparisons inside LSH/cluster buckets).  Sums are accumulated
+    TEST/VERIFICATION BASELINE ONLY — this collects the full corpus to the
+    driver and closes over it, which presumes the corpus fits one machine.
+    The catalog / 100 TB path is similarity.embedding_near_dups_lsh
+    (per-bucket Arrow kernel, no driver collect); the Catalyst twin is
+    embedding_near_dups(bucket_col=...).  Sums are accumulated
     dimension-by-dimension (vectorized across pairs), which is bit-identical
     to the sequential fold both the Catalyst path and the DuckDB oracle
     compute — same doubles, ~15x less wall clock than the interpreted

@@ -113,6 +113,108 @@ def lsh_buckets(
     )
 
 
+def lsh_table_signature(
+    vec_d: Column, dim: int, table: int, num_planes: int
+) -> Column:
+    """Bucket id for one LSH table: bit p = sign(dot(v, plane_{table*planes+p})).
+
+    ``vec_d`` must be a staged array<double> attribute (see norm_frame /
+    the HOF staging notes in dedup.py); planes are literal arrays, so the
+    per-row cost is num_planes sequential fold dot products whose double
+    results are reproducible bit-for-bit in any engine that sums in the
+    same order (the DuckDB oracle emits the same left-associative chain).
+    """
+    sig = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        comps = hyperplane(dim, table * num_planes + p)
+        plane = F.array(*[F.lit(c) for c in comps])
+        sig = sig + F.when(
+            dot_double(vec_d, plane) >= 0, F.lit(2**p).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 4,
+    num_tables: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, LSH-bucketed —
+    the 100 TB shape: candidates are generated per (table, bucket), so the
+    pairwise work is sum(|bucket|^2) per table, never N^2, and nothing is
+    ever collected to the driver.
+
+    Plan: one projection computes ``num_tables`` hyperplane signatures
+    JVM-side -> explode to (id, vec, table, bucket) -> ONE shuffle on
+    (table, bucket) -> Arrow ``applyInPandas`` numpy kernel scores each
+    bucket's pairs (dimension-ordered accumulation, bit-identical to the
+    sequential Catalyst/DuckDB fold) -> distinct() merges pairs found by
+    multiple tables (their cos doubles are identical, so distinct is
+    exact).  Recall tunes with (num_planes, num_tables): fewer planes =
+    bigger buckets = higher recall per table; more tables = union of
+    chances.  ``max_bucket_size`` sheds degenerate buckets (skew guard —
+    a bucket holding a constant-vector pile would otherwise quadratically
+    dominate; its pairs are typically still found by other tables).
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_field = df.schema[id_col].dataType.simpleString()
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec_d"),
+    )
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_table_signature(F.col("vec_d"), dim, t, num_planes).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    bucketed = staged.select(
+        F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb")
+    ).select(
+        id_col,
+        vec_col,
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        n = len(pdf)
+        if n < 2 or (max_bucket_size is not None and n > max_bucket_size):
+            return empty
+        ids = pdf[id_col].to_numpy()
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        acc = np.zeros(n)
+        dots = np.zeros((n, n))
+        for d in range(x.shape[1]):
+            acc += x[:, d] * x[:, d]
+            dots += np.outer(x[:, d], x[:, d])
+        nrm = np.sqrt(acc)
+        cos = dots / np.outer(nrm, nrm)
+        ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (cos >= threshold))
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos": cos[ia, ib]})
+
+    schema = f"id_a {id_field}, id_b {id_field}, cos double"
+    return (
+        bucketed.groupBy("table", "bucket")
+        .applyInPandas(kernel, schema)
+        .distinct()
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

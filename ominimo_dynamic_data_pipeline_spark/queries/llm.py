@@ -276,32 +276,74 @@ def q27_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q28 — embedding near-dup pairs above a cosine threshold (brute force at
-# this scale; bucket_col= path for 100 TB).  Cosine rounded to 4 in both
-# engines to absorb last-ulp summation differences.
+# q28 — embedding near-dup pairs above a cosine threshold, multi-table LSH
+# bucketed (the 100 TB shape: sum(|bucket|^2) comparisons per table, one
+# shuffle, Arrow kernel per bucket, no driver collect).  The oracle
+# replicates the hyperplane signatures exactly: plane components are ±1
+# literals and both engines sum the dot product left-associatively, so the
+# sign bits — and therefore the buckets — agree bit-for-bit.  Cosine is
+# rounded to 4 in both engines to absorb last-ulp summation differences.
 # --------------------------------------------------------------------------
-@query(
-    "q28_embedding_similar_pairs",
+_LSH_DIM, _LSH_PLANES, _LSH_TABLES = 64, 4, 3
+
+
+def _lsh_pairs_sql(
+    dim: int = _LSH_DIM,
+    num_planes: int = _LSH_PLANES,
+    num_tables: int = _LSH_TABLES,
+    threshold: float = 0.45,
+) -> str:
+    sig_cols = []
+    for t in range(num_tables):
+        bit_terms = []
+        for p in range(num_planes):
+            comps = S.hyperplane(dim, t * num_planes + p)
+            dot = "0.0" + "".join(
+                f" {'+' if c > 0 else '-'} CAST(embedding[{i + 1}] AS DOUBLE)"
+                for i, c in enumerate(comps)
+            )
+            bit_terms.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
+        sig_cols.append(
+            "CAST(" + " + ".join(bit_terms) + f" AS BIGINT) AS sig_{t}"
+        )
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, sig_{t} AS bucket FROM sigs"
+        for t in range(num_tables)
+    )
+    cos = (
+        "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+        " / (SQRT(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
+        " * SQRT(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+    )
+    return f"""
+    WITH sigs AS (SELECT vec_id, embedding, {', '.join(sig_cols)} FROM embeddings),
+    buckets AS ({buckets}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, ROUND({cos}, 4) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE ROUND({cos}, 4) >= {threshold}
     """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 4) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                   * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                4) >= 0.45
-    """,
-)
+
+
+@query("q28_embedding_similar_pairs", _lsh_pairs_sql())
 def q28_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    # Arrow/numpy kernel; bit-identical doubles to the Catalyst fold (see
-    # embedding_near_dups_blas).  Kernel threshold 0.449 sits safely below
-    # every value that could round to >= 0.45; the exact filter runs on the
-    # rounded column, mirroring the oracle.
-    out = D.embedding_near_dups_blas(e, threshold=0.449)
+    # Kernel threshold 0.449 sits safely below every value that could round
+    # to >= 0.45; the exact filter runs on the rounded column, mirroring
+    # the oracle.
+    out = S.embedding_near_dups_lsh(
+        e,
+        dim=_LSH_DIM,
+        threshold=0.449,
+        num_planes=_LSH_PLANES,
+        num_tables=_LSH_TABLES,
+    )
     return out.withColumn("cos", F.round("cos", 4)).filter(F.col("cos") >= 0.45)
 
 

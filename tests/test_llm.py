@@ -196,6 +196,50 @@ def test_embedding_near_dups_blas_matches_catalyst(spark):
     assert (0, 60) in a and math.isclose(a[(0, 60)], 1.0, rel_tol=1e-12)
 
 
+def test_embedding_near_dups_lsh_subset_of_bruteforce(spark):
+    import random
+
+    rnd = random.Random(11)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    vecs.append((80, list(vecs[0][1])))  # exact dup of 0 -> cos 1.0
+    df = spark.createDataFrame(
+        vecs, schema="vec_id bigint, embedding array<double>"
+    )
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in D.embedding_near_dups(df, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in S.embedding_near_dups_lsh(
+            df, dim=16, threshold=0.5, num_planes=3, num_tables=4
+        ).collect()
+    }
+    # LSH pairs are a subset of brute force with bit-identical cos values.
+    assert set(lsh) <= set(brute)
+    for pair, cos in lsh.items():
+        assert cos == brute[pair]
+    # an exact duplicate shares every table's bucket -> always recalled
+    assert (0, 80) in lsh
+
+
+def test_embedding_near_dups_lsh_bucket_cap_sheds(spark):
+    # 50 identical vectors pile into one bucket per table; the cap sheds it.
+    vecs = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+    df = spark.createDataFrame(
+        vecs, schema="vec_id bigint, embedding array<double>"
+    )
+    full = S.embedding_near_dups_lsh(
+        df, dim=4, threshold=0.9, num_planes=2, num_tables=1
+    ).count()
+    capped = S.embedding_near_dups_lsh(
+        df, dim=4, threshold=0.9, num_planes=2, num_tables=1,
+        max_bucket_size=10,
+    ).count()
+    assert full == 50 * 49 // 2
+    assert capped == 0
+
+
 def test_band_candidates_pairs_within_buckets(spark, docs):
     sigs = D.minhash_signatures(docs)
     cands = D.minhash_band_candidates(sigs).collect()
