@@ -541,11 +541,15 @@ def q14_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q15 — as-of join: for each purchase event, the user's latest click
-# STRICTLY before it (attribution pattern).  Expressed as equi-join on user
-# + range filter + row_number pick; DuckDB oracle uses native ASOF JOIN.
-# At scale the join explosion is bounded by bucketing events by user and a
-# max-lookback watermark on ts; Spark 4's native asofJoin could replace the
-# window pick but this composition keeps the plan in vanilla operators.
+# STRICTLY before it (attribution pattern).  DuckDB oracle uses native
+# ASOF JOIN.  Spark plan: union both streams and take
+# last(click, ignorenulls) over rowsBetween(unboundedPreceding, -1) per
+# user — ONE exchange on user_id + one sort, no click x purchase pair
+# materialization (a hot user with 10^5 clicks x 10^4 purchases costs
+# O(n log n), not O(n*m)).  Sort key (ts, kind, event_id) with purchases
+# before clicks at equal ts enforces the STRICT c_ts < p_ts bound, and
+# among equal-ts clicks the frame's last row is the max click_id —
+# matching ASOF's latest-then-max-id pick.
 # --------------------------------------------------------------------------
 @query(
     "q15_purchase_click_attribution",
@@ -561,29 +565,36 @@ def q14_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
-        F.col("user_id"),
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
     )
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("c_ts"),
-        F.col("user_id").alias("c_user_id"),
+    # kind 0 = purchase, 1 = click: at equal ts the purchase sorts FIRST,
+    # so the preceding-rows frame never includes a same-ts click (strict <).
+    kind = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    click = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")),
     )
-    joined = p.join(
-        c, (F.col("c_user_id") == F.col("user_id")) & (F.col("c_ts") < F.col("p_ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w = Window.partitionBy("purchase_id").orderBy(F.desc("c_ts"), F.desc("click_id"))
+    tagged = e.select(
+        "user_id", "ts", "event_id", kind.alias("kind"), click.alias("click")
+    )
+    attributed = tagged.withColumn(
+        "last_click", F.last("click", ignorenulls=True).over(w)
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        attributed.filter((F.col("kind") == 0) & F.col("last_click").isNotNull())
         .select(
-            "purchase_id",
-            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-            "click_id",
-            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.col("last_click.click_id").alias("click_id"),
+            F.date_format("last_click.c_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "click_ts"
+            ),
             "user_id",
         )
     )

@@ -78,4 +78,14 @@ def test_q14_range_join_keeps_equi_key(q):
     # the equi key must carry the join (hash/sort-merge), never nested-loop
     p = plan_of(q("q14_late_shipments"))
     assert "CartesianProduct" not in p
+
+
+def test_q15_asof_is_single_exchange_no_join(q):
+    # union + last-ignore-nulls window: one shuffle on user_id, no pairwise
+    # click x purchase join anywhere in the plan
+    p = plan_of(q("q15_purchase_click_attribution"))
+    assert p.count("Exchange (") == 1
+    assert "hashpartitioning(user_id" in p
+    assert "Join" not in p
+    assert "In(event_type, [click,purchase])" in p  # filter pushed to scan
     assert "BroadcastNestedLoopJoin" not in p
