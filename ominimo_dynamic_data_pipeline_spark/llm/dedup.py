@@ -152,22 +152,48 @@ def minhash_signatures(
     )
 
 
+def expand_member_pairs(grouped: DataFrame, members_col: str) -> DataFrame:
+    """All ordered in-bucket pairs from a grouped frame holding a SORTED
+    ``members_col`` array: posexplode each member, pair it with the slice
+    of strictly-later members, explode again.
+
+    Two pipelined generates — per output row only the O(|bucket|) members
+    array is live, never an O(|bucket|^2) pair array (a flatten-of-
+    transforms materializes all pairs of a bucket in ONE row's array,
+    which at a degenerate 10^4-member bucket is a multi-GB single row).
+    Emits columns ``a`` and ``b`` (the paired member values)."""
+    m = F.col(members_col)
+    exploded = grouped.select(
+        m.alias("_members"), F.posexplode(m).alias("_i", "a")
+    )
+    return exploded.select(
+        "a",
+        F.explode(
+            F.slice(F.col("_members"), F.col("_i") + 2, F.size("_members"))
+        ).alias("b"),
+    )
+
+
 def minhash_band_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become candidate
     pairs.
 
     Shape: unpivot signature -> (band, bucket) rows, ONE shuffle to group
-    each bucket's member ids, then expand in-bucket pairs with array HOFs.
-    A bucket self-join would compute the whole signature pipeline twice
-    (broadcast side + streamed side; no exchange reuse under AQE) — the
-    groupBy computes it once and its shuffle carries only (band, bucket,
-    id).  Cost stays sum(|bucket|^2), never N^2; at 100 TB add a bucket-
-    size cap filter here to shed degenerate buckets (skew guard)."""
+    each bucket's member ids, then expand in-bucket pairs row by row
+    (expand_member_pairs).  A bucket self-join would compute the whole
+    signature pipeline twice (broadcast side + streamed side; no exchange
+    reuse under AQE) — the groupBy computes it once and its shuffle
+    carries only (band, bucket, id).  Cost stays sum(|bucket|^2), never
+    N^2; ``max_bucket_size`` is the skew guard: a degenerate bucket (a
+    boilerplate shingle-set shared by 10^5 docs) is shed instead of
+    quadratically dominating the stage — its members' true near-dups are
+    still found through their other, discriminating bands."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -188,22 +214,11 @@ def minhash_band_candidates(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    n = F.size(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at(F.col("ids"), i).alias("id_a"),
-                    F.element_at(F.col("ids"), j).alias("id_b"),
-                ),
-            ),
-        )
-    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        expand_member_pairs(grouped, "ids")
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
 
@@ -241,11 +256,15 @@ def minhash_near_dups(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> band candidates -> exact
-    Jaccard filter at ``threshold``."""
+    Jaccard filter at ``threshold``.  ``max_bucket_size`` is the LSH skew
+    guard (see minhash_band_candidates)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cands = minhash_band_candidates(sigs, id_col, num_hashes, bands)
+    cands = minhash_band_candidates(
+        sigs, id_col, num_hashes, bands, max_bucket_size
+    )
     return jaccard_pairs(df, cands, id_col, text_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
@@ -336,18 +355,43 @@ def simhash_near_dups(
     text_col: str = "text",
     bits: int = 16,
     max_hamming: int = 3,
+    bands: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket by signature high half for candidate
-    generation, verify by Hamming distance.
+    """SimHash near-dup pairs: multi-band bit-bucket candidates, verified
+    by Hamming distance on the full signature.
 
-    One shuffle: group each bucket's (id, sig) members, expand in-bucket
-    pairs with array HOFs (a self-join would compute the signature pipeline
-    twice — see minhash_band_candidates).  At 100 TB use multiple bit-band
-    buckets (union) for recall and cap bucket sizes as a skew guard."""
+    The signature is split into ``bands`` equal bit-bands; docs sharing
+    ANY band's bits become candidates (union of band tables, deduped by
+    distinct).  Pigeonhole guarantee: with ``bands > max_hamming`` the
+    <= max_hamming differing bits cannot touch every band, so at least one
+    band matches exactly — recall is 1.0 (pinned by test against brute
+    force).  Fewer bands trade recall for smaller/fewer buckets.
+
+    One shuffle: group each (band, bits) bucket's (id, sig) members, then
+    expand in-bucket pairs row by row (expand_member_pairs; a self-join
+    would compute the signature pipeline twice).  ``max_bucket_size``
+    sheds degenerate buckets — the skew guard for corpora where one band
+    value dominates."""
     sigs = simhash_frame(df, id_col, text_col, bits=bits)
-    half = bits // 2
+    width = bits // bands
+    mask = F.lit((1 << width) - 1)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("sig", b * width).bitwiseAND(mask).alias("bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("sig"), F.explode(band_structs).alias("bb")
+    ).select(
+        id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
+    )
     grouped = (
-        sigs.groupBy(F.shiftright("sig", half).alias("bucket"))
+        banded.groupBy("band", "bits")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col(id_col).alias("id"), "sig"))
@@ -355,31 +399,17 @@ def simhash_near_dups(
         )
         .filter(F.size("members") > 1)
     )
-    n = F.size(F.col("members"))
-    m = F.col("members")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at(m, i)["id"].alias("id_a"),
-                    F.element_at(m, j)["id"].alias("id_b"),
-                    hamming64(
-                        F.element_at(m, i)["sig"], F.element_at(m, j)["sig"]
-                    ).alias("hamming"),
-                ),
-            ),
-        )
-    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("members") <= max_bucket_size)
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
+        expand_member_pairs(grouped, "members")
         .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.col("p.hamming").alias("hamming"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

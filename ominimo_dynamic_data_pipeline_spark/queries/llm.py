@@ -508,19 +508,26 @@ def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q36 — SimHash near-dup pairs: bucket on the signature's high byte for
-# candidates, verify by Hamming distance <= 3.  Oracle replicates the
-# bucket join and bit math (xor + bit_count).
+# q36 — SimHash near-dup pairs: multi-band bit-bucket candidates (union of
+# band tables), verify by Hamming distance <= 3 on the full signature.
+# Oracle replicates the banded bucket join and bit math (xor + bit_count).
 # --------------------------------------------------------------------------
-def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
+def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3, bands: int = 2) -> str:
     sig_inner = _simhash_sql(bits).strip()
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band, (sig >> {b * width}) & {mask} AS bits"
+        " FROM sigs"
+        for b in range(bands)
+    )
     return f"""
     WITH sigs AS ({sig_inner}),
-    bucketed AS (SELECT doc_id, sig, sig >> {bits // 2} AS bucket FROM sigs)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    banded AS ({band_rows})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
     """
 
@@ -528,7 +535,7 @@ def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
 @query("q36_simhash_near_dups", _simhash_pairs_sql())
 def q36_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    out = D.simhash_near_dups(d, bits=16, max_hamming=3)
+    out = D.simhash_near_dups(d, bits=16, max_hamming=3, bands=2)
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 

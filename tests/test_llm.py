@@ -249,6 +249,82 @@ def test_band_candidates_pairs_within_buckets(spark, docs):
     assert len(got) == len(cands)  # distinct pairs
 
 
+def test_minhash_bucket_cap_sheds_degenerate_bucket(spark):
+    # 40 copies of one text pile into a single bucket in EVERY band; with
+    # the cap they are shed, with no cap they all pair up.
+    rows = [(i, "the same boilerplate text repeated for every document here")
+            for i in range(40)]
+    rows += [(100, "an unrelated different document body with other words"),
+             (101, "an unrelated different document body with other words")]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dups(df, threshold=0.5).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dups(
+            df, threshold=0.5, max_bucket_size=10
+        ).collect()
+    }
+    assert (0, 1) in uncapped and len(uncapped) == 40 * 39 // 2 + 1
+    # hot bucket shed; the small healthy bucket's pair survives
+    assert capped == {(100, 101)}
+
+
+def test_minhash_cap_preserves_recall_on_real_corpus(spark, sf_dir):
+    # On the sf0.01 corpus no bucket is degenerate: a generous cap must not
+    # change the result (recall preserved).
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    base = {(r["id_a"], r["id_b"])
+            for r in D.minhash_near_dups(d, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in D.minhash_near_dups(
+                  d, threshold=0.5, max_bucket_size=100).collect()}
+    assert base == capped and base
+
+
+def test_simhash_multiband_complete_recall(spark, sf_dir):
+    # bands > max_hamming -> pigeonhole guarantees at least one band
+    # matches exactly, so the banded result equals brute force.
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sigs = D.simhash_frame(d, bits=16)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            D.hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dups(
+            d, bits=16, max_hamming=3, bands=4
+        ).collect()
+    }
+    assert banded == brute and brute
+
+
+def test_simhash_bucket_cap_sheds(spark):
+    rows = [(i, "identical content for the skew guard test") for i in range(30)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    full = D.simhash_near_dups(df, bits=16, bands=2).count()
+    capped = D.simhash_near_dups(
+        df, bits=16, bands=2, max_bucket_size=5
+    ).count()
+    assert full == 30 * 29 // 2
+    assert capped == 0
+
+
 def test_shingle_frame_drops_short_docs(docs):
     out = {r["doc_id"] for r in D.shingle_frame(docs).select("doc_id").collect()}
     assert 4 not in out  # empty text -> no shingles
