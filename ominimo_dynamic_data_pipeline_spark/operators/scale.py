@@ -34,18 +34,25 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the LEFT side treated as skewed on ``on``.
 
-    left rows get a random-but-deterministic salt in [0, salt_factor)
-    (hash of the full row's key + a per-row uniform via ``pmod(hash)``);
-    right rows are replicated once per salt value.  The join key becomes
-    (key, salt), spreading each hot key over ``salt_factor`` partitions.
+    left rows get a DETERMINISTIC salt in [0, salt_factor): pmod of the
+    hash of the row's full content.  Deriving the salt from row content
+    (never ``monotonically_increasing_id``/``rand`` without a seed) is a
+    correctness requirement, not a style choice: a task retry or lineage
+    recomputation re-evaluates the expression, and a nondeterministic salt
+    would re-deal rows to different shuffle partitions mid-failure — the
+    SPARK-23207 class of silent duplication/loss.  Identical rows share a
+    salt, which is harmless for correctness and still spreads a hot KEY
+    whenever its rows differ anywhere else.
 
+    Right rows are replicated once per salt value.  The join key becomes
+    (key, salt), spreading each hot key over ``salt_factor`` partitions.
     Equivalent to ``left.join(right, on, how)`` for inner/left joins; the
     replicated side must be the non-preserved side for outer joins.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
     salt = F.pmod(
-        F.hash(F.monotonically_increasing_id()), F.lit(salt_factor)
+        F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_factor)
     ).alias("_salt")
     salted_left = left.withColumn("_salt", salt)
     salts = F.explode(

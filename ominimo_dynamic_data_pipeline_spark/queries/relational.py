@@ -794,17 +794,38 @@ def q39_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q40 — approximate distinct (HyperLogLog++).  At 100 TB this replaces the
-# exact shuffle-heavy COUNT(DISTINCT) for profiling; sketch values are
-# engine-specific, so the driver records the rows-only check.  The exact
-# count rides along to document the accuracy envelope.
+# exact shuffle-heavy COUNT(DISTINCT) for profiling.  The raw sketch value
+# is engine-specific, so the CHECKED output carries the exact count plus
+# ``approx_within_tol`` — Spark asserts its own sketch against its exact
+# count (|approx - exact| <= 3*rsd*exact), the oracle computes the exact
+# columns and expects the assertion to hold (TRUE) — making the sketch's
+# accuracy contract itself hash-verified, not just "it ran".
 # --------------------------------------------------------------------------
-@query("q40_approx_distinct_parts")
+_Q40_RSD = 0.02
+
+
+@query(
+    "q40_approx_distinct_parts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n_rows,
+           TRUE AS approx_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q40_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey", rsd=_Q40_RSD)
+    exact = F.countDistinct("l_partkey")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        exact.alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(3 * _Q40_RSD) * exact.cast("double")
+        ).alias("approx_within_tol"),
     )
 
 

@@ -38,6 +38,28 @@ def test_salted_left_join_preserves_unmatched(spark):
     assert len(rows) == 3
 
 
+def test_salted_join_salt_is_deterministic_under_recomputation(spark, sf_dir):
+    # the salt must be a pure function of row content: re-evaluating the
+    # whole lineage (fresh frames, no cache) must produce the identical
+    # result set — the guarantee a task retry / speculative re-run relies
+    # on.  A monotonically_increasing_id-derived salt fails this whenever
+    # partition row order shifts.
+    def build():
+        o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+        skewed = o.withColumnRenamed("o_custkey", "c_custkey").repartition(7)
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        return scale.salted_join(skewed, c, on="c_custkey", salt_factor=4)
+
+    cols = ["c_custkey", "o_orderkey", "c_mktsegment"]
+    assert _sorted_rows(build(), cols) == _sorted_rows(build(), cols)
+    # and the salt expression itself contains no nondeterministic node
+    plan = plan_of(build())
+    assert "monotonically_increasing_id" not in plan
+    assert "rand(" not in plan
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     # warehouse + metastore live under /tmp via the session factory's
     # static configs (spark.sql.warehouse.dir cannot change at runtime)
