@@ -14,7 +14,6 @@ metadata document, and debug count/show only run under --verbose.
 from __future__ import annotations
 
 import argparse
-import logging
 import sys
 
 
@@ -39,15 +38,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--verbose", action="store_true", help="debug counts + show() per sink"
     )
+    p.add_argument(
+        "--log-dir",
+        default="Data/output/logs",
+        help="directory for the timestamped run log file",
+    )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s %(levelname)s %(name)s %(message)s",
-    )
+    from ominimo_dynamic_data_pipeline_spark.logger import setup_logging
+
+    logger = setup_logging(log_dir=args.log_dir)
     from ominimo_dynamic_data_pipeline_spark.config import load_metadata
     from ominimo_dynamic_data_pipeline_spark.pipeline import run_pipeline
     from ominimo_dynamic_data_pipeline_spark.session import get_spark
@@ -68,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
             verbose=args.verbose,
         )
         for name, count in result.counts.items():
-            logging.getLogger("pipeline").info("%s: %d rows", name, count)
+            logger.info("%s: %d rows", name, count)
     finally:
         spark.stop()
     return 0

@@ -166,3 +166,38 @@ def test_field_stats_approx_mode(spark):
     assert exact["fields"]["x"]["min"] == 0.0
     assert exact["fields"]["x"]["max"] == 6.0
     assert exact["fields"]["s"]["null_count"] == 67
+
+
+def test_run_logger_writes_timestamped_artifact(tmp_path):
+    import logging
+    from datetime import datetime
+
+    from ominimo_dynamic_data_pipeline_spark.logger import (
+        LOGGER_NAME,
+        get_logger,
+        setup_logging,
+    )
+
+    fixed = datetime(2026, 1, 15, 18, 30, 0)
+    logger = setup_logging(log_dir=str(tmp_path), clock=lambda: fixed)
+    logger.info("hello artifact")
+    log_file = tmp_path / "pipeline_20260115_183000.log"
+    assert log_file.exists()
+    content = log_file.read_text()
+    assert "Logging initialized" in content
+    assert f"{LOGGER_NAME} - INFO - hello artifact" in content
+    # idempotent for the same dir: no duplicate handlers
+    again = setup_logging(log_dir=str(tmp_path), clock=lambda: fixed)
+    assert again is logger
+    assert len([h for h in logger.handlers
+                if isinstance(h, logging.FileHandler)]) == 1
+    assert get_logger() is logger
+    # re-pointing to a new dir replaces the file handler
+    other = tmp_path / "other"
+    setup_logging(log_dir=str(other), clock=lambda: fixed)
+    assert (other / "pipeline_20260115_183000.log").exists()
+    assert len([h for h in logger.handlers
+                if isinstance(h, logging.FileHandler)]) == 1
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        h.close()
