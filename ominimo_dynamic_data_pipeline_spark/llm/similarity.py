@@ -215,6 +215,40 @@ def embedding_near_dups_lsh(
     )
 
 
+def _table_buckets(
+    df: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int,
+) -> DataFrame:
+    """(id, vec_d, nrm, table, bucket) — one row per (vector, LSH table);
+    signatures are computed from the staged vec_d attribute in one
+    projection, then exploded."""
+    nf = norm_frame(df, id_col, vec_col)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_table_signature(F.col("vec_d"), dim, t, num_planes).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    return nf.select(
+        F.col(id_col), "vec_d", "nrm", F.explode(tables).alias("tb")
+    ).select(
+        id_col,
+        "vec_d",
+        "nrm",
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -224,42 +258,44 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     num_planes: int = 6,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, then
-    exact cosine re-ranks.  Recall < 1 by design; raise num_planes for
-    precision, add multiple tables (union of signatures) for recall."""
-    cb = norm_frame(
-        lsh_buckets(corpus, dim, id_col, vec_col, num_planes),
-        id_col,
-        vec_col,
-        ["lsh_bucket"],
-    ).select(
+    """Approximate top-k: candidates share the query's bucket in ANY of
+    ``num_tables`` LSH tables, then exact cosine re-ranks.  Recall < 1 by
+    design: raise num_planes for smaller (more precise) buckets, raise
+    num_tables for recall (union of independent chances — the q30 catalog
+    config hits recall@5 >= 0.8 vs brute force, pinned by test).
+
+    Shape at 100 TB: the corpus side is one projection + explode (no
+    shuffle); the tiny query side broadcasts; candidate dedup and the
+    top-k window shuffle only (query_id, neighbor_id, cos)."""
+    cb = _table_buckets(corpus, dim, id_col, vec_col, num_planes, num_tables)
+    cb = cb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("vec_d").alias("cv"),
         F.col("nrm").alias("c_nrm"),
-        F.col("lsh_bucket").alias("nb_bucket"),
+        F.col("table").alias("nb_table"),
+        F.col("bucket").alias("nb_bucket"),
     )
-    qb = norm_frame(
-        lsh_buckets(
-            queries.withColumnRenamed(query_id_col, "query_id"),
-            dim,
-            "query_id",
-            vec_col,
-            num_planes,
-        ),
+    qb = _table_buckets(
+        queries.withColumnRenamed(query_id_col, "query_id"),
+        dim,
         "query_id",
         vec_col,
-        ["lsh_bucket"],
+        num_planes,
+        num_tables,
     ).select(
         F.col("query_id"),
         F.col("vec_d").alias("qv"),
         F.col("nrm").alias("q_nrm"),
-        F.col("lsh_bucket").alias("q_bucket"),
+        F.col("table").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
     )
     scored = (
         cb.join(
             F.broadcast(qb),
-            (F.col("nb_bucket") == F.col("q_bucket"))
+            (F.col("nb_table") == F.col("q_table"))
+            & (F.col("nb_bucket") == F.col("q_bucket"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
         .select(
@@ -270,6 +306,8 @@ def lsh_topk(
                 / (F.col("q_nrm") * F.col("c_nrm"))
             ).alias("cos"),
         )
+        # a pair found by several tables scores identically -> exact dedup
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

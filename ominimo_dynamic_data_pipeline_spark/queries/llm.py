@@ -394,13 +394,22 @@ def q29_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q30 — LSH-bucketed approximate top-k (the 100 TB path).  Engine-private
-# hyperplane signatures -> rows-only check.
+# hyperplane signatures -> rows-only check; recall@5 >= 0.8 vs q29 brute
+# force is pinned in tests/test_llm.py (this corpus is near-random 64-dim,
+# the hardest case for LSH — real embedding corpora cluster far tighter,
+# so the same config only gets better).
 # --------------------------------------------------------------------------
+_Q30_PLANES, _Q30_TABLES = 3, 8
+
+
 @query("q30_knn_lsh")
 def q30_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
-    return S.lsh_topk(e, queries, dim=64, k=5, num_planes=6)
+    return S.lsh_topk(
+        e, queries, dim=64, k=5,
+        num_planes=_Q30_PLANES, num_tables=_Q30_TABLES,
+    )
 
 
 # --------------------------------------------------------------------------

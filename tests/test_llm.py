@@ -378,6 +378,36 @@ def test_ivf_topk_recall_against_bruteforce(spark, sf_dir):
     assert full == exact
 
 
+def test_catalog_ann_configs_hit_recall_floor(spark, sf_dir):
+    # the EXACT configs q30 (LSH) and q44 (IVF) register must recover
+    # >= 0.8 of the brute-force top-5 — turns the rows-only catalog
+    # entries into measured approximations.
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        _Q30_PLANES,
+        _Q30_TABLES,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(e, q, k=5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(
+            e, q, dim=64, k=5, num_planes=_Q30_PLANES, num_tables=_Q30_TABLES
+        ).collect()
+    }
+    assert len(exact & lsh) >= len(exact) * 0.8
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(e, q, k=5, k_lists=16, nprobe=4).collect()
+    }
+    assert len(exact & ivf) >= len(exact) * 0.8
+
+
 def test_resize_and_frame_sample_plumbing(docs):
     from ominimo_dynamic_data_pipeline_spark.llm import multimodal as MM
 
