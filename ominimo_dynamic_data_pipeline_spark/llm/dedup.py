@@ -104,6 +104,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc minhash signature: for each of ``num_hashes`` hash functions,
     the min hash over the doc's shingles.  Computed with higher-order array
@@ -115,9 +116,15 @@ def minhash_signatures(
     ``num_hashes`` (16x fewer: cut the sf0.1 signature job from 23 s to
     ~4 s) and products stay < 2^35, inside exact bigint range for both
     Spark and the DuckDB oracle.  Stages: text -> toks -> sh -> hs -> mins,
-    each an attribute projection (see shingles_from_tokens).
+    each an attribute projection (see shingles_from_tokens).  Pass a
+    precomputed (ideally cached) ``shingles`` frame to share the shingle
+    stage with other consumers (see minhash_near_dups).
     """
-    sh_df = shingle_frame(df, id_col, text_col, shingle_n)
+    sh_df = (
+        shingles
+        if shingles is not None
+        else shingle_frame(df, id_col, text_col, shingle_n)
+    )
     lo_mask = F.lit((1 << 30) - 1)
     prime = F.lit(MINHASH_PRIME)
     # Stage base hashes, then the split halves, each from the previous
@@ -229,9 +236,15 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard similarity on shingle sets for given candidate pairs."""
-    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    """Exact Jaccard similarity on shingle sets for given candidate pairs.
+    Pass a precomputed ``shingles`` frame to share the shingle stage."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_frame(df, id_col, text_col, shingle_n)
+    )
     a = sh.alias("sa")
     b = sh.alias("sb")
     return (
@@ -257,17 +270,32 @@ def minhash_near_dups(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> band candidates -> exact
     Jaccard filter at ``threshold``.  ``max_bucket_size`` is the LSH skew
-    guard (see minhash_band_candidates)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    guard (see minhash_band_candidates).
+
+    ``cache_shingles`` persists the shingle frame (MEMORY_AND_DISK), which
+    otherwise appears three times in the plan — under the signature
+    pipeline and on both sides of the Jaccard verify join — so the
+    tokenize+shingle work runs once instead of three times.  The cached
+    frame is (id, shingle array), tiny relative to the corpus; Spark's
+    LRU evicts it when memory is needed."""
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    if cache_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, shingles=sh
+    )
     cands = minhash_band_candidates(
         sigs, id_col, num_hashes, bands, max_bucket_size
     )
-    return jaccard_pairs(df, cands, id_col, text_col, shingle_n).filter(
-        F.col("jaccard") >= threshold
-    )
+    return jaccard_pairs(
+        df, cands, id_col, text_col, shingle_n, shingles=sh
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(col: Column, bits: int = 64) -> Column:

@@ -245,7 +245,9 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
 @query("q26_minhash_near_dups", _minhash_sql())
 def q26_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    out = D.minhash_near_dups(d, threshold=0.5)
+    # cache_shingles: the persisted shingle frame is keyed by logical plan,
+    # so q49's identical pipeline reuses it within the same session.
+    out = D.minhash_near_dups(d, threshold=0.5, cache_shingles=True)
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -631,5 +633,5 @@ def _dedup_corpus_sql() -> str:
 @query("q49_dedup_corpus_minhash", _dedup_corpus_sql())
 def q49_dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_near_dups(d, threshold=0.5)
+    pairs = D.minhash_near_dups(d, threshold=0.5, cache_shingles=True)
     return D.dedup_corpus(d, pairs).select("doc_id", "lang")
