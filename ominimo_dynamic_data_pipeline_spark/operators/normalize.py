@@ -121,11 +121,28 @@ def normalize_fields(
     fields: Sequence[Mapping[str, Any]],
     naming_convention: str = "snake_case",
 ) -> DataFrame:
-    """Apply the resolved coalesce mappings in a single projection."""
+    """Apply the resolved coalesce mappings in a single projection.
+
+    NO-CHAINING CONTRACT: every source resolves against the ORIGINAL input
+    schema.  A sequential withColumn chain (the reference's shape) would
+    let a later mapping read an earlier mapping's freshly-computed target;
+    this single-projection form cannot, so metadata that tries to chain is
+    rejected loudly instead of silently diverging.  To chain, declare two
+    consecutive normalize steps in the dataflow."""
     exprs: dict[str, Column] = {}
+    seen_targets: set[str] = set()
     for target, sources in resolve_field_mappings(
         df.schema, fields, naming_convention
     ):
+        chained = [s for s in sources if s in seen_targets]
+        if chained:
+            raise ValueError(
+                f"normalize_fields does not chain mappings: source(s) "
+                f"{chained} of target '{target}' name earlier targets, but "
+                "all sources resolve against the original input schema. "
+                "Split the dataflow into two normalize steps to chain."
+            )
+        seen_targets.add(target)
         live = [s for s in sources if path_exists(df.schema, s)]
         if not live:
             continue  # dynamic schema tolerance: skip fully-missing targets

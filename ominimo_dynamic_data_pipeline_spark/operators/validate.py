@@ -24,6 +24,7 @@ tagged frame (see ``ValidationResult.tagged``).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from functools import reduce
 from typing import Any, Callable, Mapping, Sequence
@@ -86,9 +87,21 @@ def _check_max(field: str, arg: str) -> tuple[Column, str]:
     return cond, f"{field}:must_be_at_most_{v}"
 
 
+_RANGE_RE = re.compile(r"^\s*(-?\d+(?:\.\d+)?)-(-?\d+(?:\.\d+)?)\s*$")
+
+
 def _check_range(field: str, arg: str) -> tuple[Column, str]:
-    lo_s, hi_s = arg.split("-", 1)
-    lo, hi = float(lo_s), float(hi_s)
+    # regex, not split('-'): a negative lower bound like 'range:-5-10'
+    # must parse as (-5, 10), and malformed args must name the field/rule
+    # instead of raising a bare float('') ValueError at compile time.
+    m = _RANGE_RE.match(arg)
+    if m is None:
+        raise ValueError(
+            f"invalid range rule 'range:{arg}' for field '{field}': "
+            "expected 'min-max' with numeric bounds (negative ok, e.g. "
+            "'range:-5-10')"
+        )
+    lo, hi = float(m.group(1)), float(m.group(2))
     n = _num(field)
     cond = _field_col(field).isNull() | (n.isNotNull() & (n >= lo) & (n <= hi))
     return cond, f"{field}:must_be_between_{lo}_and_{hi}"

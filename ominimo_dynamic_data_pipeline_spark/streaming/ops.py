@@ -159,13 +159,30 @@ def validated_split_writer(
     return write_batch
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+) -> DataFrame:
     """Drive a stream with availableNow into an in-memory table and return
-    the result as a DataFrame (test/verification harness)."""
+    the result as a DataFrame (test/verification harness).
+
+    ``output_mode`` defaults per plan shape: ``complete`` for streaming
+    aggregations (append would hold every window open until the watermark
+    passes it, and with availableNow the final watermark never closes the
+    last windows — so complete is the mode that surfaces all results; note
+    it also retains all window state, so the watermark's late-data
+    DROPPING is only observable in true append/update runs), ``append``
+    for non-aggregation streams (dedup/filter/projection), where complete
+    raises AnalysisException."""
+    if output_mode is None:
+        if stream_df.isStreaming:
+            analyzed = stream_df._jdf.queryExecution().analyzed().toString()
+            output_mode = "complete" if "Aggregate" in analyzed else "append"
+        else:
+            output_mode = "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -39,6 +39,22 @@ def test_coalesce_priority_and_pruning(spark):
     assert out.collect()[0]["plate"] == "flat"  # first EXISTING source wins
 
 
+def test_chained_mapping_is_rejected_loudly(spark):
+    # a later mapping sourcing an earlier TARGET would silently read the
+    # pre-normalization value (single-projection semantics) — refuse it.
+    import pytest
+
+    df = spark.createDataFrame([("x", "y")], schema="a string, b string")
+    with pytest.raises(ValueError, match="does not chain"):
+        normalize_fields(
+            df,
+            [
+                {"name": "first", "sources": ["a"]},
+                {"name": "second", "sources": ["first", "b"]},
+            ],
+        )
+
+
 def test_fully_missing_target_skipped(spark):
     df = spark.createDataFrame([("x",)], schema="a string")
     out = normalize_fields(df, [{"name": "t", "sources": ["nope", "also.nope"]}])

@@ -103,6 +103,27 @@ def test_stream_dedup_drops_repeats(spark, tmp_path):
     assert {r["event_id"] for r in got.collect()} == {0, 1, 2}
 
 
+def test_run_to_completion_handles_non_aggregation_streams(spark, tmp_path):
+    # run_to_completion must auto-pick append for non-aggregation streams
+    # (complete raises AnalysisException for them) while still choosing
+    # complete for windowed aggregations.
+    base_ns = 1_704_067_200 * 1_000_000_000
+    rows = [
+        (i % 3, base_ns + (i % 3) * 1_000_000_000, 1, "click", 1.0, "{}")
+        for i in range(9)
+    ]
+    src = spark.createDataFrame(rows, ops.EVENTS_SCHEMA)
+    src_dir = str(tmp_path / "rtc_events")
+    src.write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ops.EVENTS_SCHEMA).format("parquet").load(src_dir)
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    got = ops.run_to_completion(
+        ops.stream_dedup(stream, keys=["event_id"]), "rtc_dedup"
+    )
+    assert got.count() == 3
+
+
 def test_foreachbatch_validated_split(spark, sf_dir, tmp_path):
     """Streaming OK/KO split must partition the input exactly like the
     batch validator."""

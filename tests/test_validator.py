@@ -67,6 +67,19 @@ def test_range(spark):
     assert res[1][1] == ["f:must_be_between_1.0_and_10.0"]
 
 
+def test_range_negative_bounds(spark):
+    res = _verdicts(spark, ["-3", "-6", "10", "11", None], "range:-5-10")
+    assert [r[0] for r in res] == [True, False, True, False, True]
+    assert res[1][1] == ["f:must_be_between_-5.0_and_10.0"]
+
+
+def test_range_malformed_arg_names_field_and_rule():
+    with pytest.raises(ValueError, match="range:1--"):
+        build_check("f", "range:1--")
+    with pytest.raises(ValueError, match="field 'age'"):
+        build_check("age", "range:low-high")
+
+
 def test_is_date(spark):
     res = _verdicts(spark, ["2024-01-31", "not-a-date", None, "2024-13-01"], "isDate")
     assert [r[0] for r in res] == [True, False, True, False]
