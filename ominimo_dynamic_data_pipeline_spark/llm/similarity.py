@@ -123,7 +123,11 @@ def lsh_table_signature(
     per-row cost is num_planes sequential fold dot products whose double
     results are reproducible bit-for-bit in any engine that sums in the
     same order (the DuckDB oracle emits the same left-associative chain).
-    """
+
+    Column-helper form for single tables/tests; multi-table hot paths use
+    the staged plane-scores array (_plane_scores / _sigs_from_scores):
+    ONE nested transform for all tables*planes dots instead of a separate
+    interpreted HOF per (table, plane), ~3x faster at 24 planes."""
     sig = F.lit(0).cast("bigint")
     for p in range(num_planes):
         comps = hyperplane(dim, table * num_planes + p)
@@ -132,6 +136,37 @@ def lsh_table_signature(
             dot_double(vec_d, plane) >= 0, F.lit(2**p).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return sig
+
+
+def _plane_scores(
+    vec_d: Column, dim: int, num_planes: int, num_tables: int
+) -> Column:
+    """Array of dot(vec, plane_i) for ALL num_tables*num_planes planes in
+    one nested transform over a literal array-of-arrays.  Each inner dot
+    is the same sequential fold the oracle replicates; ``vec_d`` must be a
+    staged attribute so the lambda touches only lambda vars + attributes."""
+    planes = F.array(
+        *[
+            F.array(*[F.lit(c) for c in hyperplane(dim, i)])
+            for i in range(num_planes * num_tables)
+        ]
+    )
+    return F.transform(planes, lambda pl: dot_double(vec_d, pl))
+
+
+def _sigs_from_scores(scores: Column, num_planes: int, num_tables: int) -> Column:
+    """Array of per-table bucket ids from a STAGED plane-scores attribute:
+    bit p of table t = sign(scores[t*num_planes + p]).  Cheap element_at
+    arithmetic — the expensive dots were all computed once upstream."""
+    sigs = []
+    for t in range(num_tables):
+        sig = F.lit(0).cast("bigint")
+        for p in range(num_planes):
+            sig = sig + F.when(
+                scores[t * num_planes + p] >= 0, F.lit(2**p).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        sigs.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
+    return F.array(*sigs)
 
 
 def embedding_near_dups_lsh(
@@ -169,18 +204,10 @@ def embedding_near_dups_lsh(
         F.col(id_col),
         F.col(vec_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec_d"),
+    ).withColumn(
+        "_scores", _plane_scores(F.col("vec_d"), dim, num_planes, num_tables)
     )
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_table_signature(F.col("vec_d"), dim, t, num_planes).alias(
-                    "bucket"
-                ),
-            )
-            for t in range(num_tables)
-        ]
-    )
+    tables = _sigs_from_scores(F.col("_scores"), num_planes, num_tables)
     bucketed = staged.select(
         F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb")
     ).select(
@@ -224,20 +251,12 @@ def _table_buckets(
     num_tables: int,
 ) -> DataFrame:
     """(id, vec_d, nrm, table, bucket) — one row per (vector, LSH table);
-    signatures are computed from the staged vec_d attribute in one
-    projection, then exploded."""
-    nf = norm_frame(df, id_col, vec_col)
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_table_signature(F.col("vec_d"), dim, t, num_planes).alias(
-                    "bucket"
-                ),
-            )
-            for t in range(num_tables)
-        ]
+    all plane dots run in one staged nested transform, table bucket ids
+    are cheap arithmetic over the scores attribute, then exploded."""
+    nf = norm_frame(df, id_col, vec_col).withColumn(
+        "_scores", _plane_scores(F.col("vec_d"), dim, num_planes, num_tables)
     )
+    tables = _sigs_from_scores(F.col("_scores"), num_planes, num_tables)
     return nf.select(
         F.col(id_col), "vec_d", "nrm", F.explode(tables).alias("tb")
     ).select(
