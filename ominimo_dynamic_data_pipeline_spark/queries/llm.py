@@ -635,3 +635,245 @@ def q49_dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_near_dups(d, threshold=0.5, cache_shingles=True)
     return D.dedup_corpus(d, pairs).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# q51 — multimodal resize plumbing (second mapInPandas op), hash-verified:
+# the fake resize is (md5 digest repeated)[:w*h], so the first 16 output
+# bytes ARE the digest — DuckDB recomputes them as upper(md5(text)).
+# --------------------------------------------------------------------------
+_Q51_W, _Q51_H = 16, 8
+
+
+@query(
+    "q51_resized_payloads",
+    f"""
+    SELECT doc_id,
+           {_Q51_W} AS width,
+           {_Q51_H} AS height,
+           CAST({_Q51_W * _Q51_H} AS BIGINT) AS resized_bytes,
+           upper(md5(text)) AS head_hex
+    FROM documents
+    """,
+)
+def q51_resized_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    out = M.resize_payloads(d, width=_Q51_W, height=_Q51_H, fake=True)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("bigint").alias("resized_bytes"),
+        F.hex(F.expr("substring(payload, 1, 16)")).alias("head_hex"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 — video-style frame sampling (one row per sampled frame), hash-
+# verified: frames are md5 digests of payload chunks; the corpus is ASCII
+# (asserted by the n_bytes==n_chars oracle column), so DuckDB's character
+# substring equals the kernel's byte slicing and md5(chunk) matches.
+# --------------------------------------------------------------------------
+_Q52_FRAMES = 3
+
+
+@query(
+    "q52_frame_samples",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               GREATEST(1, octet_length(encode(text)) // {_Q52_FRAMES}) AS step
+        FROM documents
+    )
+    SELECT doc_id, i AS frame_idx,
+           md5(substring(text, i * step + 1, step)) AS frame_md5
+    FROM base, UNNEST(range({_Q52_FRAMES})) AS t(i)
+    """,
+)
+def q52_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    out = M.sample_frames(d, n_frames=_Q52_FRAMES, fake=True)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.lower(F.hex("frame_payload")).alias("frame_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — deterministic train/val split: md5-hash each doc id into [0, 100),
+# < 90 -> train.  Content-hash splitting is the reproducible way to split
+# a growing corpus (no RNG state, stable under re-runs and engine moves);
+# the oracle replicates the split exactly.
+# --------------------------------------------------------------------------
+@query(
+    "q53_train_val_split",
+    f"""
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN {_sql_md5_long("CAST(doc_id AS VARCHAR)", 1337)} % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM tagged GROUP BY lang, split
+    """,
+)
+def q53_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = D.md5_long(F.col("doc_id").cast("string"), seed=1337) % 100
+    split = F.when(bucket < 90, "train").otherwise("val")
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q54 — PII scrubbing: redact phone-shaped tokens from a composed customer
+# record (the shape of a pre-training scrub pass: one narrow codegen'd
+# regexp projection, no shuffle).  Oracle replicates the regex.
+# --------------------------------------------------------------------------
+_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "q54_pii_scrub",
+    f"""
+    WITH rec AS (
+        SELECT c_custkey,
+               c_name || ' contact ' ||
+               CASE WHEN c_custkey % 2 = 0
+                    THEN printf('%02d-%03d-%03d-%04d',
+                                c_custkey % 100, c_custkey % 1000,
+                                (c_custkey * 7) % 1000,
+                                (c_custkey * 13) % 10000)
+                    ELSE 'n/a' END ||
+               ' segment ' || c_mktsegment AS raw
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(raw, '{_PHONE_RE}', '[PHONE]', 'g') AS scrubbed,
+           LEN(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_redactions
+    FROM rec
+    """,
+)
+def q54_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # testdata has no phone column, so half the records get a
+    # deterministic phone-shaped token (same formula in the oracle) —
+    # the scrub then has real positives AND negatives to prove both.
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d", k % 100, k % 1000, (k * 7) % 1000, (k * 13) % 10000
+    )
+    raw = F.concat(
+        F.col("c_name"),
+        F.lit(" contact "),
+        F.when(k % 2 == 0, phone).otherwise(F.lit("n/a")),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    rec = c.select("c_custkey", raw.alias("raw"))
+    return rec.select(
+        "c_custkey",
+        F.regexp_replace("raw", _PHONE_RE, "[PHONE]").alias("scrubbed"),
+        F.size(F.expr(f"regexp_extract_all(raw, '{_PHONE_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_redactions"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q55 — sequence packing: assign docs to fixed token-budget training bins,
+# contiguous by doc id within each language (deterministic greedy pack — a
+# window cumsum, ONE exchange on lang; the oracle replicates the window).
+# --------------------------------------------------------------------------
+_Q55_BUDGET = 2048
+
+
+@query(
+    "q55_sequence_packing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, LEN({SQL_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // {_Q55_BUDGET} AS BIGINT) AS bin
+    FROM toks
+    """,
+)
+def q55_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        F.floor(before / _Q55_BUDGET).alias("bin"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q56 — benchmark decontamination: train docs (doc_id >= 10) sharing any
+# 8-token shingle with the eval set (doc_id < 10) are flagged with their
+# overlap count.  The eval shingle set is tiny -> broadcast; train-side
+# work is one explode + join, cost |train shingles|, never pairwise.
+# --------------------------------------------------------------------------
+_Q56_N = 8
+
+
+def _decontamination_sql(n: int = _Q56_N) -> str:
+    gram = "concat_ws(' ', " + ", ".join(f"tk[i+{j}]" for j in range(n)) + ")"
+    shingles = f"list_distinct([{gram} for i in range(1, len(tk) - {n - 2})])"
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, unnest({shingles}) AS gram
+        FROM toks WHERE len(tk) >= {n}
+    ),
+    eval_grams AS (SELECT DISTINCT gram FROM sh WHERE doc_id < 10)
+    SELECT s.doc_id, COUNT(*) AS n_contaminated_grams
+    FROM sh s JOIN eval_grams e ON s.gram = e.gram
+    WHERE s.doc_id >= 10
+    GROUP BY s.doc_id
+    """
+
+
+@query("q56_decontamination", _decontamination_sql())
+def q56_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_frame(d, n=_Q56_N)
+    grams = sh.select("doc_id", F.explode("sh").alias("gram"))
+    eval_grams = (
+        grams.filter(F.col("doc_id") < 10).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(eval_grams), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
