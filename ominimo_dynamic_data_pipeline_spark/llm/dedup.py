@@ -588,6 +588,66 @@ def embedding_near_dups_blas(
     return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup ``pairs`` (id_a < id_b):
+    (id, cluster_id) with cluster_id = the component's minimum id — the
+    cluster-analytics twin of the greedy ``dedup_corpus`` filter.
+
+    Iterative min-label propagation: every node starts as its own label;
+    each round takes the min of its label and its neighbors' labels until
+    a fixpoint (<= graph diameter rounds — near-dup graphs are shallow:
+    dup clusters are quasi-cliques).  Each round is one join + groupBy on
+    the edge list, fully distributed; ``localCheckpoint`` truncates the
+    growing lineage so round N does not replay rounds 1..N-1.  At 100 TB
+    scale-out the same loop applies (alternate large-star/small-star for
+    very high-degree graphs).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn(
+            "label", F.col("id")
+        )
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     pairs: DataFrame,

@@ -638,6 +638,38 @@ def q49_dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q57 — near-dup cluster analytics: connected components over the q26 pair
+# graph (iterative min-label propagation on Spark; the oracle computes the
+# same components with a recursive CTE — min reachable id per node).
+# --------------------------------------------------------------------------
+def _dedup_clusters_sql() -> str:
+    pairs = _minhash_sql().strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY id
+    """
+
+
+@query("q57_dedup_clusters", _dedup_clusters_sql())
+def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(d, threshold=0.5, cache_shingles=True)
+    return D.dedup_clusters(pairs)
+
+
+# --------------------------------------------------------------------------
 # q51 — multimodal resize plumbing (second mapInPandas op), hash-verified:
 # the fake resize is (md5 digest repeated)[:w*h], so the first 16 output
 # bytes ARE the digest — DuckDB recomputes them as upper(md5(text)).

@@ -325,6 +325,32 @@ def test_simhash_bucket_cap_sheds(spark):
     assert capped == 0
 
 
+def test_dedup_clusters_connected_components(spark):
+    # chain 1-2, 2-3 plus island 7-9: two components, min-id labels;
+    # transitive chains collapse even though (1,3) is not a pair.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], schema="id_a bigint, id_b bigint"
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in D.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dedup_clusters_agree_with_greedy_corpus(spark, sf_dir):
+    # every victim dedup_corpus drops must sit in a cluster whose id is
+    # NOT itself (i.e. it has an earlier representative).
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(d, threshold=0.5)
+    clusters = {r["doc_id"]: r["cluster_id"]
+                for r in D.dedup_clusters(pairs).collect()}
+    victims = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    assert victims  # corpus has near-dups
+    for v in victims:
+        assert clusters[v] < v
+
+
 def test_shingle_frame_drops_short_docs(docs):
     out = {r["doc_id"] for r in D.shingle_frame(docs).select("doc_id").collect()}
     assert 4 not in out  # empty text -> no shingles
