@@ -336,6 +336,58 @@ def lsh_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    code_i = round(v_i / scale) — the standard vector-store compression
+    (4x over float32, 8x over float64) ahead of ANN search; re-rank on the
+    float originals for the final top-k.
+
+    Pure staged Catalyst projections (vec -> amax/scale -> codes -> error),
+    no shuffle, no UDF: safe at any scale.  Returns (id, scale, codes,
+    l2_err) with l2_err the reconstruction error ||v - codes*scale||_2.
+    Zero vectors quantize to all-zero codes with scale 0."""
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec_d"),
+    ).withColumn(
+        "scale",
+        F.array_max(F.transform(F.col("vec_d"), F.abs)) / F.lit(127.0),
+    )
+    coded = staged.withColumn(
+        "codes",
+        F.when(
+            F.col("scale") > 0,
+            F.transform(
+                F.col("vec_d"),
+                lambda x: F.round(x / F.col("scale")).cast("int"),
+            ),
+        ).otherwise(
+            F.transform(F.col("vec_d"), lambda x: F.lit(0).cast("int"))
+        ),
+    )
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("vec_d"),
+                F.col("codes"),
+                # square by multiplication, not pow: libm pow(x, 2.0) is
+                # not guaranteed bit-equal to x*x across engines
+                lambda x, c: (x - c.cast("double") * F.col("scale"))
+                * (x - c.cast("double") * F.col("scale")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return coded.select(
+        F.col(id_col), "scale", "codes", err.alias("l2_err")
+    )
+
+
 def ivf_train_centroids(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -670,6 +670,51 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q58 — int8 embedding quantization (vector-store compression).  The
+# oracle replicates scale/codes/error exactly: max and abs are exact,
+# round() is half-away-from-zero in both engines, and the error fold runs
+# in the same sequential order (squares via explicit multiplication, not
+# pow, to dodge libm differences).
+# --------------------------------------------------------------------------
+@query(
+    "q58_embedding_quantization",
+    """
+    WITH staged AS (
+        SELECT vec_id,
+               [CAST(x AS DOUBLE) for x in embedding] AS vec_d,
+               list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0
+                   AS scale
+        FROM embeddings
+    ),
+    coded AS (
+        SELECT vec_id, vec_d, scale,
+               CASE WHEN scale > 0
+                    THEN [CAST(round(x / scale) AS INT) for x in vec_d]
+                    ELSE [CAST(0 AS INT) for x in vec_d] END AS codes
+        FROM staged
+    )
+    SELECT vec_id, scale,
+           codes[1] AS c0, codes[2] AS c1, codes[3] AS c2, codes[4] AS c3,
+           ROUND(SQRT(list_reduce(
+               [0.0] || [(vec_d[i] - CAST(codes[i] AS DOUBLE) * scale)
+                         * (vec_d[i] - CAST(codes[i] AS DOUBLE) * scale)
+                         for i in range(1, len(vec_d) + 1)],
+               (a, b) -> a + b)), 6) AS l2_err
+    FROM coded
+    """,
+)
+def q58_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.quantize_int8(e)
+    return out.select(
+        "vec_id",
+        "scale",
+        *[F.col("codes")[i].alias(f"c{i}") for i in range(4)],
+        F.round("l2_err", 6).alias("l2_err"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q51 — multimodal resize plumbing (second mapInPandas op), hash-verified:
 # the fake resize is (md5 digest repeated)[:w*h], so the first 16 output
 # bytes ARE the digest — DuckDB recomputes them as upper(md5(text)).

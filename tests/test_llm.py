@@ -325,6 +325,27 @@ def test_simhash_bucket_cap_sheds(spark):
     assert capped == 0
 
 
+def test_quantize_int8_roundtrip_error_bound(spark):
+    import math as m
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> scale 0, codes 0
+        (2, [127.0, -127.0, 63.5, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r for r in S.quantize_int8(df).collect()}
+    assert out[1]["scale"] == 0.0 and out[1]["l2_err"] == 0.0
+    assert out[1]["codes"] == [0, 0, 0, 0]
+    # max-magnitude component always quantizes to +/-127
+    assert out[0]["codes"][0] == 127
+    assert out[2]["codes"][:2] == [127, -127]
+    for r in (out[0], out[2]):
+        dim = len(r["codes"])
+        # per-dim error <= scale/2 => l2 <= scale/2 * sqrt(dim)
+        assert r["l2_err"] <= r["scale"] / 2 * m.sqrt(dim) + 1e-12
+
+
 def test_dedup_clusters_connected_components(spark):
     # chain 1-2, 2-3 plus island 7-9: two components, min-id labels;
     # transitive chains collapse even though (1,3) is not a pair.
