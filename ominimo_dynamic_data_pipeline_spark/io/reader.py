@@ -68,6 +68,16 @@ def read_source(spark: SparkSession, source: Mapping[str, Any]) -> DataFrame:
         if schema:
             reader = reader.schema(schema)
         return reader.parquet(*paths)
+    if fmt == "orc":
+        reader = spark.read.options(**options)
+        if schema:
+            reader = reader.schema(schema)
+        return reader.orc(*paths)
+    if fmt == "text":
+        # One row per line (column ``value``); wholetext=true via options
+        # reads one row per file — raw-corpus ingestion for the text ops.
+        reader = spark.read.options(**options)
+        return reader.text(paths)
     if fmt == "binaryfile":
         # Multimodal ingestion: (path, modificationTime, length, content)
         # rows; narrow with options.pathGlobFilter (e.g. "*.jpg").
