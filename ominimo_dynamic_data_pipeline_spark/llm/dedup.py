@@ -85,6 +85,41 @@ def shingle_frame(
     )
 
 
+def gram_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """EXPLODED distinct n-grams: (id, gram) rows, one per distinct token
+    n-gram of each doc.
+
+    Do NOT build this as ``explode(shingle_frame(...).sh)``: Spark's
+    InferFiltersFromGenerate plants a ``size(sh) > 0`` filter under the
+    Generate, predicate pushdown substitutes the whole alias chain into
+    it, and the re-inlined ``tokens(text)`` inside the element_at lambda
+    costs O(grams * tokens) regex passes per row (measured: 46 s vs 1.5 s
+    at sf0.1 for 8-grams).  This shape instead posexplodes tokens and
+    assembles grams with window ``lead``s — fully codegen'd, one exchange
+    on the doc id (which downstream per-doc aggregations reuse)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    tail = F.lead("tok", n - 1).over(w)
+    return (
+        toks.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("gram"),
+            tail.alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .drop("_tail")
+        .dropDuplicates([id_col, "gram"])
+    )
+
+
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

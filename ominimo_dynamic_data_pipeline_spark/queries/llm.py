@@ -943,8 +943,7 @@ def _decontamination_sql(n: int = _Q56_N) -> str:
 @query("q56_decontamination", _decontamination_sql())
 def q56_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = D.shingle_frame(d, n=_Q56_N)
-    grams = sh.select("doc_id", F.explode("sh").alias("gram"))
+    grams = D.gram_frame(d, n=_Q56_N)
     eval_grams = (
         grams.filter(F.col("doc_id") < 10).select("gram").distinct()
     )
