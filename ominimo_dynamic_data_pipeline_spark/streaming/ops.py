@@ -159,6 +159,47 @@ def validated_split_writer(
     return write_batch
 
 
+def interval_click_attribution(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to every click by
+    the same user within ``lookback`` BEFORE it (strictly earlier).
+
+    The canonical bounded-state stream-stream join: both sides carry a
+    watermark and the join condition bounds c_ts to
+    [p_ts - lookback, p_ts), so the state store retains only ``lookback``
+    + watermark worth of clicks per side — O(window), not O(stream).
+    Works identically on a static frame (condition becomes a plain range
+    predicate on the user_id equi-join), which the batch-equivalence test
+    exploits.  Append output mode; the q15 batch as-of picks the single
+    LATEST click instead — this operator returns ALL attributable clicks,
+    the shape used for multi-touch attribution.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return purchases.join(clicks, cond).select(
+        "purchase_id", "p_ts", "click_id", "c_ts", "user_id"
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame, query_name: str, output_mode: str | None = None
 ) -> DataFrame:

@@ -103,6 +103,18 @@ def test_stream_dedup_drops_repeats(spark, tmp_path):
     assert {r["event_id"] for r in got.collect()} == {0, 1, 2}
 
 
+def test_interval_join_batch_equivalence(spark, static_events, stream_events):
+    # stream-stream interval join (bounded state) == the same range join
+    # on the static frame.
+    streamed = ops.run_to_completion(
+        ops.interval_click_attribution(stream_events), "interval_join"
+    )
+    batch = ops.interval_click_attribution(static_events)
+    s = {(r["purchase_id"], r["click_id"]) for r in streamed.collect()}
+    b = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert s == b and b  # non-empty and identical pair sets
+
+
 def test_run_to_completion_handles_non_aggregation_streams(spark, tmp_path):
     # run_to_completion must auto-pick append for non-aggregation streams
     # (complete raises AnalysisException for them) while still choosing
