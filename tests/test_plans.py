@@ -80,6 +80,35 @@ def test_q14_range_join_keeps_equi_key(q):
     assert "CartesianProduct" not in p
 
 
+def test_q55_packing_single_exchange_single_sort(q):
+    # both window frames (cum + before) must share one (lang) exchange and
+    # one sort — a second Sort means the frames diverged
+    p = plan_of(q("q55_sequence_packing"))
+    assert p.count("Exchange (") == 1
+    assert "hashpartitioning(lang" in p
+    assert p.count("Sort (") == 1
+
+
+def test_q56_decontamination_broadcasts_eval_set(q):
+    p = plan_of(q("q56_decontamination"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q58_quantization_is_shuffle_free(q):
+    p = plan_of(q("q58_embedding_quantization"))
+    assert "Exchange" not in p  # pure staged projections
+
+
+def test_q54_pii_scrub_is_shuffle_free(q):
+    assert "Exchange" not in plan_of(q("q54_pii_scrub"))
+
+
+def test_multimodal_queries_use_arrow_map(q):
+    assert "MapInPandas" in plan_of(q("q51_resized_payloads"))
+    assert "MapInPandas" in plan_of(q("q52_frame_samples"))
+
+
 def test_q15_asof_is_single_exchange_no_join(q):
     # union + last-ignore-nulls window: one shuffle on user_id, no pairwise
     # click x purchase join anywhere in the plan
