@@ -830,6 +830,87 @@ def q40_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q59 — conversion funnel: per-user first click then first purchase
+# strictly after it; one groupBy on user_id (conditional min aggregates),
+# then a global funnel rollup.
+# --------------------------------------------------------------------------
+@query(
+    "q59_conversion_funnel",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_click) AS n_clicked,
+           COUNT(CASE WHEN first_purchase > first_click
+                 THEN 1 END) AS n_converted,
+           ROUND(COUNT(CASE WHEN first_purchase > first_click THEN 1 END)
+                 * 1.0 / NULLIF(COUNT(first_click), 0), 6) AS conversion_rate
+    FROM per_user
+    """,
+)
+def q59_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = F.count(
+        F.when(F.col("first_purchase") > F.col("first_click"), 1)
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_click").alias("n_clicked"),
+        converted.alias("n_converted"),
+        F.round(
+            converted / F.nullif(F.count("first_click"), F.lit(0)), 6
+        ).alias("conversion_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q60 — skew diagnostics: the heavy-hitter keys a salting/AQE decision is
+# based on — top-10 users by event count with their share of the total.
+# --------------------------------------------------------------------------
+@query(
+    "q60_skew_diagnostics",
+    """
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    total AS (SELECT SUM(n_events) AS total_events FROM counts)
+    SELECT user_id, n_events,
+           ROUND(n_events * 1.0 / total_events, 6) AS share
+    FROM counts CROSS JOIN total
+    ORDER BY n_events DESC, user_id LIMIT 10
+    """,
+)
+def q60_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = counts.agg(F.sum("n_events").alias("total_events"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total_events"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # q41 — fuzzy string matching + remaining string library: levenshtein,
 # reverse, instr/strpos, translate, repeat.
 # --------------------------------------------------------------------------
