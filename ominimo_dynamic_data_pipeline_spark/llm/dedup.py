@@ -658,10 +658,13 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # carry the old label through so convergence is a narrow filter on
+        # the checkpointed frame, not another join against the old round
+        stepped = (
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
                 "id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
@@ -669,13 +672,11 @@ def dedup_clusters(
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.label") != F.col("o.label"))
+            stepped.filter(F.col("label") != F.col("old_label"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
     return labels.select(
