@@ -250,22 +250,50 @@ def _table_buckets(
     num_planes: int,
     num_tables: int,
 ) -> DataFrame:
-    """(id, vec_d, nrm, table, bucket) — one row per (vector, LSH table);
-    all plane dots run in one staged nested transform, table bucket ids
-    are cheap arithmetic over the scores attribute, then exploded."""
-    nf = norm_frame(df, id_col, vec_col).withColumn(
-        "_scores", _plane_scores(F.col("vec_d"), dim, num_planes, num_tables)
+    """(id, vec_d, nrm, table, bucket) — one row per (vector, LSH table),
+    via an Arrow mapInPandas numpy kernel: norms, all plane dots, and the
+    per-table sign buckets in one columnar pass (dimension-ordered
+    accumulation, bit-identical to the Catalyst fold and therefore to the
+    staged-transform path used where oracle parity matters, e.g. q28)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [hyperplane(dim, i) for i in range(num_planes * num_tables)]
+    )  # (P, dim)
+    id_field = df.schema[id_col].dataType.simpleString()
+    weights = np.array([2**p for p in range(num_planes)], dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(ids)
+            acc = np.zeros(n)
+            scores = np.zeros((n, len(planes)))
+            for d in range(dim):
+                acc += x[:, d] * x[:, d]
+                scores += np.outer(x[:, d], planes[:, d])
+            nrm = np.sqrt(acc)
+            sigs = (
+                (scores >= 0).reshape(n, num_tables, num_planes) * weights
+            ).sum(axis=2)  # (n, T)
+            rows = {
+                id_col: np.repeat(ids, num_tables),
+                "vec_d": [list(v) for v in x for _ in range(num_tables)],
+                "nrm": np.repeat(nrm, num_tables),
+                "table": np.tile(np.arange(num_tables), n),
+                "bucket": sigs.reshape(-1),
+            }
+            yield pd.DataFrame(rows)
+
+    schema = (
+        f"{id_col} {id_field}, vec_d array<double>, nrm double, "
+        "table int, bucket bigint"
     )
-    tables = _sigs_from_scores(F.col("_scores"), num_planes, num_tables)
-    return nf.select(
-        F.col(id_col), "vec_d", "nrm", F.explode(tables).alias("tb")
-    ).select(
-        id_col,
-        "vec_d",
-        "nrm",
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
-    )
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
 def lsh_topk(
