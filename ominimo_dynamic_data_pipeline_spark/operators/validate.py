@@ -137,6 +137,46 @@ def _check_pattern(field: str, arg: str) -> tuple[Column, str]:
     return c.isNull() | c.rlike(arg), f"{field}:must_match_pattern"
 
 
+# --- engine extensions beyond the reference's 12 checks (same
+# null-permissive semantics: only notNull/notEmpty assert presence) -------
+
+_EMAIL_RE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
+
+
+def _check_is_email(field: str, _: str) -> tuple[Column, str]:
+    c = _field_col(field)
+    return c.isNull() | c.rlike(_EMAIL_RE), f"{field}:must_be_valid_email"
+
+
+def _check_in_list(field: str, arg: str) -> tuple[Column, str]:
+    values = [v for v in arg.split("|") if v != ""]
+    if not values:
+        raise ValueError(
+            f"invalid inList rule for field '{field}': expected "
+            "'inList:a|b|c' with at least one value"
+        )
+    c = _field_col(field)
+    cond = c.isNull() | c.isin(*values)
+    return cond, f"{field}:must_be_one_of_{'|'.join(values)}"
+
+
+_LENGTH_RE = re.compile(r"^\s*(\d+)-(\d+)\s*$")
+
+
+def _check_length(field: str, arg: str) -> tuple[Column, str]:
+    m = _LENGTH_RE.match(arg)
+    if m is None:
+        raise ValueError(
+            f"invalid length rule 'length:{arg}' for field '{field}': "
+            "expected 'min-max' with non-negative integer bounds"
+        )
+    lo, hi = int(m.group(1)), int(m.group(2))
+    c = _field_col(field)
+    n = F.length(c)
+    cond = c.isNull() | ((n >= lo) & (n <= hi))
+    return cond, f"{field}:length_must_be_between_{lo}_and_{hi}"
+
+
 # Bare checks (no argument) and prefixed checks ("name:arg").
 _BARE_CHECKS: dict[str, CheckBuilder] = {
     "notEmpty": _check_not_empty,
@@ -144,6 +184,7 @@ _BARE_CHECKS: dict[str, CheckBuilder] = {
     "isNumeric": _check_is_numeric,
     "isInteger": _check_is_integer,
     "isDate": _check_is_date,
+    "isEmail": _check_is_email,
 }
 _PREFIX_CHECKS: dict[str, CheckBuilder] = {
     "min": _check_min,
@@ -152,6 +193,8 @@ _PREFIX_CHECKS: dict[str, CheckBuilder] = {
     "dateBefore": _check_date_before,
     "dateAfter": _check_date_after,
     "pattern": _check_pattern,
+    "inList": _check_in_list,
+    "length": _check_length,
 }
 
 

@@ -80,6 +80,32 @@ def test_range_malformed_arg_names_field_and_rule():
         build_check("age", "range:low-high")
 
 
+def test_is_email_extension(spark):
+    res = _verdicts(
+        spark,
+        ["a.b+c@example.co", "not-an-email", "x@y", None],
+        "isEmail",
+    )
+    assert [r[0] for r in res] == [True, False, False, True]
+    assert res[1][1] == ["f:must_be_valid_email"]
+
+
+def test_in_list_extension(spark):
+    res = _verdicts(spark, ["red", "blue", "mauve", None], "inList:red|blue")
+    assert [r[0] for r in res] == [True, True, False, True]
+    assert res[2][1] == ["f:must_be_one_of_red|blue"]
+    with pytest.raises(ValueError, match="inList"):
+        build_check("f", "inList:")
+
+
+def test_length_extension(spark):
+    res = _verdicts(spark, ["ab", "a", "abcdef", None], "length:2-5")
+    assert [r[0] for r in res] == [True, False, False, True]
+    assert res[1][1] == ["f:length_must_be_between_2_and_5"]
+    with pytest.raises(ValueError, match="length:x-y"):
+        build_check("f", "length:x-y")
+
+
 def test_is_date(spark):
     res = _verdicts(spark, ["2024-01-31", "not-a-date", None, "2024-13-01"], "isDate")
     assert [r[0] for r in res] == [True, False, True, False]
