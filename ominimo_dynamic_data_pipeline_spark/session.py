@@ -37,6 +37,12 @@ _DEFAULTS: dict[str, str] = {
     # Local-harness sizing; a cluster deployment overrides via spark-submit.
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "8g",
+    # Spill-aware input sizing: 128 MB splits keep a scan task's working
+    # set comfortably inside executor memory at any corpus size (the knob
+    # to lower first if wide text/binary rows cause scan-side spill); AQE's
+    # 64 MB advisory target governs post-shuffle coalescing.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "67108864",
     # Small-dim broadcast: default 10MB is fine, keep explicit for clarity.
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
     "spark.ui.enabled": "false",
