@@ -670,6 +670,97 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q61 — multi-touch interval attribution, batch twin of the stream-stream
+# interval join (streaming/ops.interval_click_attribution): ALL same-user
+# clicks within 1 hour strictly before each purchase.  The streaming run
+# is batch-equivalence-tested; this registers the shared logic under the
+# correctness gate.
+# --------------------------------------------------------------------------
+@query(
+    "q61_interval_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts < p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q61_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.streaming.ops import (
+        interval_click_attribution,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = interval_click_attribution(e, lookback="1 hour")
+    # lag in whole seconds from the micros difference (floor), identical
+    # on both engines; both truncate the parquet nanos to micros.
+    lag = F.floor(
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1000000)
+    )
+    return out.select(
+        "purchase_id", "click_id", "user_id", lag.alias("lag_seconds")
+    )
+
+
+# --------------------------------------------------------------------------
+# q62 — end-to-end corpus curation pipeline (the LLM-data END PRODUCT as
+# one composed query): language filter -> quality gates (token count,
+# stopword ratio) -> exact dedup keep-lowest-id -> surviving doc ids.
+# Each stage is a narrow projection/filter; the only shuffle is the dedup
+# groupBy.  The oracle composes the same stages in SQL.
+# --------------------------------------------------------------------------
+@query(
+    "q62_corpus_curation",
+    f"""
+    WITH feats AS (
+        SELECT doc_id, lang, {SQL_NORM} AS norm, {SQL_TOKS} AS tk
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, norm, LEN(tk) AS n_tokens
+        FROM feats
+        WHERE lang = 'en'
+          AND LEN(tk) BETWEEN 20 AND 1000
+          AND LEN(list_filter(tk, t -> list_contains(['the','a','of','and','is'], t)))
+              * 1.0 / LEN(tk) >= 0.05
+    )
+    SELECT md5(norm) AS fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies,
+           MIN(n_tokens) AS n_tokens
+    FROM gated GROUP BY fp
+    """,
+)
+def q62_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "lang",
+        T.normalize_text(F.col("text")).alias("norm"),
+        T.tokens(F.col("text")).alias("tk"),
+    )
+    n_tokens = F.size(F.col("tk"))
+    stop_ratio = F.size(
+        F.filter(F.col("tk"), lambda t: t.isin(*T.LANG_MARKERS["en"]))
+    ) / n_tokens
+    gated = staged.filter(
+        (F.col("lang") == "en")
+        & n_tokens.between(20, 1000)
+        & (stop_ratio >= 0.05)
+    ).select("doc_id", "norm", n_tokens.alias("n_tokens"))
+    return gated.groupBy(F.md5("norm").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q58 — int8 embedding quantization (vector-store compression).  The
 # oracle replicates scale/codes/error exactly: max and abs are exact,
 # round() is half-away-from-zero in both engines, and the error fold runs
