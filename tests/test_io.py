@@ -102,3 +102,44 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     assert back.count() == 2
     # partition filter must prune at the source, not post-scan
     assert "PartitionFilters: [isnotnull(k" in plan
+
+
+def test_json_permissive_corrupt_record_capture(spark, tmp_path):
+    # bad records land in the corrupt-record column instead of failing the
+    # job — the posture a 100 TB ingest needs (quarantine, don't crash).
+    p = tmp_path / "mixed.json"
+    p.write_text('{"id": 1, "v": 2.5}\n{not json at all}\n{"id": 3, "v": 9.0}\n')
+    back = read_source(
+        spark,
+        {
+            "name": "x",
+            "path": str(p),
+            "format": "json",
+            "schema": "id bigint, v double, _corrupt_record string",
+            "options": {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt_record",
+            },
+        },
+    )
+    rows = back.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} == {1, 3}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_csv_dropmalformed_skips_bad_rows(spark, tmp_path):
+    p = tmp_path / "mixed.csv"
+    p.write_text("id,v\n1,2.5\nnot,a,valid,row,at,all\n3,9.0\n")
+    back = read_source(
+        spark,
+        {
+            "name": "x",
+            "path": str(p),
+            "format": "csv",
+            "schema": "id bigint, v double",
+            "options": {"mode": "DROPMALFORMED"},
+        },
+    )
+    assert sorted(r["id"] for r in back.collect()) == [1, 3]
