@@ -641,9 +641,12 @@ def dedup_clusters(
     scale-out the same loop applies (alternate large-star/small-star for
     very high-degree graphs).
     """
+    # materialize the edge list ONCE: without this every propagation round
+    # would re-run the whole upstream pair pipeline (minhash, jaccard, ...)
+    # as part of the join lineage
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    ).localCheckpoint()
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
