@@ -761,6 +761,44 @@ def q62_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q63 — boilerplate detector: n-grams shared by many documents (the
+# headers/footers/license-text a pre-training cleanup strips).  One
+# groupBy on the exploded distinct-gram frame; document frequency counts
+# each doc once.
+# --------------------------------------------------------------------------
+_Q63_N, _Q63_MIN_DF, _Q63_TOP = 5, 3, 50
+
+
+def _boilerplate_sql(n: int = _Q63_N) -> str:
+    gram = "concat_ws(' ', " + ", ".join(f"tk[i+{j}]" for j in range(n)) + ")"
+    shingles = f"list_distinct([{gram} for i in range(1, len(tk) - {n - 2})])"
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, unnest({shingles}) AS gram
+        FROM toks WHERE len(tk) >= {n}
+    )
+    SELECT gram, COUNT(*) AS doc_freq
+    FROM sh GROUP BY gram
+    HAVING COUNT(*) >= {_Q63_MIN_DF}
+    ORDER BY doc_freq DESC, gram LIMIT {_Q63_TOP}
+    """
+
+
+@query("q63_boilerplate_ngrams", _boilerplate_sql())
+def q63_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = D.gram_frame(d, n=_Q63_N)  # distinct per doc -> count == doc freq
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= _Q63_MIN_DF)
+        .orderBy(F.desc("doc_freq"), "gram")
+        .limit(_Q63_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
 # q58 — int8 embedding quantization (vector-store compression).  The
 # oracle replicates scale/codes/error exactly: max and abs are exact,
 # round() is half-away-from-zero in both engines, and the error fold runs

@@ -103,6 +103,62 @@ def test_stream_dedup_drops_repeats(spark, tmp_path):
     assert {r["event_id"] for r in got.collect()} == {0, 1, 2}
 
 
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    # The watermark's late-data DROP is only observable in append/update
+    # mode with an advancing watermark.  Two availableNow runs sharing a
+    # checkpoint: run 1 processes on-time data and persists its watermark;
+    # run 2 adds one row far OLDER than that watermark plus one fresh row.
+    # The stale row must be dropped, the fresh row aggregated.
+    base_ns = 1_704_067_200 * 1_000_000_000  # 2024-01-01
+    hour_ns = 3_600 * 1_000_000_000
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_batch(rows, name):
+        df = spark.createDataFrame(rows, ops.EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(str(src_dir))
+        stream = (
+            spark.readStream.schema(ops.EVENTS_SCHEMA)
+            .format("parquet")
+            .load(str(src_dir))
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = ops.tumbling_counts(
+            stream, window="10 minutes", watermark="30 minutes"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: events at t0 .. t0+2h advance the watermark to ~t0+90min
+    run_batch(
+        [(i, base_ns + i * hour_ns, 1, "click", 1.0, "{}") for i in range(3)],
+        "first",
+    )
+    # run 2: one stale row at t0-2h (far below watermark) + one fresh row
+    run_batch(
+        [
+            (100, base_ns - 2 * hour_ns, 1, "click", 1.0, "{}"),
+            (101, base_ns + 3 * hour_ns, 1, "click", 1.0, "{}"),
+        ],
+        "second",
+    )
+    got = spark.read.parquet(out_dir)
+    starts = {r["window_start"] for r in got.collect()}
+    import datetime as dt
+
+    stale_window = dt.datetime(2023, 12, 31, 22, 0)
+    assert stale_window not in starts  # late row dropped by the watermark
+    assert dt.datetime(2024, 1, 1, 0, 0) in starts  # on-time data emitted
+
+
 def test_interval_join_batch_equivalence(spark, static_events, stream_events):
     # stream-stream interval join (bounded state) == the same range join
     # on the static frame.
