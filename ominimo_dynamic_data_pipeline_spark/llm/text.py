@@ -3,7 +3,9 @@ language ID, fingerprinting, term statistics, tf-idf.
 
 Everything here is pure Catalyst (split/explode/groupBy/higher-order
 functions) — no UDFs, so the hot path stays JVM-side and whole-stage
-codegen'd.  Token counting and profiling are narrow per-row projections;
+codegen'd.  The one exception is ``compression_ratio``: zlib has no
+Catalyst surface, so it uses the scalar Arrow pandas_udf escape hatch
+(batched, not per-row).  Token counting and profiling are narrow per-row projections;
 term/tf-idf statistics are classic explode->aggregate shapes whose shuffles
 carry (token, count) pairs, not documents.
 
@@ -12,6 +14,8 @@ than xxhash64 (Spark-specific), so the DuckDB oracle can verify them.
 """
 
 from __future__ import annotations
+
+import zlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -190,4 +194,43 @@ def tf_idf(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_k_per_doc)
         .select(id_col, "token", "tf", "df", "tfidf", "rn")
+    )
+
+
+def compression_ratio(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, n_bytes, compressed_bytes, compression_ratio) via a SCALAR
+    Arrow pandas_udf — the entropy-proxy quality signal LLM corpus filters
+    use (highly repetitive/boilerplate text compresses far below ~0.4;
+    random noise stays near 1.0).
+
+    zlib is genuinely inexpressible in Catalyst, so this is the correct
+    use of the scalar-UDF escape hatch: Arrow-batched columnar transfer,
+    one Python call per batch (not per row), deterministic output
+    (zlib level pinned).  Values are unit-pinned in tests; no SQL oracle
+    exists because DuckDB has no zlib surface (rows-only catalog entry).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # functional form: `from __future__ import annotations` stringifies
+    # the pd.Series hints, which the decorator cannot resolve here
+    compressed_len = pandas_udf(
+        lambda texts: texts.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ),
+        "int",
+    )
+
+    n_bytes = F.octet_length(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n_bytes.cast("bigint").alias("n_bytes"),
+        compressed_len(F.col(text_col)).cast("bigint").alias(
+            "compressed_bytes"
+        ),
+    ).withColumn(
+        "compression_ratio",
+        F.round(
+            F.col("compressed_bytes") / F.nullif(F.col("n_bytes"), F.lit(0)), 6
+        ),
     )

@@ -799,6 +799,17 @@ def q63_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q64 — compression-ratio quality signal (entropy proxy) via the scalar
+# Arrow pandas_udf escape hatch; zlib has no DuckDB surface -> rows-only
+# (values unit-pinned in tests/test_llm.py).
+# --------------------------------------------------------------------------
+@query("q64_compression_ratio")
+def q64_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.compression_ratio(d)
+
+
+# --------------------------------------------------------------------------
 # q58 — int8 embedding quantization (vector-store compression).  The
 # oracle replicates scale/codes/error exactly: max and abs are exact,
 # round() is half-away-from-zero in both engines, and the error fold runs

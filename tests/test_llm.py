@@ -325,6 +325,26 @@ def test_simhash_bucket_cap_sheds(spark):
     assert capped == 0
 
 
+def test_compression_ratio_pandas_udf(spark):
+    import zlib
+
+    rows = [
+        (0, "abc " * 200),          # highly repetitive -> tiny ratio
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),                    # empty -> null ratio (nullif guard)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in T.compression_ratio(df).collect()}
+    # deterministic: exact zlib level-6 byte counts
+    for i, txt in rows:
+        assert out[i]["compressed_bytes"] == len(
+            zlib.compress(txt.encode(), 6)
+        )
+    assert out[0]["compression_ratio"] < 0.05   # repetition compresses away
+    assert out[1]["compression_ratio"] > 0.8    # near-incompressible
+    assert out[2]["compression_ratio"] is None
+
+
 def test_quantize_int8_roundtrip_error_bound(spark):
     import math as m
 
