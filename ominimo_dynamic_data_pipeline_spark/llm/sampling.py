@@ -1,0 +1,91 @@
+"""Deterministic corpus sampling operators.
+
+Training-data pipelines need samples that are (a) reproducible across
+reruns and task retries — so never ``rand()`` without a seed, never
+``monotonically_increasing_id`` — and (b) balanced the way the curriculum
+needs, not the way the data happens to skew.  Both operators here derive
+their randomness from md5 of the row's stable id, which makes them
+portable (the DuckDB oracle recomputes the identical ordering) and safe
+under lineage recomputation, the same discipline as
+``operators.scale.salted_join``.
+
+  * ``hash_split`` — proportional Bernoulli-style split (each row lands
+    in a bucket independently); per-stratum counts are only *expected*
+    fractions.  Used by the q53 train/val catalog entry.
+  * ``stratified_quota_sample`` — EXACT per-stratum quotas: rank rows
+    within each stratum by a seeded md5 key and keep the top
+    ``ceil(fraction * stratum_size)``.  One window over the stratum key —
+    a single exchange, partitions bounded by stratum size.  This is the
+    rebalancing primitive for over-represented languages/sources in a
+    pre-training mix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_key(id_col: Column, seed: int) -> Column:
+    """Seeded, portable pseudo-random ordering key: md5 of "{seed}:{id}".
+    DuckDB twin: md5('{seed}:' || CAST(id AS VARCHAR))."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+
+
+def hash_split(
+    id_col: Column, fractions: dict[str, float], seed: int = 1337
+) -> Column:
+    """Label each row with a split name by hashing its id into [0, 100).
+    ``fractions`` maps name -> share (must sum to 1.0)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = (
+        F.conv(F.substring(sample_key(id_col, seed), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    expr = None
+    lo = 0.0
+    for name, frac in fractions.items():
+        hi = lo + frac * 100.0
+        cond = (bucket >= int(round(lo))) & (bucket < int(round(hi)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return expr.otherwise(list(fractions)[-1])
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    fraction: float = 0.2,
+    seed: int = 66,
+) -> DataFrame:
+    """Keep exactly ``ceil(fraction * n)`` rows per stratum, chosen by the
+    seeded md5 ordering (ties impossible — the key is unique per id).
+
+    Adds ``strat_rank`` (1-based rank within the stratum's sample order)
+    and ``stratum_docs`` (stratum size) columns.  Single window exchange
+    on ``strata_col``; a stratum's rows must fit a task's window buffer,
+    which holds whenever strata are languages/sources (each stratum is
+    itself huge at 100 TB, but the window only carries the narrow
+    (id, stratum, key) projection — for truly monster strata, pre-bin the
+    stratum by a hash prefix and sample per bin).
+    """
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError("fraction must be in (0, 1]")
+    from pyspark.sql.window import Window
+
+    key = sample_key(F.col(id_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    w_all = Window.partitionBy(strata_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.row_number().over(w).cast("bigint").alias("strat_rank"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("stratum_docs"),
+    )
+    quota = F.ceil(F.col("stratum_docs") * fraction)
+    return ranked.filter(F.col("strat_rank") <= quota)

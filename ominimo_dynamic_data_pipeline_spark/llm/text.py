@@ -234,3 +234,109 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
             F.col("compressed_bytes") / F.nullif(F.col("n_bytes"), F.lit(0)), 6
         ),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window token chunking — the pre-training step that turns
+    variable-length documents into fixed-budget training sequences
+    (size-token chunks every ``stride`` tokens, tail chunks kept short).
+
+    Shape: one staged token projection per doc (HOF-staging rule: the
+    token array is materialized before any lambda touches it), a
+    ``sequence``-generated start list, one posexplode — a narrow per-row
+    pipeline with NO shuffle, so it scales linearly with corpus bytes.
+    Output: (id, chunk_idx, tok_start, n_tokens, chunk_md5) — the md5 is
+    over the space-joined chunk text, so chunk-level exact dedup can run
+    directly on this frame.
+    """
+    if not (0 < stride <= size):
+        raise ValueError("require 0 < stride <= size")
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    staged = toks.select(
+        F.col(id_col),
+        "tk",
+        F.sequence(F.lit(0), F.size("tk") - 1, F.lit(stride)).alias("starts"),
+    )
+    exploded = staged.select(
+        F.col(id_col),
+        "tk",
+        F.posexplode("starts").alias("chunk_idx", "tok_start"),
+    )
+    chunked = exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("tok_start").cast("bigint").alias("tok_start"),
+        F.slice(F.col("tk"), F.col("tok_start") + 1, size).alias("chunk"),
+    )
+    return chunked.select(
+        F.col(id_col),
+        "chunk_idx",
+        "tok_start",
+        F.size("chunk").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality filters):
+    fraction of duplicate tokens / 2-grams / 3-grams, and the share of the
+    document taken by its single most frequent token.
+
+    Shape: posexplode tokens once, build the 2/3-grams with window
+    ``lead``s over the SAME (id, pos) ordering (one exchange on the doc
+    id), then two keyed aggregations — everything is keyed on the doc id,
+    so partitions stay bounded by document size at any corpus scale.
+    Zero-token documents produce no row (mirrored by the oracle).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lead1, lead2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    g2 = F.when(lead1.isNotNull(), F.concat_ws(" ", F.col("tok"), lead1))
+    g3 = F.when(
+        lead2.isNotNull(), F.concat_ws(" ", F.col("tok"), lead1, lead2)
+    )
+    grams = toks.select(
+        F.col(id_col), "tok", g2.alias("g2"), g3.alias("g3")
+    )
+    per_doc = grams.groupBy(id_col).agg(
+        F.count("tok").alias("n_tokens"),
+        F.countDistinct("tok").alias("nd_tok"),
+        F.count("g2").alias("n_g2"),
+        F.countDistinct("g2").alias("nd_g2"),
+        F.count("g3").alias("n_g3"),
+        F.countDistinct("g3").alias("nd_g3"),
+    )
+    top = (
+        grams.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_token_count"))
+    )
+
+    def dup_frac(n: Column, nd: Column) -> Column:
+        return F.when(n > 0, F.round(1.0 - nd / n, 6))
+
+    return per_doc.join(top, on=id_col).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        dup_frac(F.col("n_tokens"), F.col("nd_tok")).alias("dup_token_frac"),
+        dup_frac(F.col("n_g2"), F.col("nd_g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("n_g3"), F.col("nd_g3")).alias("dup_3gram_frac"),
+        F.round(F.col("top_token_count") / F.col("n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+    )

@@ -1093,3 +1093,115 @@ def q56_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
+
+
+# --------------------------------------------------------------------------
+# q65 — sliding-window token chunking (documents -> fixed-budget training
+# sequences).  No shuffle: token staging + sequence + posexplode is a
+# per-row pipeline; the md5 chunk fingerprint makes chunk-level exact
+# dedup a groupBy away.  Oracle rebuilds every chunk with DuckDB list
+# slicing (end-inclusive, clipped — same as Spark's slice(arr, pos, len)).
+# --------------------------------------------------------------------------
+_Q65_SIZE, _Q65_STRIDE = 64, 48
+
+
+@query(
+    "q65_doc_chunks",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    st AS (
+        SELECT doc_id, tk, unnest(range(0, len(tk), {_Q65_STRIDE})) AS tok_start
+        FROM toks WHERE len(tk) > 0
+    )
+    SELECT doc_id,
+           tok_start // {_Q65_STRIDE} AS chunk_idx,
+           tok_start,
+           least({_Q65_SIZE}, len(tk) - tok_start) AS n_tokens,
+           md5(array_to_string(tk[tok_start + 1 : tok_start + {_Q65_SIZE}], ' '))
+               AS chunk_md5
+    FROM st
+    """,
+)
+def q65_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.chunk_tokens(d, size=_Q65_SIZE, stride=_Q65_STRIDE)
+
+
+# --------------------------------------------------------------------------
+# q66 — stratified quota sampling: EXACT ceil(20%) of each language,
+# selected by a seeded md5 ordering so the sample is reproducible across
+# reruns/retries and recomputable by the oracle.  One window exchange.
+# --------------------------------------------------------------------------
+_Q66_FRAC, _Q66_SEED = 0.2, 66
+
+
+@query(
+    "q66_stratified_sample",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('{_Q66_SEED}:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS strat_rank,
+               COUNT(*) OVER (PARTITION BY lang) AS stratum_docs
+        FROM documents
+    )
+    SELECT doc_id, lang, strat_rank, stratum_docs
+    FROM ranked
+    WHERE strat_rank <= CEIL(stratum_docs * {_Q66_FRAC})
+    """,
+)
+def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_quota_sample(
+        d, strata_col="lang", fraction=_Q66_FRAC, seed=_Q66_SEED
+    )
+
+
+# --------------------------------------------------------------------------
+# q67 — within-document repetition signals (Gopher-style quality filters):
+# duplicate token / 2-gram / 3-gram fractions + most-frequent-token share.
+# Everything keyed on doc_id (one window + two keyed aggs), so partition
+# sizes are bounded by document length at any corpus scale.
+# --------------------------------------------------------------------------
+@query(
+    "q67_repetition_signals",
+    f"""
+    WITH t0 AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    toks AS (SELECT doc_id, tk FROM t0 WHERE len(tk) > 0),
+    grams AS (
+        SELECT doc_id,
+               len(tk) AS n_tokens,
+               len(list_distinct(tk)) AS nd_tok,
+               [concat_ws(' ', tk[i], tk[i+1]) for i in range(1, len(tk))]
+                   AS g2,
+               [concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+                for i in range(1, len(tk) - 1)] AS g3
+        FROM toks
+    ),
+    top AS (
+        SELECT doc_id, MAX(c) AS top_token_count FROM (
+            SELECT doc_id, u, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(tk) AS u FROM toks)
+            GROUP BY doc_id, u
+        ) GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           g.n_tokens,
+           ROUND(1.0 - nd_tok * 1.0 / n_tokens, 6) AS dup_token_frac,
+           CASE WHEN len(g2) > 0
+                THEN ROUND(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 6)
+                END AS dup_2gram_frac,
+           CASE WHEN len(g3) > 0
+                THEN ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+                END AS dup_3gram_frac,
+           ROUND(top_token_count * 1.0 / n_tokens, 6) AS top_token_frac
+    FROM grams g JOIN top USING (doc_id)
+    """,
+)
+def q67_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.repetition_signals(d)
