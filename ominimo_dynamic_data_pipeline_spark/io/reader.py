@@ -78,6 +78,16 @@ def read_source(spark: SparkSession, source: Mapping[str, Any]) -> DataFrame:
         # reads one row per file — raw-corpus ingestion for the text ops.
         reader = spark.read.options(**options)
         return reader.text(paths)
+    if fmt == "xml":
+        # Native XML source (Spark >= 4.0): one row per ``rowTag`` element,
+        # schema inferred unless declared.  rowTag defaults to "row" here so
+        # metadata stays minimal; nested elements land as structs/arrays and
+        # flow straight into normalize_fields' recursive flattening.
+        opts = {"rowTag": "row", **options}
+        reader = spark.read.format("xml").options(**opts)
+        if schema:
+            reader = reader.schema(schema)
+        return reader.load(paths)
     if fmt == "binaryfile":
         # Multimodal ingestion: (path, modificationTime, length, content)
         # rows; narrow with options.pathGlobFilter (e.g. "*.jpg").

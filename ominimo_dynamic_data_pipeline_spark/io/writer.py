@@ -45,6 +45,10 @@ def write_sink(df: DataFrame, sink: Mapping[str, Any]) -> None:
     if fmt == "csv":
         out = flatten_arrays_for_csv(out)
         options.setdefault("header", "true")
+    if fmt == "xml":
+        # Mirror the reader's default element name so a write->read
+        # roundtrip needs no extra options.
+        options.setdefault("rowTag", "row")
     if num_files:
         out = out.repartition(int(num_files))
 

@@ -39,6 +39,26 @@ def test_orc_roundtrip(spark, tmp_path):
     assert dict(back.dtypes)["id"] == "bigint"
 
 
+def test_xml_roundtrip_default_rowtag(spark, tmp_path):
+    # writer/reader share the "row" rowTag default; values survive the trip
+    back = _roundtrip(spark, tmp_path, "xml")
+    assert back.count() == 3
+    got = {(r["id"], r["k"], r["v"]) for r in back.collect()}
+    assert got == {(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)}
+
+
+def test_xml_nested_elements_become_structs(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, ("x", 2.0)), (2, ("y", 3.0))],
+        schema="id bigint, meta struct<name:string, score:double>",
+    )
+    path = str(tmp_path / "xmlnested")
+    write_sink(df, {"input": "x", "path": path, "format": "xml"})
+    back = read_source(spark, {"name": "x", "path": path, "format": "xml"})
+    assert dict(back.dtypes)["meta"].startswith("struct<")
+    assert back.filter(F.col("meta.name") == "y").count() == 1
+
+
 def test_json_roundtrip_with_declared_schema(spark, tmp_path):
     back = _roundtrip(
         spark, tmp_path, "json", schema="id bigint, k string, v double"
