@@ -159,6 +159,75 @@ def validated_split_writer(
     return write_batch
 
 
+def keyed_upsert_writer(
+    path: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    num_buckets: int = 16,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a latest-row-per-key parquet table
+    (streaming MERGE/upsert without a table format).
+
+    The table is partitioned by ``_bucket = pmod(hash(key), num_buckets)``
+    so each micro-batch rewrites ONLY the partitions its keys hash into
+    (``partitionOverwriteMode=dynamic``), never the whole table: per batch
+    the cost is O(touched buckets), and at scale ``num_buckets`` is sized
+    so a bucket is a few hundred MB.  Within a batch the winner per key is
+    the highest ``order_col`` row; across batches the stored row is
+    replaced whenever the key reappears — the classic CDC/compaction
+    shape.  Exactly-once comes from the streaming checkpoint plus the
+    idempotence of "overwrite partition with recomputed contents".
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn(
+                "_bucket",
+                F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets)),
+            )
+        )
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            touched = [
+                r["_bucket"]
+                for r in latest.select("_bucket").distinct().collect()
+            ]  # bounded by num_buckets — a driver-safe collect
+            keep = existing.filter(F.col("_bucket").isin(touched)).join(
+                latest.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            merged = keep.unionByName(latest)
+        else:
+            merged = latest
+        # Materialize BEFORE overwriting: the merged plan reads the same
+        # partitions the dynamic overwrite is about to replace.
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(path)
+        )
+
+    return write_batch
+
+
+def read_upserted(spark: SparkSession, path: str) -> DataFrame:
+    """Read the current state of a ``keyed_upsert_writer`` table (drops the
+    internal bucket column)."""
+    return spark.read.parquet(path).drop("_bucket")
+
+
 def interval_click_attribution(
     events: DataFrame,
     lookback: str = "1 hour",

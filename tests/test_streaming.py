@@ -263,3 +263,103 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
     for uid in got:
         assert got[uid]["n_events"] == batch[uid]["n_events"]
         assert abs(got[uid]["value_sum"] - batch[uid]["value_sum"]) < 1e-6
+
+
+def test_keyed_upsert_latest_wins_across_batches(spark, tmp_path):
+    # Two availableNow runs sharing a checkpoint = two ordered micro-batches.
+    # Batch 1 inserts users 1,2 (user 1 twice — higher ts must win inside
+    # the batch too); batch 2 updates user 2 and inserts user 3.
+    base_ns = 1_704_067_200 * 1_000_000_000
+    sec = 1_000_000_000
+    src_dir = tmp_path / "upsert_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "upsert_ckpt")
+    tbl = str(tmp_path / "user_state")
+    writer = ops.keyed_upsert_writer(
+        tbl, key_cols=["user_id"], order_col="ts", num_buckets=4
+    )
+
+    def run_batch(rows):
+        df = spark.createDataFrame(rows, ops.EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(str(src_dir))
+        stream = (
+            spark.readStream.schema(ops.EVENTS_SCHEMA)
+            .format("parquet")
+            .load(str(src_dir))
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_batch([
+        (10, base_ns, 1, "click", 10.0, "{}"),
+        (11, base_ns + 5 * sec, 1, "click", 11.0, "{}"),  # later -> wins
+        (12, base_ns + 1 * sec, 2, "click", 20.0, "{}"),
+    ])
+    run_batch([
+        (13, base_ns + 10 * sec, 2, "purchase", 25.0, "{}"),  # update
+        (14, base_ns + 11 * sec, 3, "click", 30.0, "{}"),     # insert
+    ])
+
+    state = {r["user_id"]: r for r in ops.read_upserted(spark, tbl).collect()}
+    assert sorted(state) == [1, 2, 3]           # one row per key
+    assert state[1]["value"] == 11.0            # in-batch latest won
+    assert state[2]["value"] == 25.0            # cross-batch update won
+    assert state[2]["event_type"] == "purchase"
+    assert state[3]["value"] == 30.0
+
+
+def test_tumbling_update_mode_emits_only_changed_windows(spark, tmp_path):
+    # Update mode re-emits ONLY the windows the trigger touched — the
+    # incremental contract complete mode cannot show.  Two availableNow
+    # runs on one checkpoint; run 2 adds a single event to window W2, so
+    # its foreachBatch must see exactly the updated W2 row.
+    base_ns = 1_704_067_200 * 1_000_000_000
+    minute_ns = 60 * 1_000_000_000
+    src_dir = tmp_path / "upd_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "upd_ckpt")
+    emitted: list[list] = []
+
+    def capture(batch_df, batch_id):
+        emitted.append(batch_df.collect())
+
+    def run(rows):
+        df = spark.createDataFrame(rows, ops.EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(str(src_dir))
+        stream = (
+            spark.readStream.schema(ops.EVENTS_SCHEMA)
+            .format("parquet")
+            .load(str(src_dir))
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = ops.tumbling_counts(stream, window="10 minutes",
+                                  watermark="30 minutes")
+        q = (
+            agg.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run([
+        (1, base_ns + 1 * minute_ns, 1, "click", 1.0, "{}"),    # W1
+        (2, base_ns + 11 * minute_ns, 1, "click", 1.0, "{}"),   # W2
+    ])
+    run1_batches = len(emitted)
+    run([
+        (3, base_ns + 12 * minute_ns, 1, "click", 1.0, "{}"),   # W2 again
+    ])
+
+    first = {(r["window_start"].minute, r["n_events"])
+             for batch in emitted[:run1_batches] for r in batch}
+    assert first == {(0, 1), (10, 1)}              # run 1 emitted W1 and W2
+    second = [r for batch in emitted[run1_batches:] for r in batch]
+    assert len(second) == 1                        # ONLY the changed window
+    assert second[0]["window_start"].minute == 10
+    assert second[0]["n_events"] == 2              # updated, not re-inserted
