@@ -18,10 +18,12 @@ def _merge(module) -> None:
     ORACLES.update(module.ORACLES)
 
 
+from ominimo_dynamic_data_pipeline_spark.queries import extensions as _ext
 from ominimo_dynamic_data_pipeline_spark.queries import llm as _llm
 from ominimo_dynamic_data_pipeline_spark.queries import windows_batch as _wb
 
 _merge(_llm)
 _merge(_wb)
+_merge(_ext)
 
 __all__ = ["QUERIES", "ORACLES", "load_tables"]

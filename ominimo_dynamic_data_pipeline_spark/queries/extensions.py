@@ -1,0 +1,427 @@
+"""Catalog extensions round 2b: aggregate-function breadth, distribution
+windows, unpivot/melt, an explicit Bloom-filter semi-join prefilter, SCD-1
+snapshot merge, and further training-data curation operators (unigram-LM
+quality scoring, per-source quotas, embedding centroids, skew-salted joins,
+blocklist scoring).
+
+Same conventions as queries/relational.py: every computed column aliased
+identically in Spark and DuckDB, doubles rounded in both engines where the
+aggregation order can differ, deterministic tie-breaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ominimo_dynamic_data_pipeline_spark.operators.bloom import (
+    bloom_build,
+    bloom_prefilter,
+)
+from ominimo_dynamic_data_pipeline_spark.queries.llm import SQL_TOKS
+from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# q68 — aggregate-function breadth: count_if / bool_and / bool_or / exact
+# median / max_by / min_by in ONE hash aggregate (single shuffle on a
+# 5-value key).  max_by/min_by carry a struct ordering key so ties are
+# deterministic; the DuckDB twin expresses them as row_number picks because
+# arg_max there cannot take a composite ordering value.
+# --------------------------------------------------------------------------
+@query(
+    "q68_agg_surface",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        FROM orders),
+    agg AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               count_if(o_totalprice > 250000) AS big_cnt,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_totalprice > 400000) AS any_giant,
+               ROUND(median(o_totalprice), 2) AS med_price
+        FROM orders GROUP BY o_orderpriority)
+    SELECT a.o_orderpriority, a.n_orders, a.big_cnt, a.all_positive,
+           a.any_giant, a.med_price,
+           mx.o_orderkey AS top_order, mn.o_orderkey AS bottom_order
+    FROM agg a
+    JOIN (SELECT o_orderpriority, o_orderkey FROM ranked WHERE rmax = 1) mx
+      USING (o_orderpriority)
+    JOIN (SELECT o_orderpriority, o_orderkey FROM ranked WHERE rmin = 1) mn
+      USING (o_orderpriority)
+    """,
+)
+def q68_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price, key = F.col("o_totalprice"), F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(price > 250000).alias("big_cnt"),
+        F.bool_and(price > 0).alias("all_positive"),
+        F.bool_or(price > 400000).alias("any_giant"),
+        F.round(F.median(price), 2).alias("med_price"),
+        F.max_by(key, F.struct(price, key)).alias("top_order"),
+        F.min_by(key, F.struct(price, key)).alias("bottom_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q69 — distribution window functions: percent_rank / cume_dist / nth_value
+# per market segment.  Unique (acctbal, custkey) ordering makes the default
+# RANGE frame equal to a ROWS frame, so nth_value is deterministic.  One
+# exchange on c_mktsegment serves all three functions.
+# --------------------------------------------------------------------------
+@query(
+    "q69_balance_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           nth_value(c_custkey, 3) OVER w AS third_poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q69_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 3).over(w).alias("third_poorest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q70 — wide-to-long unpivot (melt).  The wide frame is a one-shuffle
+# conditional aggregate; unpivot itself is a local Expand (rows * 5, no
+# shuffle) — the shape to prefer over 5 separate filtered aggregates.
+# --------------------------------------------------------------------------
+_PRIORITIES = [
+    ("1-URGENT", "p1_urgent"),
+    ("2-HIGH", "p2_high"),
+    ("3-MEDIUM", "p3_medium"),
+    ("4-NOT SPECIFIED", "p4_notspec"),
+    ("5-LOW", "p5_low"),
+]
+
+
+def _q70_sql() -> str:
+    wide = ", ".join(
+        f"count_if(o_orderpriority = '{val}') AS {alias}"
+        for val, alias in _PRIORITIES
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT o_orderstatus, '{alias}' AS priority, {alias} AS cnt FROM wide"
+        for _, alias in _PRIORITIES
+    )
+    return f"WITH wide AS (SELECT o_orderstatus, {wide} FROM orders GROUP BY o_orderstatus) {arms}"
+
+
+@query("q70_priority_mix_unpivot", _q70_sql())
+def q70_priority_mix_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        *[
+            F.count_if(F.col("o_orderpriority") == val).alias(alias)
+            for val, alias in _PRIORITIES
+        ]
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], [alias for _, alias in _PRIORITIES], "priority", "cnt"
+    )
+
+
+# --------------------------------------------------------------------------
+# q71 — Bloom-filter semi-join prefilter (operators/bloom.py): revenue of
+# lineitems belonging to >300k orders.  Build over the small key side
+# (bit_or word aggregate), broadcast 8 KiB, prefilter the fact side with a
+# codegen'd bit test, exact broadcast semi join removes false positives.
+# Result is exactly the plain semi join — the oracle proves it — while the
+# probe-side shuffle volume at 100 TB drops to ~the true selectivity.
+# --------------------------------------------------------------------------
+@query(
+    "q71_bloom_semi_revenue",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+    GROUP BY l_returnflag
+    """,
+)
+def q71_bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey")
+    )
+    bloom = bloom_build(big, "o_orderkey")
+    candidates = bloom_prefilter(l, "l_orderkey", bloom)
+    exact = candidates.join(
+        F.broadcast(big),
+        candidates["l_orderkey"] == big["o_orderkey"],
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q72 — SCD-1 snapshot merge (MERGE INTO semantics as a full-outer join):
+# base snapshot + change set (updates % 3 == 0 with +10% price, inserts with
+# shifted synthetic keys) -> coalesce per column + origin tag.  At scale the
+# change set is the small side: AQE picks a broadcast; the single full-outer
+# join IS the merge.  Price math is one double multiply — bit-identical
+# across engines, no rounding needed.
+# --------------------------------------------------------------------------
+@query(
+    "q72_snapshot_merge",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey % 3 <> 0),
+    changes AS (
+        SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+               'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, 'N'
+        FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+           COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+                WHEN c.o_orderkey IS NULL THEN 'kept'
+                ELSE 'updated' END AS origin
+    FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    """,
+)
+def q72_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = o.filter(key % 3 != 0).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    updates = o.filter(key % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = o.filter(key % 7 == 0).select(
+        (key + 100000000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    changes = updates.unionByName(inserts)
+    b, c = base.alias("b"), changes.alias("c")
+    merged = b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    return merged.select(
+        F.coalesce("c.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("c.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+        F.coalesce("c.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
+        F.when(F.col("b.o_orderkey").isNull(), "inserted")
+        .when(F.col("c.o_orderkey").isNull(), "kept")
+        .otherwise("updated")
+        .alias("origin"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q73 — unigram language-model quality score: corpus token counts (one
+# shuffle), scalar corpus total via broadcast, per-doc mean negative log
+# probability (second shuffle on token for the doc-term join).  The classic
+# cheap perplexity proxy for corpus filtering; high scores = rare-token
+# documents.  Rounded(5): the per-doc mean is an order-dependent double sum.
+# --------------------------------------------------------------------------
+@query(
+    "q73_unigram_logprob",
+    f"""
+    WITH doc_toks AS (
+        SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM doc_toks GROUP BY token),
+    total AS (SELECT SUM(cnt) AS tot FROM counts)
+    SELECT d.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-LN(c.cnt / t.tot)), 5) AS avg_neg_logp
+    FROM doc_toks d JOIN counts c USING (token) CROSS JOIN total t
+    GROUP BY d.doc_id
+    """,
+)
+def q73_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = doc_toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    scored = doc_toks.join(counts, "token").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(-F.log(F.col("cnt") / F.col("tot"))), 5).alias(
+            "avg_neg_logp"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q74 — per-source quota curation (the per-domain cap of web-corpus
+# pipelines): drop blocklisted sources, keep the first 15 docs per source by
+# doc_id.  Single exchange on source; the window top-k never materializes
+# dropped rows.
+# --------------------------------------------------------------------------
+@query(
+    "q74_source_quota",
+    """
+    SELECT doc_id, source, kept_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS kept_rank
+        FROM documents WHERE source NOT IN ('src13', 'src7'))
+    WHERE kept_rank <= 15
+    """,
+)
+def q74_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.filter(~F.col("source").isin("src13", "src7"))
+        .select("doc_id", "source", F.row_number().over(w).alias("kept_rank"))
+        .filter(F.col("kept_rank") <= 15)
+    )
+
+
+# --------------------------------------------------------------------------
+# q75 — per-label embedding centroids (semantic-dedup / clustering building
+# block): posexplode each vector once, average per (label, dim).  Exploded
+# layout instead of array output keeps the result oracle-hashable and the
+# aggregation a plain map-side-combinable hash agg (640 groups).  The DuckDB
+# twin zips unnest with generate_subscripts (1-based, matching pos+1).
+# --------------------------------------------------------------------------
+@query(
+    "q75_embedding_centroids",
+    """
+    WITH expl AS (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS val
+        FROM embeddings)
+    SELECT label, dim, ROUND(AVG(val), 6) AS centroid, COUNT(*) AS n_vecs
+    FROM expl GROUP BY label, dim
+    """,
+)
+def q75_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "val")
+    )
+    return (
+        expl.groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q76 — skew-salted join in the catalog: event revenue by customer segment
+# through operators.scale.salted_join (deterministic content-derived salt,
+# right side replicated salt_factor ways).  The oracle is the plain join —
+# proving salting preserves join semantics exactly.
+# --------------------------------------------------------------------------
+@query(
+    "q76_salted_segment_revenue",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q76_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        e, c.withColumnRenamed("c_custkey", "user_id"), on="user_id", salt_factor=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q77 — blocklist scoring (toxicity-style wordlist filter): hit count with
+# multiplicity over normalized tokens, ratio, verdict.  Pure higher-order
+# expressions over a staged token array — no shuffle at all (the narrow
+# filter/projection shape that runs at parquet-scan speed at 100 TB).
+# --------------------------------------------------------------------------
+_BLOCKLIST = ["slow", "crash", "big", "fail"]
+
+
+def _q77_sql() -> str:
+    lits = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents)
+    SELECT doc_id,
+           LEN(tk) AS n_tokens,
+           LEN(list_filter(tk, t -> list_contains([{lits}], t))) AS block_hits,
+           ROUND(LEN(list_filter(tk, t -> list_contains([{lits}], t)))
+                 / GREATEST(LEN(tk), 1), 6) AS block_ratio,
+           LEN(list_filter(tk, t -> list_contains([{lits}], t)))
+               / GREATEST(LEN(tk), 1) > 0.05 AS flagged
+    FROM toks
+    """
+
+
+@query("q77_blocklist_score", _q77_sql())
+def q77_blocklist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    staged = d.select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    ).withColumn("hits", F.size(F.filter("tk", lambda t: F.array_contains(bl, t))))
+    ratio = F.col("hits") / F.greatest(F.size("tk"), F.lit(1))
+    return staged.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.col("hits").cast("bigint").alias("block_hits"),
+        F.round(ratio, 6).alias("block_ratio"),
+        (ratio > 0.05).alias("flagged"),
+    )
