@@ -425,3 +425,71 @@ def q77_blocklist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("block_ratio"),
         (ratio > 0.05).alias("flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — contingency table via df.stat.crosstab (pairwise frequency matrix):
+# one shuffle on the pair, pivoted to a wide count matrix.  Output column
+# names are the priority values themselves, so the oracle builds the same
+# wide shape with quoted conditional-count aliases.
+# --------------------------------------------------------------------------
+def _q78_sql() -> str:
+    cols = ", ".join(
+        f"""count_if(o_orderpriority = '{val}') AS "{val}" """
+        for val, _ in _PRIORITIES
+    )
+    return f"SELECT o_orderstatus, {cols} FROM orders GROUP BY o_orderstatus"
+
+
+@query("q78_status_priority_crosstab", _q78_sql())
+def q78_status_priority_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    return ct.withColumnRenamed("o_orderstatus_o_orderpriority", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# q79 — time-hierarchy rollup (the hypertable year/month/day pattern):
+# GROUP BY ROLLUP over extracted date parts gives daily, monthly, yearly and
+# grand-total rows in ONE pass — Expand + a single hash-agg shuffle instead
+# of four scans.  Date parts are never null here, so rollup nulls
+# unambiguously mark subtotal levels (lvl column pins the semantics).
+# --------------------------------------------------------------------------
+@query(
+    "q79_event_time_rollup",
+    """
+    SELECT date_part('year', ts)  AS y,
+           date_part('month', ts) AS m,
+           date_part('day', ts)   AS d,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value,
+           (CASE WHEN d IS NULL THEN 1 ELSE 0 END
+            + CASE WHEN m IS NULL THEN 1 ELSE 0 END
+            + CASE WHEN y IS NULL THEN 1 ELSE 0 END) AS lvl
+    FROM events
+    GROUP BY ROLLUP (y, m, d)
+    """,
+)
+def q79_event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    parts = e.select(
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("m"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        "value",
+    )
+    lvl = (
+        F.when(F.col("d").isNull(), 1).otherwise(0)
+        + F.when(F.col("m").isNull(), 1).otherwise(0)
+        + F.when(F.col("y").isNull(), 1).otherwise(0)
+    )
+    return (
+        parts.rollup("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn("lvl", lvl.cast("int"))
+    )

@@ -228,6 +228,46 @@ def read_upserted(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("_bucket")
 
 
+def enriched_segment_counts(
+    events: DataFrame,
+    customer_dim: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed aggregate: each micro-batch
+    joins against the (broadcast-size) static dimension — no state is kept
+    for the static side, and the dimension is re-read per batch, so slowly
+    changing dims pick up updates between batches.  Works on static frames
+    too (batch-equivalence tests).
+
+    At scale: the static side should be broadcast (small dim) or a bucketed
+    table co-located with the stream's shuffle; state is bounded by the
+    windowed aggregate's watermark, not by the join.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    dim = F.broadcast(
+        customer_dim.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return (
+        src.join(dim, "user_id")
+        .groupBy(F.window("ts", window).alias("win"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def interval_click_attribution(
     events: DataFrame,
     lookback: str = "1 hour",

@@ -1,0 +1,45 @@
+"""df.stat surface: approxQuantile honors its error bound against the exact
+percentile, freqItems finds an injected heavy hitter, sampleBy respects
+per-stratum fractions.  These are the approximate counterparts of the exact
+stats operators (operators/stats.py) for the 100 TB posture, where exact
+percentiles/distinct counts are a full sort/shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+
+def test_approx_quantile_within_declared_error(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    rel_err = 0.01
+    approx = o.stat.approxQuantile("o_totalprice", [0.5], rel_err)[0]
+    n = o.count()
+    # the guarantee is on rank error: the returned value's rank must lie
+    # within (0.5 +/- rel_err) * n
+    rank = o.filter(F.col("o_totalprice") <= approx).count()
+    assert abs(rank - 0.5 * n) <= rel_err * n + 1
+
+
+def test_freq_items_finds_injected_heavy_hitter(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    hot = spark.range(0, o.count()).select(F.lit(-7).alias("o_custkey"))
+    skewed = o.unionByName(hot)  # -7 now holds >= 50% of all rows
+    items = skewed.stat.freqItems(["o_custkey"], support=0.3).collect()[0][0]
+    assert -7 in items
+
+
+def test_sample_by_respects_stratum_fractions(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    fractions = {"F": 0.5, "O": 0.1, "P": 1.0}
+    sampled = o.stat.sampleBy("o_orderstatus", fractions, seed=42)
+    got = {r["o_orderstatus"]: r["n"] for r in
+           sampled.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["o_orderstatus"]: r["n"] for r in
+            o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for status, frac in fractions.items():
+        if full.get(status, 0) < 50:
+            continue  # too small to assert a ratio
+        ratio = got.get(status, 0) / full[status]
+        assert abs(ratio - frac) < 0.15, (status, ratio, frac)

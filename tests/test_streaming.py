@@ -363,3 +363,14 @@ def test_tumbling_update_mode_emits_only_changed_windows(spark, tmp_path):
     assert len(second) == 1                        # ONLY the changed window
     assert second[0]["window_start"].minute == 10
     assert second[0]["n_events"] == 2              # updated, not re-inserted
+
+
+def test_stream_static_enrichment_batch_equivalence(spark, sf_dir, static_events, stream_events):
+    dim = load_table(spark, sf_dir, "customer")
+    streamed = ops.run_to_completion(
+        ops.enriched_segment_counts(stream_events, dim), "t_enrich"
+    )
+    batch = ops.enriched_segment_counts(static_events, dim)
+    cols = ["window_start", "c_mktsegment", "n_events", "value_sum"]
+    assert _collect_sorted(streamed, cols) == _collect_sorted(batch, cols)
+    assert streamed.count() > 0
