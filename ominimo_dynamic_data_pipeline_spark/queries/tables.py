@@ -26,12 +26,19 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is TIMESTAMP(NANOS) parquet, surfaced as epoch-nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; convert to a microsecond
-        # timestamp (integer division — double division would lose precision
-        # on ~1.7e18 nanos).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # events.ts as TIMESTAMP(NANOS) parquet, surfaced as epoch-nanos
+            # via spark.sql.legacy.parquet.nanosAsLong; convert to a
+            # microsecond timestamp (integer division — double division
+            # would lose precision on ~1.7e18 nanos).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Session tz is pinned to UTC, so this cast is value-preserving;
+            # plain TIMESTAMP is required by streaming watermarks and keeps
+            # one temporal type across the whole engine.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -26,6 +26,9 @@ from typing import Any, Callable, Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Synthetic-fixture schema (epoch-nanos ts as bigint) used by tests that
+# write their own event files; the real testdata schema is read from the
+# parquet footer in read_events_stream.
 EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
@@ -33,17 +36,30 @@ EVENTS_SCHEMA = (
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts arrives as epoch
-    nanos via nanosAsLong; converted exactly like the batch loader)."""
+    """File-source stream over the events parquet.
+
+    The stream schema is taken from the parquet footer (one driver-side
+    metadata read) so the reader tracks the generator: ``ts`` may arrive
+    as a native TIMESTAMP or as epoch-nanos bigint (nanosAsLong), and the
+    conversion mirrors the batch loader exactly.
+    """
     # The file stream source requires a directory; pathGlobFilter narrows it
     # to the events file within the scale-factor dir.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+        # cast is value-preserving and matches the batch loader.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(
