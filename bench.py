@@ -6,12 +6,15 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced with the noop sink (full computation of every output
-column, no driver-side materialization cost).  A full warm-up pass runs
-every query once first: whole-stage-codegen compilation + JIT is a one-time
-~2-4s cost per unique plan shape that would otherwise dominate sub-second
-queries (measured: q17 first run 4.5s, steady state 0.22s).  The timed pass
-therefore reports steady-state throughput, which is the quantity that
-scales to the 100 TB posture.
+column, no driver-side materialization cost).  Each query runs twice
+back-to-back and the SECOND run is timed: whole-stage-codegen compilation +
+JIT is a one-time ~2-4s cost per unique plan shape that would otherwise
+dominate sub-second queries (measured: q17 first run 4.5s, steady state
+0.22s).  Warm-up must be per-query, not a separate full pass: the JVM's
+generated-class cache holds ~100 entries, so with 79 queries x several
+codegen stages a global warm-up pass is evicted before the timed pass
+reaches it.  The timed number is steady-state throughput, the quantity
+that scales to the 100 TB posture.
 """
 
 from __future__ import annotations
@@ -41,11 +44,9 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    for fn in QUERIES.values():  # warm-up: codegen/JIT compile each plan
-        force(fn(spark, sf_dir))
-
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        force(fn(spark, sf_dir))  # warm-up: codegen/JIT compile this plan
         start = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)

@@ -1,0 +1,363 @@
+"""Catalog extensions round 2c: bigram language-model scoring, correlated
+scalar-subquery decorrelation, multi-join market-share analytics, robust
+(median/MAD) outlier detection, per-source language-mix entropy, and
+span(chunk)-level cross-document dedup signals.
+
+Same conventions as queries/relational.py: every computed column aliased
+identically in Spark and DuckDB, doubles rounded in both engines where the
+accumulation order can differ, deterministic tie-breaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ominimo_dynamic_data_pipeline_spark.llm.text import tokens
+from ominimo_dynamic_data_pipeline_spark.queries.llm import SQL_TOKS
+from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# q80 — bigram language-model quality score (add-one smoothing): the next
+# step up from q73's unigram proxy and the classic cheap stand-in for
+# model-based perplexity filtering.  Bigrams come from zipping two slices of
+# the token array (no posexplode + window shuffle); corpus bigram counts are
+# one shuffle on (w1, w2), context counts reduce from the already-aggregated
+# bigram counts (not from raw instances), vocabulary size is a broadcast
+# scalar.  Scoring joins shuffle on the bigram key, then one aggregate on
+# doc_id.  Rounded(5): the per-doc mean is an order-dependent double sum.
+# --------------------------------------------------------------------------
+@query(
+    "q80_bigram_logprob",
+    f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    bg AS (
+        SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+        FROM tk WHERE len(tk) >= 2),
+    cbg AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    cctx AS (SELECT w1, SUM(c) AS ctx FROM cbg GROUP BY w1),
+    vocab AS (
+        SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT unnest(tk) AS w FROM tk))
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(-LN((cbg.c + 1.0) / (cctx.ctx + vocab.v))), 5)
+               AS avg_neg_logp
+    FROM bg b
+    JOIN cbg USING (w1, w2)
+    JOIN cctx USING (w1)
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+)
+def q80_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    pairs = F.arrays_zip(
+        F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
+        F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
+    )
+    bg = tk.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cctx = cbg.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    vocab = (
+        tk.select(F.explode("tk").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(-F.log((F.col("c") + 1.0) / (F.col("ctx") + F.col("v")))), 5
+        ).alias("avg_neg_logp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 — correlated scalar subquery through the SQL front end: parts priced
+# >5% above their brand's average.  Catalyst decorrelates the subquery into
+# ONE aggregate + join (not a per-row subplan); the DuckDB twin runs the
+# identical SQL text.  Exercises the engine's second (SQL) front end the way
+# q39 does for GROUPING SETS.
+# --------------------------------------------------------------------------
+_Q81_SQL = """
+    SELECT p_partkey, p_brand, retail, ROUND(brand_avg, 4) AS brand_avg
+    FROM (
+        SELECT p.p_partkey, p.p_brand,
+               ROUND(p.p_retailprice, 2) AS retail,
+               p.p_retailprice AS rp,
+               (SELECT AVG(p2.p_retailprice) FROM {part} p2
+                WHERE p2.p_brand = p.p_brand) AS brand_avg
+        FROM {part} p)
+    WHERE rp > 1.05 * brand_avg
+"""
+
+
+@query("q81_above_brand_avg", _Q81_SQL.format(part="part"))
+def q81_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v81")
+    return spark.sql(_Q81_SQL.format(part="part_v81"))
+
+
+# --------------------------------------------------------------------------
+# q82 — nation market share of regional revenue per order year (TPC-H
+# Q8-flavored).  Join shape at scale: lineitem⋈orders shuffles on orderkey,
+# orders⋈customer shuffles on custkey, nation/region broadcast; the share
+# divides each (region, nation, year) revenue by the (region, year) total
+# via a window over the already-aggregated frame (25 x |years| rows — no
+# second scan).  Revenue rounded(2), share rounded(6).
+# --------------------------------------------------------------------------
+@query(
+    "q82_market_share",
+    """
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               EXTRACT(year FROM o.o_orderdate) AS order_year,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name, EXTRACT(year FROM o.o_orderdate))
+    SELECT region, nation, CAST(order_year AS BIGINT) AS order_year,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region, order_year),
+                 6) AS share
+    FROM rev
+    """,
+)
+def q82_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("region", "order_year")
+    return rev.select(
+        "region",
+        "nation",
+        "order_year",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q83 — robust per-source outlier report on documents.n_chars: median and
+# MAD (median absolute deviation), outliers = |x - med| > 3 * 1.4826 * MAD.
+# Median/MAD resist the heavy tails that break mean/stddev z-scores on web
+# corpora.  Exact interpolated percentiles (Spark `percentile` == DuckDB
+# `quantile_cont`), two grouped aggregations with the tiny per-source stats
+# broadcast back — never a full re-sort.  Output is one row per source.
+# --------------------------------------------------------------------------
+@query(
+    "q83_robust_outliers",
+    """
+    WITH med AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med
+        FROM documents GROUP BY source),
+    dev AS (
+        SELECT d.source, d.n_chars, m.med,
+               ABS(d.n_chars - m.med) AS adev
+        FROM documents d JOIN med m USING (source)),
+    mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY source)
+    SELECT dev.source,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(dev.med), 4) AS med_chars,
+           ROUND(MIN(mad.mad), 4) AS mad_chars,
+           CAST(SUM(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (source)
+    GROUP BY dev.source
+    """,
+)
+def q83_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    med = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = d.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("med"), 4).alias("med_chars"),
+            F.round(F.min("mad"), 4).alias("mad_chars"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q84 — per-source language-mix report: Shannon entropy of the language
+# distribution plus the dominant language (deterministic tie-break: highest
+# count, then lexicographically LAST language — max of a (cnt, lang)
+# struct).  Mixed-language sources are curation red flags.  Two hash
+# aggregates on tiny keys; the window runs over the 50x5 aggregated frame.
+# --------------------------------------------------------------------------
+@query(
+    "q84_source_lang_entropy",
+    """
+    WITH cl AS (
+        SELECT source, lang, COUNT(*) AS cnt
+        FROM documents GROUP BY source, lang),
+    tot AS (SELECT source, SUM(cnt) AS n_docs FROM cl GROUP BY source),
+    ranked AS (
+        SELECT source, lang, cnt,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, lang DESC) AS rn
+        FROM cl)
+    SELECT c.source,
+           CAST(MIN(t.n_docs) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_langs,
+           ROUND(-SUM((c.cnt * 1.0 / t.n_docs)
+                      * LN(c.cnt * 1.0 / t.n_docs)), 6) AS lang_entropy,
+           MIN(r.lang) AS dominant_lang
+    FROM cl c
+    JOIN tot t USING (source)
+    JOIN ranked r ON r.source = c.source AND r.rn = 1
+    GROUP BY c.source
+    """,
+)
+def q84_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source")
+    p = F.col("cnt") / F.sum("cnt").over(w)
+    tagged = cl.select(
+        "source",
+        "lang",
+        "cnt",
+        F.sum("cnt").over(w).alias("n_docs"),
+        (-p * F.log(p)).alias("term"),
+        F.struct(F.col("cnt"), F.col("lang")).alias("ranked"),
+    )
+    return tagged.groupBy("source").agg(
+        F.min("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(F.sum("term"), 6).alias("lang_entropy"),
+        F.max("ranked").getField("lang").alias("dominant_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q85 — span-level duplicate detection (Lee et al. 2021's substring dedup,
+# chunk granularity): each document is cut into non-overlapping 16-token
+# chunks; a chunk found verbatim in >= 2 distinct documents is a duplicated
+# span, and each doc reports its duplicated-span fraction — the "rewrite or
+# drop" signal of corpus curation.  One shuffle groups chunks (at 100 TB the
+# group key would be xxhash64(chunk), fixed width, same plan shape), one
+# shuffle re-aggregates per doc.  Chunking is a staged transform over
+# sequence+slice — no posexplode/window pass.
+# --------------------------------------------------------------------------
+_CHUNK = 16
+
+
+@query(
+    "q85_chunk_dedup",
+    f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    ch AS (
+        SELECT doc_id,
+               unnest([list_aggregate(tk[i:i + {_CHUNK} - 1], 'string_agg', ' ')
+                       for i in range(1, len(tk) + 1, {_CHUNK})]) AS chunk
+        FROM tk WHERE len(tk) > 0),
+    cc AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs
+           FROM ch GROUP BY chunk)
+    SELECT ch.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN cc.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks,
+           ROUND(SUM(CASE WHEN cc.ndocs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS dup_frac
+    FROM ch JOIN cc USING (chunk)
+    GROUP BY ch.doc_id
+    """,
+)
+def q85_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.floor((F.size("tk") - 1) / F.lit(_CHUNK)).cast("int")
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("tk"), i * _CHUNK + 1, _CHUNK)
+        ),
+    )
+    ch = tk.select("doc_id", F.explode(chunks).alias("chunk"))
+    cc = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("ndocs"))
+    dup = F.when(F.col("ndocs") >= 2, 1).otherwise(0)
+    return (
+        ch.join(cc, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).alias("dup_chunks"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+    )

@@ -18,6 +18,7 @@ def _merge(module) -> None:
     ORACLES.update(module.ORACLES)
 
 
+from ominimo_dynamic_data_pipeline_spark.queries import analytics as _an
 from ominimo_dynamic_data_pipeline_spark.queries import extensions as _ext
 from ominimo_dynamic_data_pipeline_spark.queries import llm as _llm
 from ominimo_dynamic_data_pipeline_spark.queries import windows_batch as _wb
@@ -25,5 +26,6 @@ from ominimo_dynamic_data_pipeline_spark.queries import windows_batch as _wb
 _merge(_llm)
 _merge(_wb)
 _merge(_ext)
+_merge(_an)
 
 __all__ = ["QUERIES", "ORACLES", "load_tables"]
