@@ -306,10 +306,13 @@ def q84_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chunk granularity): each document is cut into non-overlapping 16-token
 # chunks; a chunk found verbatim in >= 2 distinct documents is a duplicated
 # span, and each doc reports its duplicated-span fraction — the "rewrite or
-# drop" signal of corpus curation.  One shuffle groups chunks (at 100 TB the
-# group key would be xxhash64(chunk), fixed width, same plan shape), one
-# shuffle re-aggregates per doc.  Chunking is a staged transform over
-# sequence+slice — no posexplode/window pass.
+# drop" signal of corpus curation.  The duplicate test is a WINDOW over the
+# chunk key — "appears in >= 2 distinct docs" is exactly min(doc_id) !=
+# max(doc_id), which window-computes in one exchange where a
+# countDistinct-then-join-back would scan and chunk the corpus text TWICE
+# (both join inputs re-derive the explode; no exchange reuse).  Total: one
+# text scan, one Generate, exchanges on chunk then doc_id.  At 100 TB the
+# window key would be xxhash64(chunk) — fixed width, same plan shape.
 # --------------------------------------------------------------------------
 _CHUNK = 16
 
@@ -323,16 +326,18 @@ _CHUNK = 16
                unnest([list_aggregate(tk[i:i + {_CHUNK} - 1], 'string_agg', ' ')
                        for i in range(1, len(tk) + 1, {_CHUNK})]) AS chunk
         FROM tk WHERE len(tk) > 0),
-    cc AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs
-           FROM ch GROUP BY chunk)
-    SELECT ch.doc_id,
+    flagged AS (
+        SELECT doc_id,
+               CASE WHEN MIN(doc_id) OVER (PARTITION BY chunk)
+                         <> MAX(doc_id) OVER (PARTITION BY chunk)
+                    THEN 1 ELSE 0 END AS dup
+        FROM ch)
+    SELECT doc_id,
            COUNT(*) AS n_chunks,
-           CAST(SUM(CASE WHEN cc.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS dup_chunks,
-           ROUND(SUM(CASE WHEN cc.ndocs >= 2 THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 6) AS dup_frac
-    FROM ch JOIN cc USING (chunk)
-    GROUP BY ch.doc_id
+           CAST(SUM(dup) AS BIGINT) AS dup_chunks,
+           ROUND(SUM(dup) * 1.0 / COUNT(*), 6) AS dup_frac
+    FROM flagged
+    GROUP BY doc_id
     """,
 )
 def q85_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,14 +355,16 @@ def q85_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     ch = tk.select("doc_id", F.explode(chunks).alias("chunk"))
-    cc = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("ndocs"))
-    dup = F.when(F.col("ndocs") >= 2, 1).otherwise(0)
+    w = Window.partitionBy("chunk")
+    dup = (
+        F.min("doc_id").over(w) != F.max("doc_id").over(w)
+    ).cast("int")
     return (
-        ch.join(cc, "chunk")
+        ch.select("doc_id", dup.alias("dup"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(dup).alias("dup_chunks"),
-            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_frac"),
+            F.sum("dup").alias("dup_chunks"),
+            F.round(F.sum("dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
         )
     )

@@ -118,3 +118,44 @@ def test_q15_asof_is_single_exchange_no_join(q):
     assert "Join" not in p
     assert "In(event_type, [click,purchase])" in p  # filter pushed to scan
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q80_bigrams_have_no_window_pass(q):
+    # bigrams come from zipping two array slices — a Window/posexplode
+    # formulation would add a per-doc sort + exchange before the explode
+    p = plan_of(q("q80_bigram_logprob"))
+    assert "Window" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_q81_subquery_fully_decorrelated(q):
+    # the correlated scalar subquery must become aggregate + broadcast
+    # joins, never a per-row subplan
+    p = plan_of(q("q81_above_brand_avg"))
+    assert "Subquery" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q82_dims_broadcast(q):
+    # nation and region broadcast; only the fact-side joins may shuffle
+    p = plan_of(q("q82_market_share"))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q83_q84_scan_only_needed_columns(q):
+    # robust stats read (source, n_chars); entropy reads (source, lang) —
+    # the wide text column must never reach either scan
+    assert "ReadSchema: struct<source:string,n_chars:bigint>" in plan_of(
+        q("q83_robust_outliers")
+    )
+    assert "ReadSchema: struct<lang:string,source:string>" in plan_of(
+        q("q84_source_lang_entropy")
+    )
+
+
+def test_q85_chunking_is_single_generate(q):
+    # non-overlapping chunks explode once; no join back to the raw text
+    p = plan_of(q("q85_chunk_dedup"))
+    assert p.count("Generate (") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
