@@ -368,3 +368,44 @@ def q85_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q86 — semi-structured access through the VARIANT type (Spark 4): props
+# parses ONCE into the binary variant encoding, then typed variant_get
+# extraction feeds a width-10 histogram per event type.  At scale this is
+# the ingest-pattern for JSON columns — parse at the scan boundary, store
+# variant, never re-parse strings per query (q16 is the legacy
+# get_json_object twin).  One hash aggregate on a (type, bucket) key.
+# --------------------------------------------------------------------------
+@query(
+    "q86_variant_histogram",
+    """
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                // 10 AS BIGINT) AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max
+    FROM events
+    GROUP BY event_type, k_bucket
+    """,
+)
+def q86_variant_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type", F.floor(F.col("k") / 10).alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

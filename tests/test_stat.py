@@ -43,3 +43,26 @@ def test_sample_by_respects_stratum_fractions(spark, sf_dir):
             continue  # too small to assert a ratio
         ratio = got.get(status, 0) / full[status]
         assert abs(ratio - frac) < 0.15, (status, ratio, frac)
+
+
+def test_observed_stats_match_dedicated_pass(spark, sf_dir, tmp_path):
+    from ominimo_dynamic_data_pipeline_spark.operators.stats import (
+        compute_field_stats,
+        observe_field_stats,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_orderstatus",
+    )
+    observed, finish = observe_field_stats(o)
+    # the metrics ride along with the sink action — no dedicated stats job
+    observed.write.mode("overwrite").format("noop").save()
+    doc = finish()
+    expected = compute_field_stats(o, approx=True)
+    assert doc == expected
+    assert doc["total_records"] > 0
+    assert doc["fields"]["o_totalprice"]["null_count"] == 0
+    assert "min_date" in doc["fields"]["o_orderdate"]
