@@ -36,6 +36,10 @@ class StatsRequest:
     ok_input: str | None
     ko_input: str | None
     approx: bool = False
+    # "job" = dedicated single-pass aggregation; "observe" = ride along as
+    # query observation metrics on the sink write (zero extra scans; falls
+    # back to "job" when no sink action consumes the frame)
+    mode: str = "job"
 
 
 @dataclass
@@ -148,8 +152,14 @@ def _op_compute_stats(ctx: CompileContext, step: Mapping[str, Any]) -> None:
             ok_input=params.get("ok_input"),
             ko_input=params.get("ko_input"),
             approx=params.get("approx", False),
+            mode=params.get("mode", "job"),
         )
     )
+    if params.get("mode", "job") not in ("job", "observe"):
+        raise ValueError(
+            f"compute_stats mode must be 'job' or 'observe', "
+            f"got {params.get('mode')!r}"
+        )
     ctx.put(step["name"], ctx.get(in_name))
 
 

@@ -28,6 +28,7 @@ from ominimo_dynamic_data_pipeline_spark.operators.registry import (
 from ominimo_dynamic_data_pipeline_spark.operators.stats import (
     compute_field_stats,
     compute_validation_stats,
+    observe_field_stats,
     write_stats_sidecar,
 )
 
@@ -75,6 +76,18 @@ def compile_dataflow(
     return CompiledDataflow(dataflow=flow, ctx=ctx)
 
 
+def _finalize_stats_doc(doc, req, ctx, result, stats_clock) -> None:
+    """Attach validation stats, write the sidecar, record on the result."""
+    if req.include_validation_stats and req.ok_input and req.ko_input:
+        ok = ctx.frames.get(req.ok_input)
+        ko = ctx.frames.get(req.ko_input)
+        if ok is not None and ko is not None:
+            doc["validation_stats"] = compute_validation_stats(ok, ko)
+    write_stats_sidecar(doc, req.stats_name, req.output_path, stats_clock)
+    doc["stats_name"] = req.stats_name
+    result.stats[req.stats_name] = doc
+
+
 def run_dataflow(
     compiled: CompiledDataflow,
     write: bool = True,
@@ -97,19 +110,33 @@ def run_dataflow(
                 ctx.frames[name] = ctx.frames[name].cache()
                 cached.append(ctx.frames[name])
 
+    # mode="observe" stats ride along with the sink write: swap the sink's
+    # input frame for the observed twin, collect metrics after the write.
+    # Only valid when a sink action will actually consume the frame —
+    # otherwise fall back to the dedicated-job path.
+    sink_inputs = {
+        s["input"] for s in compiled.dataflow.get("sinks", []) or []
+    }
+    observed_finishes: list[tuple[Any, Callable[[], dict[str, Any]]]] = []
+
     try:
         for req in ctx.deferred_stats:
+            observable = (
+                req.mode == "observe" and write and req.input_name in sink_inputs
+            )
+            if observable:
+                observed, finish = observe_field_stats(
+                    ctx.get(req.input_name), req.fields
+                )
+                ctx.frames[req.input_name] = observed
+                observed_finishes.append((req, finish))
+                continue
             doc = compute_field_stats(
                 ctx.get(req.input_name), req.fields, approx=req.approx
             )
-            if req.include_validation_stats and req.ok_input and req.ko_input:
-                ok = ctx.frames.get(req.ok_input)
-                ko = ctx.frames.get(req.ko_input)
-                if ok is not None and ko is not None:
-                    doc["validation_stats"] = compute_validation_stats(ok, ko)
-            write_stats_sidecar(doc, req.stats_name, req.output_path, stats_clock)
-            doc["stats_name"] = req.stats_name
-            result.stats[req.stats_name] = doc
+            _finalize_stats_doc(
+                doc, req, ctx, result, stats_clock
+            )
 
         if verbose:
             for sink in compiled.dataflow.get("sinks", []) or []:
@@ -120,6 +147,9 @@ def run_dataflow(
 
         if write:
             write_sinks(compiled.dataflow, ctx.frames)
+
+        for req, finish in observed_finishes:
+            _finalize_stats_doc(finish(), req, ctx, result, stats_clock)
     finally:
         for df in cached:
             df.unpersist()

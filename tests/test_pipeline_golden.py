@@ -201,3 +201,60 @@ def test_run_logger_writes_timestamped_artifact(tmp_path):
     for h in list(logger.handlers):
         logger.removeHandler(h)
         h.close()
+
+
+def test_observe_mode_stats_ride_sink_write(spark, tmp_path):
+    """mode=observe collects the stats document as observation metrics on
+    the sink write (no dedicated stats job); without a sink action the
+    request falls back to the dedicated-pass path."""
+    meta = {
+        "dataflows": [
+            {
+                "name": "observe-flow",
+                "sources": [
+                    {
+                        "name": "policies",
+                        "path": str(REPO / "tests/data/motor_policies.json"),
+                        "format": "JSON",
+                    }
+                ],
+                "transformations": [
+                    {
+                        "name": "obs_stats",
+                        "type": "compute_stats",
+                        "params": {
+                            "input": "policies",
+                            "name": "obs_stats",
+                            "fields": ["policy_number"],
+                            "mode": "observe",
+                            "output_path": str(tmp_path / "stats"),
+                        },
+                    }
+                ],
+                "sinks": [
+                    {
+                        "input": "policies",
+                        "paths": [str(tmp_path / "sink_obs")],
+                        "format": "JSON",
+                        "saveMode": "OVERWRITE",
+                    }
+                ],
+            }
+        ]
+    }
+    flow = select_dataflow(meta, "observe-flow")
+
+    compiled = compile_dataflow(spark, flow)
+    result = run_dataflow(compiled, write=True, verbose=False)
+    doc = result.stats["obs_stats"]
+    assert doc["total_records"] == 10
+    assert doc["fields"]["policy_number"]["null_count"] == 0
+    assert doc["fields"]["policy_number"]["distinct_count"] == 10
+    sidecar = json.loads((tmp_path / "stats" / "obs_stats.json").read_text())
+    assert sidecar["total_records"] == 10
+    assert spark.read.json(str(tmp_path / "sink_obs")).count() == 10
+
+    # no sink action -> falls back to the dedicated-job path
+    compiled2 = compile_dataflow(spark, flow)
+    result2 = run_dataflow(compiled2, write=False, verbose=False)
+    assert result2.stats["obs_stats"]["total_records"] == 10
