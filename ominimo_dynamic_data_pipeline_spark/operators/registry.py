@@ -264,6 +264,123 @@ def _op_repartition(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     ctx.put(out_name, out)
 
 
+# --- corpus-curation operators: the LLM-pipeline surface exposed through
+# --- the same declarative metadata dataflows as the reference operators,
+# --- so a curation run is a dataflow document, not a Python script.
+
+
+@register_operator("lang_filter")
+def _op_lang_filter(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Keep documents whose heuristic language ID is in ``allow``.
+    Single-pass projection + filter; no shuffle."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import language_id
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    allow = params["allow"]
+    tagged = language_id(ctx.get(in_name), params.get("text_col", "text"))
+    out = tagged.filter(F.col("lang_pred").isin(*allow))
+    if not params.get("keep_pred", False):
+        out = out.drop("lang_pred")
+    ctx.put(out_name, out)
+
+
+@register_operator("quality_filter")
+def _op_quality_filter(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Gate documents on corpus-quality signals (token count, average token
+    length, punctuation/digit/stopword ratios).  All thresholds optional;
+    unknown threshold keys are a compile-time error.  Single-pass
+    projection + filter; no shuffle."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import quality_features
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    bounds = {
+        "min_tokens": F.col("n_tokens") >= F.lit(params.get("min_tokens")),
+        "max_tokens": F.col("n_tokens") <= F.lit(params.get("max_tokens")),
+        "min_avg_token_len": F.col("avg_token_len")
+        >= F.lit(params.get("min_avg_token_len")),
+        "max_avg_token_len": F.col("avg_token_len")
+        <= F.lit(params.get("max_avg_token_len")),
+        "max_punct_ratio": F.col("punct_ratio")
+        <= F.lit(params.get("max_punct_ratio")),
+        "max_digit_ratio": F.col("digit_ratio")
+        <= F.lit(params.get("max_digit_ratio")),
+        "min_stopword_ratio": F.col("stopword_ratio")
+        >= F.lit(params.get("min_stopword_ratio")),
+    }
+    unknown = {
+        k
+        for k in params
+        if k not in bounds
+        and k not in ("input", "output", "text_col", "keep_features")
+    }
+    if unknown:
+        raise ValueError(f"unknown quality_filter thresholds: {sorted(unknown)}")
+    df = ctx.get(in_name)
+    featured = quality_features(df, params.get("text_col", "text"))
+    cond = F.lit(True)
+    for key, expr in bounds.items():
+        if params.get(key) is not None:
+            cond = cond & expr
+    out = featured.filter(cond)
+    if not params.get("keep_features", False):
+        out = out.select(*df.columns)
+    ctx.put(out_name, out)
+
+
+@register_operator("exact_dedup")
+def _op_exact_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Keep the lowest-id row per distinct normalized text: ONE shuffle on
+    the md5 fingerprint, window row_number pick — survivors keep their full
+    row (unlike llm.dedup.exact_dedup's (fp, id) summary)."""
+    from pyspark.sql.window import Window
+
+    from ominimo_dynamic_data_pipeline_spark.llm.text import normalize_text
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    id_col = params.get("id_col", "doc_id")
+    text_col = params.get("text_col", "text")
+    df = ctx.get(in_name)
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    out = (
+        df.withColumn("_fp", F.md5(normalize_text(F.col(text_col))))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    ctx.put(out_name, out)
+
+
+@register_operator("near_dedup")
+def _op_near_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """MinHash-LSH near-duplicate removal: band-bucket candidates, exact
+    Jaccard verify at ``threshold``, greedy keep-lowest-id victim drop
+    (broadcast left-anti).  The victim pipeline is the q26/q49 shape —
+    sum(|bucket|^2) candidate cost with the max_bucket_size skew guard."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        dedup_corpus,
+        minhash_near_dups,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    df = ctx.get(in_name)
+    pairs = minhash_near_dups(
+        df,
+        id_col=params.get("id_col", "doc_id"),
+        text_col=params.get("text_col", "text"),
+        num_hashes=params.get("num_hashes", 16),
+        bands=params.get("bands", 4),
+        threshold=params.get("threshold", 0.5),
+        shingle_n=params.get("shingle_n", 3),
+        max_bucket_size=params.get("max_bucket_size"),
+        cache_shingles=params.get("cache_shingles", True),
+    )
+    ctx.put(out_name, dedup_corpus(df, pairs, params.get("id_col", "doc_id")))
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

@@ -1,0 +1,114 @@
+"""Declarative corpus-curation dataflow: the LLM curation operators
+(lang_filter, quality_filter, exact_dedup, near_dedup) driven through the
+same metadata documents as the reference operators, verified against the
+direct-API composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ominimo_dynamic_data_pipeline_spark.config import select_dataflow
+from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+    dedup_corpus,
+    minhash_near_dups,
+)
+from ominimo_dynamic_data_pipeline_spark.llm.text import (
+    language_id,
+    normalize_text,
+    quality_features,
+)
+from ominimo_dynamic_data_pipeline_spark.pipeline import (
+    compile_dataflow,
+    run_dataflow,
+)
+
+
+def _metadata(sf_dir: str) -> dict:
+    return {
+        "dataflows": [
+            {
+                "name": "curation",
+                "sources": [
+                    {
+                        "name": "docs",
+                        "path": f"{sf_dir}/documents.parquet",
+                        "format": "PARQUET",
+                    }
+                ],
+                "transformations": [
+                    {
+                        "name": "en_docs",
+                        "type": "lang_filter",
+                        "params": {"input": "docs", "allow": ["en"]},
+                    },
+                    {
+                        "name": "quality_docs",
+                        "type": "quality_filter",
+                        "params": {
+                            "input": "en_docs",
+                            "min_tokens": 10,
+                            "max_digit_ratio": 0.3,
+                        },
+                    },
+                    {
+                        "name": "unique_docs",
+                        "type": "exact_dedup",
+                        "params": {"input": "quality_docs"},
+                    },
+                    {
+                        "name": "curated",
+                        "type": "near_dedup",
+                        "params": {"input": "unique_docs", "threshold": 0.5},
+                    },
+                ],
+                "sinks": [],
+            }
+        ]
+    }
+
+
+@pytest.fixture(scope="module")
+def curated(spark, sf_dir):
+    flow = select_dataflow(_metadata(sf_dir), "curation")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    return compiled.frames
+
+
+def test_stage_counts_match_direct_api(spark, sf_dir, curated):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    en = language_id(docs).filter(F.col("lang_pred") == "en").drop("lang_pred")
+    assert curated["en_docs"].count() == en.count()
+
+    q = quality_features(en).filter(
+        (F.col("n_tokens") >= 10) & (F.col("digit_ratio") <= 0.3)
+    ).select(*docs.columns)
+    assert curated["quality_docs"].count() == q.count()
+
+    uniq_fps = q.select(
+        F.md5(normalize_text(F.col("text"))).alias("fp")
+    ).distinct()
+    assert curated["unique_docs"].count() == uniq_fps.count()
+
+    pairs = minhash_near_dups(curated["unique_docs"], threshold=0.5)
+    expected = dedup_corpus(curated["unique_docs"], pairs)
+    assert curated["curated"].count() == expected.count()
+
+
+def test_curation_preserves_schema_and_drops_rows(curated):
+    # every stage keeps the original document schema (signals are internal)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    for stage in ("en_docs", "quality_docs", "unique_docs", "curated"):
+        assert curated[stage].columns == cols
+    n = {s: curated[s].count() for s in ("en_docs", "quality_docs", "curated")}
+    assert n["curated"] <= n["quality_docs"] <= n["en_docs"]
+    assert n["curated"] > 0
+
+
+def test_quality_filter_rejects_unknown_threshold(spark, sf_dir):
+    meta = _metadata(sf_dir)
+    meta["dataflows"][0]["transformations"][1]["params"]["max_entropy"] = 1.0
+    with pytest.raises(ValueError, match="unknown quality_filter"):
+        compile_dataflow(spark, select_dataflow(meta, "curation"))
