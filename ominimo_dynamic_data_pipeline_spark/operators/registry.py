@@ -180,9 +180,16 @@ def _op_with_columns(ctx: CompileContext, step: Mapping[str, Any]) -> None:
 
 @register_operator("sql")
 def _op_sql(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """SQL front-end step.  ``args`` are Spark named parameters
+    (``:name`` markers) — values bind as literals in the parser, so
+    metadata-supplied values can never splice SQL text (injection-safe,
+    and the plan is cacheable across bindings)."""
     params = step.get("params", {})
     out_name = params.get("output", step["name"])
-    ctx.put(out_name, ctx.spark.sql(params["query"]))
+    ctx.put(
+        out_name,
+        ctx.spark.sql(params["query"], args=params.get("args") or None),
+    )
 
 
 @register_operator("join")

@@ -409,3 +409,42 @@ def q86_variant_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q87 — SQL pipe syntax (Spark 4.1 `|>` operators) through the SQL front
+# end: returnflag revenue profile written as a linear FROM -> WHERE ->
+# AGGREGATE pipeline.  Pipe syntax lowers to the identical Catalyst plan as
+# the nested-SELECT form — the DuckDB twin is that standard-SQL rewrite, so
+# the oracle doubles as a semantics check of the lowering.  Also exercises
+# named parameters (:cutoff binds as a literal, injection-safe).
+# --------------------------------------------------------------------------
+@query(
+    "q87_pipe_revenue_by_returnflag",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(AVG(l_discount), 6) AS avg_discount
+    FROM lineitem
+    WHERE l_shipdate <= '1998-09-02'
+    GROUP BY l_returnflag
+    """,
+)
+def q87_pipe_revenue_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v87"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_v87
+        |> WHERE l_shipdate <= :cutoff
+        |> AGGREGATE COUNT(*) AS n_items,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                         AS revenue,
+                     ROUND(AVG(l_discount), 6) AS avg_discount
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_items, revenue, avg_discount
+        """,
+        args={"cutoff": "1998-09-02"},
+    )

@@ -258,3 +258,42 @@ def test_observe_mode_stats_ride_sink_write(spark, tmp_path):
     compiled2 = compile_dataflow(spark, flow)
     result2 = run_dataflow(compiled2, write=False, verbose=False)
     assert result2.stats["obs_stats"]["total_records"] == 10
+
+
+def test_sql_step_binds_named_parameters(spark, tmp_path):
+    """The sql operator passes `args` as Spark named parameters — values
+    bind as literals (injection-safe), never spliced into the SQL text."""
+    meta = {
+        "dataflows": [
+            {
+                "name": "sql-args",
+                "sources": [
+                    {
+                        "name": "policies",
+                        "path": str(REPO / "tests/data/motor_policies.json"),
+                        "format": "JSON",
+                    }
+                ],
+                "transformations": [
+                    {
+                        "name": "filtered",
+                        "type": "sql",
+                        "params": {
+                            "query": (
+                                "SELECT policy_number FROM policies "
+                                "WHERE policy_number > :cutoff"
+                            ),
+                            "args": {"cutoff": "P-20008"},
+                        },
+                    }
+                ],
+                "sinks": [],
+            }
+        ]
+    }
+    flow = select_dataflow(meta, "sql-args")
+    compiled = compile_dataflow(spark, flow)
+    got = {
+        r["policy_number"] for r in compiled.frames["filtered"].collect()
+    }
+    assert got == {"P-20009", "P-20010"}
