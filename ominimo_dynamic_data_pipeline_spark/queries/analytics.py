@@ -448,3 +448,47 @@ def q87_pipe_revenue_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFram
         """,
         args={"cutoff": "1998-09-02"},
     )
+
+
+# --------------------------------------------------------------------------
+# q88 — recursive CTE (Spark 4.x WITH RECURSIVE) calendar spine: generate
+# every month between the corpus's min and max order date, then left-join
+# monthly order counts so EMPTY months appear as zeros — the gap-free
+# time-series frame a plain GROUP BY cannot produce.  The recursion depth
+# is |months| (driver-bounded, ~80 here); the heavy side stays one hash
+# aggregate on the fact table.  DuckDB twin uses its own WITH RECURSIVE.
+# --------------------------------------------------------------------------
+@query(
+    "q88_month_spine",
+    """
+    WITH RECURSIVE spine(m) AS (
+        SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine
+        WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)),
+    monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n
+        FROM orders GROUP BY 1)
+    SELECT strftime(spine.m, '%Y-%m') AS month,
+           COALESCE(monthly.n, 0) AS n_orders
+    FROM spine LEFT JOIN monthly USING (m)
+    """,
+)
+def q88_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v88")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+            SELECT date_trunc('MONTH', MIN(o_orderdate)) FROM orders_v88
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < (SELECT date_trunc('MONTH', MAX(o_orderdate))
+                       FROM orders_v88)),
+        monthly AS (
+            SELECT date_trunc('MONTH', o_orderdate) AS m, COUNT(*) AS n
+            FROM orders_v88 GROUP BY 1)
+        SELECT date_format(spine.m, 'yyyy-MM') AS month,
+               COALESCE(monthly.n, 0) AS n_orders
+        FROM spine LEFT JOIN monthly USING (m)
+        """
+    )
