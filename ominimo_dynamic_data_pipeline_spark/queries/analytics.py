@@ -454,9 +454,17 @@ def q87_pipe_revenue_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFram
 # q88 — recursive CTE (Spark 4.x WITH RECURSIVE) calendar spine: generate
 # every month between the corpus's min and max order date, then left-join
 # monthly order counts so EMPTY months appear as zeros — the gap-free
-# time-series frame a plain GROUP BY cannot produce.  The recursion depth
-# is |months| (driver-bounded, ~80 here); the heavy side stays one hash
-# aggregate on the fact table.  DuckDB twin uses its own WITH RECURSIVE.
+# time-series frame a plain GROUP BY cannot produce.
+#
+# The recursion must be TABLE-FREE (an integer counter, bounds applied
+# after): referencing the bounds CTE inside the recursive member re-scans
+# the fact table EVERY iteration because CTEs are not materialized —
+# measured 10.7 s vs 2.1 s at sf0.1 for the same 80-month result.  The
+# heavy side stays one hash aggregate on the fact table.  (The
+# non-recursive production shape for a spine is
+# explode(sequence(lo, hi, interval 1 month)); the rCTE form is the SQL
+# feature under test.)  DuckDB twin recurses over months natively — its
+# CTE materialization makes that the idiomatic form there.
 # --------------------------------------------------------------------------
 @query(
     "q88_month_spine",
@@ -478,12 +486,15 @@ def q88_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v88")
     return spark.sql(
         """
-        WITH RECURSIVE spine(m) AS (
-            SELECT date_trunc('MONTH', MIN(o_orderdate)) FROM orders_v88
-            UNION ALL
-            SELECT m + INTERVAL 1 MONTH FROM spine
-            WHERE m < (SELECT date_trunc('MONTH', MAX(o_orderdate))
-                       FROM orders_v88)),
+        WITH RECURSIVE nums(n) MAX RECURSION LEVEL 150 AS (
+            SELECT 0 UNION ALL SELECT n + 1 FROM nums WHERE n < 120),
+        bounds AS (
+            SELECT date_trunc('MONTH', MIN(o_orderdate)) AS lo,
+                   date_trunc('MONTH', MAX(o_orderdate)) AS hi
+            FROM orders_v88),
+        spine AS (
+            SELECT add_months(lo, n) AS m FROM nums CROSS JOIN bounds
+            WHERE add_months(lo, n) <= hi),
         monthly AS (
             SELECT date_trunc('MONTH', o_orderdate) AS m, COUNT(*) AS n
             FROM orders_v88 GROUP BY 1)
