@@ -199,6 +199,10 @@ def q82_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpora.  Exact interpolated percentiles (Spark `percentile` == DuckDB
 # `quantile_cont`), two grouped aggregations with the tiny per-source stats
 # broadcast back — never a full re-sort.  Output is one row per source.
+# 100 TB note: exact `percentile` buffers each group's values in the agg
+# state, so a source with billions of docs swaps to `approx_percentile`
+# (t-digest, mergeable, bounded memory) — same plan shape, which is why
+# this query is written as two grouped aggs rather than a sort.
 # --------------------------------------------------------------------------
 @query(
     "q83_robust_outliers",
@@ -313,6 +317,12 @@ def q84_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (both join inputs re-derive the explode; no exchange reuse).  Total: one
 # text scan, one Generate, exchanges on chunk then doc_id.  At 100 TB the
 # window key would be xxhash64(chunk) — fixed width, same plan shape.
+# Skew caveat: WindowExec holds one chunk's rows in a single (spillable)
+# task, so a boilerplate chunk repeated across millions of docs makes a
+# straggler; for such corpora flip to groupBy(chunk) partial aggs +
+# join-back (skew-safe, at the cost of the second chunking pass) or shed
+# degenerate chunks first with a max-frequency cap, as the LSH stages do
+# via max_bucket_size.
 # --------------------------------------------------------------------------
 _CHUNK = 16
 

@@ -159,3 +159,26 @@ def test_q85_chunking_is_single_generate(q):
     p = plan_of(q("q85_chunk_dedup"))
     assert p.count("Generate (") == 1
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_q86_variant_parses_once_single_agg(q):
+    # the variant parse runs once in the projection under ONE hash
+    # aggregate; no second parse per extracted path, one shuffle total
+    p = plan_of(q("q86_variant_histogram"))
+    assert p.count("parseJson") == 1
+    assert p.count("Exchange (") == 1
+
+
+def test_q87_pipe_filter_reaches_scan(q):
+    # the |> WHERE lowers to a pushed parquet filter like any other filter
+    p = plan_of(q("q87_pipe_revenue_by_returnflag"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_q88_recursion_is_table_free(q):
+    # exactly two scans of orders (bounds + monthly); the recursive member
+    # must not re-scan the fact table per iteration
+    import re as _re
+
+    p = plan_of(q("q88_month_spine"))
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 2

@@ -126,3 +126,100 @@ def test_validator_invariants(spark, rows):
         values = {"age": row[0], "plate": row[1], "start": row[2], "end": row[3]}
         for label, (field, check) in LABEL_TO_CHECK.items():
             assert not _fails(values[field], check, row), (label, row)
+
+
+# --- curation-operator invariants ------------------------------------------
+
+_doc_text = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "y2"]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+@given(st.lists(_doc_text, min_size=1, max_size=20))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_dedup_keeps_one_lowest_id_per_text(spark, texts):
+    from pyspark.sql import functions as F
+
+    from ominimo_dynamic_data_pipeline_spark.llm.text import normalize_text
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ctx = CompileContext(spark=spark, register_views=False)
+    ctx.put("docs", df)
+    apply_transformations(
+        ctx,
+        {
+            "transformations": [
+                {
+                    "name": "out",
+                    "type": "exact_dedup",
+                    "params": {"input": "docs"},
+                }
+            ]
+        },
+    )
+    out = ctx.get("out").collect()
+
+    # survivors ⊆ input rows, unchanged
+    rows = {(r["doc_id"], r["text"]) for r in out}
+    assert rows <= {(i, t) for i, t in enumerate(texts)}
+    # one survivor per normalized text, and it is the LOWEST id
+    norms = df.select(
+        "doc_id", normalize_text(F.col("text")).alias("n")
+    ).collect()
+    expected = {}
+    for r in norms:
+        if r["n"] not in expected or r["doc_id"] < expected[r["n"]]:
+            expected[r["n"]] = r["doc_id"]
+    assert sorted(r["doc_id"] for r in out) == sorted(expected.values())
+
+
+@given(st.lists(_doc_text, min_size=1, max_size=15))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_near_dedup_output_is_subset_and_pairfree(spark, texts):
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import minhash_near_dups
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ctx = CompileContext(spark=spark, register_views=False)
+    ctx.put("docs", df)
+    apply_transformations(
+        ctx,
+        {
+            "transformations": [
+                {
+                    "name": "out",
+                    "type": "near_dedup",
+                    "params": {"input": "docs", "threshold": 0.5},
+                }
+            ]
+        },
+    )
+    out_ids = {r["doc_id"] for r in ctx.get("out").select("doc_id").collect()}
+    in_ids = set(range(len(texts)))
+    assert out_ids <= in_ids
+    # every dropped id appears as the id_b of some confirmed pair, and
+    # every confirmed pair lost its id_b
+    pairs = minhash_near_dups(df, threshold=0.5).collect()
+    victims = {r["id_b"] for r in pairs}
+    assert in_ids - out_ids == victims
