@@ -566,3 +566,41 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    k_lists: int = 16,
+    iters: int = 5,
+    train_limit: int = 2048,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with the IVF coarse quantizer, find cosine near-dup pairs
+    WITHIN each cluster, greedily drop the higher-id side of every pair.
+
+    100 TB shape: centroid training is a bounded driver-side sample
+    (ivf_train_centroids); assignment is a pure projection; the pair
+    search is embedding_near_dups with the cluster label as bucket —
+    sum(|cluster|^2) comparisons, never N^2.  Cross-cluster near-dups are
+    missed by construction; that recall tradeoff is the published
+    algorithm's, tuned via k_lists (fewer lists = higher recall, bigger
+    buckets).  Returns the surviving rows of ``df`` unchanged.
+    """
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        embedding_near_dups,
+    )
+
+    cents = ivf_train_centroids(
+        df, id_col, vec_col, k_lists=k_lists, iters=iters,
+        train_limit=train_limit,
+    )
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    tagged = df.join(assigned.select(id_col, "ivf_list"), id_col)
+    pairs = embedding_near_dups(
+        tagged, id_col, vec_col, threshold=threshold, bucket_col="ivf_list"
+    )
+    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(F.broadcast(victims), on=id_col, how="left_anti")

@@ -574,3 +574,34 @@ def test_repetition_signals_flag_repetitive_doc(spark):
     assert clean["dup_token_frac"] == 0.0
     assert clean["dup_2gram_frac"] == 0.0
     assert clean["top_token_frac"] == pytest.approx(1 / 8, abs=1e-6)
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        semantic_dedup,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = base.count()
+    # plant exact copies (cosine 1.0) of the 5 lowest-id vectors at high ids
+    dups = (
+        base.orderBy("vec_id")
+        .limit(5)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    corpus = base.unionByName(dups)
+
+    out = semantic_dedup(corpus, threshold=0.999)
+    out_ids = {r["vec_id"] for r in out.select("vec_id").collect()}
+
+    # every planted copy shares a cluster with its identical original, so
+    # all 5 must be dropped; originals (lower ids) survive
+    assert all(v + 1_000_000 not in out_ids for v in range(5) if v in out_ids)
+    assert len(out_ids) <= n
+    planted = {r["vec_id"] for r in dups.select("vec_id").collect()}
+    assert not (planted & out_ids)
+    # survivors are a subset of the corpus, rows unchanged
+    assert out.columns == ["vec_id", "embedding"]
