@@ -513,3 +513,66 @@ def q88_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine LEFT JOIN monthly USING (m)
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q89 — product-line profit by supplier nation and year (TPC-H Q9 shape):
+# a 5-table star join where Catalyst must order lineitem⋈orders (shuffle on
+# orderkey) and lineitem⋈supplier/part/nation (part filtered BEFORE the
+# join so the semi-reduction prunes fact rows early; supplier/nation/part
+# all broadcast at these dim sizes).  The plan to want at 100 TB: one
+# shuffle join on the fact key, every dimension broadcast, the p_name
+# filter pushed into the part scan.  Profit accumulates in DECIMAL(18,6)
+# (exact, order-independent — a plain double SUM hash-mismatches the
+# oracle on rounding-boundary groups) and surfaces as rounded double.
+# --------------------------------------------------------------------------
+@query(
+    "q89_product_nation_profit",
+    """
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate) AS order_year,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+)
+def q89_product_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ).cast("double"),
+                2,
+            ).alias("profit"),
+        )
+    )

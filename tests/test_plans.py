@@ -182,3 +182,12 @@ def test_q88_recursion_is_table_free(q):
 
     p = plan_of(q("q88_month_spine"))
     assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 2
+
+
+def test_q89_star_join_broadcasts_all_dims(q):
+    # part/supplier/nation broadcast (3 BHJ); only lineitem-orders may
+    # shuffle; the p_name LIKE filter reaches the part scan
+    p = plan_of(q("q89_product_nation_profit"))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,widget)" in p
+    assert "CartesianProduct" not in p
