@@ -590,6 +590,7 @@ def semantic_dedup(
     buckets).  Returns the surviving rows of ``df`` unchanged.
     """
     from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        dedup_corpus,
         embedding_near_dups,
     )
 
@@ -602,5 +603,4 @@ def semantic_dedup(
     pairs = embedding_near_dups(
         tagged, id_col, vec_col, threshold=threshold, bucket_col="ivf_list"
     )
-    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(F.broadcast(victims), on=id_col, how="left_anti")
+    return dedup_corpus(df, pairs, id_col)

@@ -63,10 +63,17 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
     """Per-document quality signals used to filter LLM training corpora:
     length, token stats, punctuation/digit/whitespace ratios, stopword hit
-    ratio.  All single-pass projections."""
+    ratio.  All single-pass projections.
+
+    ``prefix`` namespaces the added columns — callers that must preserve
+    the input row untouched (quality_filter) use an internal prefix so a
+    pre-existing column with the same name (documents already carries
+    n_chars) is never silently recomputed."""
     c = F.col(text_col)
     toks = tokens(c)
     n_chars = F.length(c)
@@ -78,14 +85,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.withColumns(
         {
-            "n_chars": n_chars,
-            "n_tokens": n_tokens,
-            "avg_token_len": F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens),
-            "punct_ratio": F.when(n_chars > 0, punct / n_chars).otherwise(0.0),
-            "digit_ratio": F.when(n_chars > 0, digits / n_chars).otherwise(0.0),
-            "stopword_ratio": F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(
+            f"{prefix}n_chars": n_chars,
+            f"{prefix}n_tokens": n_tokens,
+            f"{prefix}avg_token_len": F.when(
+                n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens
+            ),
+            f"{prefix}punct_ratio": F.when(n_chars > 0, punct / n_chars).otherwise(
                 0.0
             ),
+            f"{prefix}digit_ratio": F.when(n_chars > 0, digits / n_chars).otherwise(
+                0.0
+            ),
+            f"{prefix}stopword_ratio": F.when(
+                n_tokens > 0, stop_hits / n_tokens
+            ).otherwise(0.0),
         }
     )
 

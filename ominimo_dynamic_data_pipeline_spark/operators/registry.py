@@ -142,6 +142,11 @@ def _op_compute_stats(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     (the reference runs it eagerly mid-compile — fixed here)."""
     params = step.get("params", {})
     in_name = params["input"]
+    mode = params.get("mode", "job")
+    if mode not in ("job", "observe"):
+        raise ValueError(
+            f"compute_stats mode must be 'job' or 'observe', got {mode!r}"
+        )
     ctx.deferred_stats.append(
         StatsRequest(
             input_name=in_name,
@@ -152,14 +157,9 @@ def _op_compute_stats(ctx: CompileContext, step: Mapping[str, Any]) -> None:
             ok_input=params.get("ok_input"),
             ko_input=params.get("ko_input"),
             approx=params.get("approx", False),
-            mode=params.get("mode", "job"),
+            mode=mode,
         )
     )
-    if params.get("mode", "job") not in ("job", "observe"):
-        raise ValueError(
-            f"compute_stats mode must be 'job' or 'observe', "
-            f"got {params.get('mode')!r}"
-        )
     ctx.put(step["name"], ctx.get(in_name))
 
 
@@ -297,23 +297,28 @@ def _op_quality_filter(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     """Gate documents on corpus-quality signals (token count, average token
     length, punctuation/digit/stopword ratios).  All thresholds optional;
     unknown threshold keys are a compile-time error.  Single-pass
-    projection + filter; no shuffle."""
+    projection + filter; no shuffle.
+
+    Signals are computed under an internal ``_qf_`` prefix so an input
+    column that happens to share a signal name (documents already has
+    n_chars) passes through untouched instead of being silently
+    recomputed."""
     from ominimo_dynamic_data_pipeline_spark.llm.text import quality_features
 
     params = step.get("params", {})
     in_name, out_name = _io_names(step)
     bounds = {
-        "min_tokens": F.col("n_tokens") >= F.lit(params.get("min_tokens")),
-        "max_tokens": F.col("n_tokens") <= F.lit(params.get("max_tokens")),
-        "min_avg_token_len": F.col("avg_token_len")
+        "min_tokens": F.col("_qf_n_tokens") >= F.lit(params.get("min_tokens")),
+        "max_tokens": F.col("_qf_n_tokens") <= F.lit(params.get("max_tokens")),
+        "min_avg_token_len": F.col("_qf_avg_token_len")
         >= F.lit(params.get("min_avg_token_len")),
-        "max_avg_token_len": F.col("avg_token_len")
+        "max_avg_token_len": F.col("_qf_avg_token_len")
         <= F.lit(params.get("max_avg_token_len")),
-        "max_punct_ratio": F.col("punct_ratio")
+        "max_punct_ratio": F.col("_qf_punct_ratio")
         <= F.lit(params.get("max_punct_ratio")),
-        "max_digit_ratio": F.col("digit_ratio")
+        "max_digit_ratio": F.col("_qf_digit_ratio")
         <= F.lit(params.get("max_digit_ratio")),
-        "min_stopword_ratio": F.col("stopword_ratio")
+        "min_stopword_ratio": F.col("_qf_stopword_ratio")
         >= F.lit(params.get("min_stopword_ratio")),
     }
     unknown = {
@@ -325,13 +330,21 @@ def _op_quality_filter(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     if unknown:
         raise ValueError(f"unknown quality_filter thresholds: {sorted(unknown)}")
     df = ctx.get(in_name)
-    featured = quality_features(df, params.get("text_col", "text"))
+    featured = quality_features(
+        df, params.get("text_col", "text"), prefix="_qf_"
+    )
     cond = F.lit(True)
     for key, expr in bounds.items():
         if params.get(key) is not None:
             cond = cond & expr
     out = featured.filter(cond)
-    if not params.get("keep_features", False):
+    if params.get("keep_features", False):
+        # surface the signals under their public names, never clobbering
+        # an input column of the same name
+        for col in out.columns:
+            if col.startswith("_qf_") and col[4:] not in df.columns:
+                out = out.withColumnRenamed(col, col[4:])
+    else:
         out = out.select(*df.columns)
     ctx.put(out_name, out)
 
@@ -350,12 +363,18 @@ def _op_exact_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     id_col = params.get("id_col", "doc_id")
     text_col = params.get("text_col", "text")
     df = ctx.get(in_name)
-    w = Window.partitionBy("_fp").orderBy(id_col)
+    clash = {"_dedup_fp", "_dedup_rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"exact_dedup reserves helper columns {sorted(clash)}; rename "
+            f"them on input '{in_name}' first"
+        )
+    w = Window.partitionBy("_dedup_fp").orderBy(id_col)
     out = (
-        df.withColumn("_fp", F.md5(normalize_text(F.col(text_col))))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
+        df.withColumn("_dedup_fp", F.md5(normalize_text(F.col(text_col))))
+        .withColumn("_dedup_rn", F.row_number().over(w))
+        .filter(F.col("_dedup_rn") == 1)
+        .drop("_dedup_fp", "_dedup_rn")
     )
     ctx.put(out_name, out)
 

@@ -98,9 +98,29 @@ def run_dataflow(
     ctx = compiled.ctx
     result = RunResult(frames=ctx.frames)
 
+    # mode="observe" stats ride along with the sink write: swap the sink's
+    # input frame for the observed twin, collect metrics after the write.
+    # Only valid when a sink action will actually consume the frame —
+    # otherwise fall back to the dedicated-job path (with approx distinct
+    # counts either way, so the stats document is mode-stable across runs).
+    sink_inputs = {
+        s["input"] for s in compiled.dataflow.get("sinks", []) or []
+    }
+
+    def observable(req) -> bool:
+        return (
+            req.mode == "observe" and write and req.input_name in sink_inputs
+        )
+
     # Cache frames that are consumed by multiple downstream actions
     # (stats + sinks + debug counts) so the validation plan runs once.
-    multi_use = {req.input_name for req in ctx.deferred_stats}
+    # Observed stats requests add NO extra action on their input — caching
+    # them would persist the full sink dataset for a single consumer,
+    # defeating observe's zero-extra-cost point — so they are excluded
+    # unless something else (ok/ko stats) also reads the frame.
+    multi_use = {
+        req.input_name for req in ctx.deferred_stats if not observable(req)
+    }
     for req in ctx.deferred_stats:
         multi_use |= {n for n in (req.ok_input, req.ko_input) if n}
     cached = []
@@ -110,21 +130,11 @@ def run_dataflow(
                 ctx.frames[name] = ctx.frames[name].cache()
                 cached.append(ctx.frames[name])
 
-    # mode="observe" stats ride along with the sink write: swap the sink's
-    # input frame for the observed twin, collect metrics after the write.
-    # Only valid when a sink action will actually consume the frame —
-    # otherwise fall back to the dedicated-job path.
-    sink_inputs = {
-        s["input"] for s in compiled.dataflow.get("sinks", []) or []
-    }
     observed_finishes: list[tuple[Any, Callable[[], dict[str, Any]]]] = []
 
     try:
         for req in ctx.deferred_stats:
-            observable = (
-                req.mode == "observe" and write and req.input_name in sink_inputs
-            )
-            if observable:
+            if observable(req):
                 observed, finish = observe_field_stats(
                     ctx.get(req.input_name), req.fields
                 )
@@ -132,7 +142,11 @@ def run_dataflow(
                 observed_finishes.append((req, finish))
                 continue
             doc = compute_field_stats(
-                ctx.get(req.input_name), req.fields, approx=req.approx
+                ctx.get(req.input_name),
+                req.fields,
+                # observe-mode requests always report HLL distinct counts;
+                # keep the fallback consistent with the observed path
+                approx=req.approx or req.mode == "observe",
             )
             _finalize_stats_doc(
                 doc, req, ctx, result, stats_clock

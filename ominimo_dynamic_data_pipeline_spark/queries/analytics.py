@@ -71,9 +71,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 )
 def q80_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
-        F.size("tk") >= 2
-    )
+    tk_all = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    tk = tk_all.filter(F.size("tk") >= 2)
     pairs = F.arrays_zip(
         F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
         F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
@@ -83,8 +82,11 @@ def q80_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     cctx = cbg.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    # vocabulary over ALL documents (the oracle's vocab CTE reads the
+    # unfiltered token frame — a word appearing only in 1-token docs still
+    # counts toward V)
     vocab = (
-        tk.select(F.explode("tk").alias("w"))
+        tk_all.select(F.explode("tk").alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
     scored = (
@@ -392,8 +394,8 @@ def q85_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q86_variant_histogram",
     """
     SELECT event_type,
-           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
-                // 10 AS BIGINT) AS k_bucket,
+           CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      / 10.0) AS BIGINT) AS k_bucket,
            COUNT(*) AS n_events,
            CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS k_min,
@@ -473,8 +475,12 @@ def q87_pipe_revenue_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFram
 # heavy side stays one hash aggregate on the fact table.  (The
 # non-recursive production shape for a spine is
 # explode(sequence(lo, hi, interval 1 month)); the rCTE form is the SQL
-# feature under test.)  DuckDB twin recurses over months natively — its
-# CTE materialization makes that the idiomatic form there.
+# feature under test.)  The counter runs to 480 (40 years of months) so a
+# wider date range than today's testdata cannot silently truncate the
+# spine; the oracle recurses unbounded, so any overflow past the cap
+# would fail parity loudly rather than pass.  DuckDB twin recurses over
+# months natively — its CTE materialization makes that the idiomatic
+# form there.
 # --------------------------------------------------------------------------
 @query(
     "q88_month_spine",
@@ -496,8 +502,8 @@ def q88_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v88")
     return spark.sql(
         """
-        WITH RECURSIVE nums(n) MAX RECURSION LEVEL 150 AS (
-            SELECT 0 UNION ALL SELECT n + 1 FROM nums WHERE n < 120),
+        WITH RECURSIVE nums(n) MAX RECURSION LEVEL 500 AS (
+            SELECT 0 UNION ALL SELECT n + 1 FROM nums WHERE n < 480),
         bounds AS (
             SELECT date_trunc('MONTH', MIN(o_orderdate)) AS lo,
                    date_trunc('MONTH', MAX(o_orderdate)) AS hi
