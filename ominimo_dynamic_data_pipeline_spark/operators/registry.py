@@ -285,7 +285,13 @@ def _op_lang_filter(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     params = step.get("params", {})
     in_name, out_name = _io_names(step)
     allow = params["allow"]
-    tagged = language_id(ctx.get(in_name), params.get("text_col", "text"))
+    df = ctx.get(in_name)
+    if "lang_pred" in df.columns:
+        raise ValueError(
+            f"lang_filter reserves helper column 'lang_pred'; rename it on "
+            f"input '{in_name}' first"
+        )
+    tagged = language_id(df, params.get("text_col", "text"))
     out = tagged.filter(F.col("lang_pred").isin(*allow))
     if not params.get("keep_pred", False):
         out = out.drop("lang_pred")
@@ -340,10 +346,15 @@ def _op_quality_filter(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     out = featured.filter(cond)
     if params.get("keep_features", False):
         # surface the signals under their public names, never clobbering
-        # an input column of the same name
+        # an input column of the same name; signals whose public name is
+        # taken are dropped so internal _qf_ prefixes never leak into the
+        # output schema
         for col in out.columns:
-            if col.startswith("_qf_") and col[4:] not in df.columns:
-                out = out.withColumnRenamed(col, col[4:])
+            if col.startswith("_qf_"):
+                if col[4:] not in df.columns:
+                    out = out.withColumnRenamed(col, col[4:])
+                else:
+                    out = out.drop(col)
     else:
         out = out.select(*df.columns)
     ctx.put(out_name, out)

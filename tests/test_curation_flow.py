@@ -112,3 +112,63 @@ def test_quality_filter_rejects_unknown_threshold(spark, sf_dir):
     meta["dataflows"][0]["transformations"][1]["params"]["max_entropy"] = 1.0
     with pytest.raises(ValueError, match="unknown quality_filter"):
         compile_dataflow(spark, select_dataflow(meta, "curation"))
+
+def test_lang_filter_rejects_lang_pred_clash(spark, sf_dir):
+    """A pre-existing lang_pred input column must not be silently
+    overwritten and dropped (round-2 ADVICE)."""
+    meta = _metadata(sf_dir)
+    meta["dataflows"][0]["transformations"].insert(
+        0,
+        {
+            "name": "docs_tagged",
+            "type": "with_columns",
+            "params": {
+                "input": "docs",
+                "columns": {"lang_pred": "'xx'"},
+            },
+        },
+    )
+    meta["dataflows"][0]["transformations"][1]["params"]["input"] = "docs_tagged"
+    with pytest.raises(ValueError, match="lang_filter reserves"):
+        compile_dataflow(spark, select_dataflow(meta, "curation"))
+
+
+def test_quality_filter_keep_features_never_leaks_internal_prefix(
+    spark, sf_dir
+):
+    """keep_features=True surfaces signals under public names; a signal
+    whose public name clashes with an input column (documents.n_chars) is
+    dropped rather than leaking a _qf_ name (round-2 ADVICE)."""
+    meta = {
+        "dataflows": [
+            {
+                "name": "qf",
+                "sources": [
+                    {
+                        "name": "docs",
+                        "path": f"{sf_dir}/documents.parquet",
+                        "format": "PARQUET",
+                    }
+                ],
+                "transformations": [
+                    {
+                        "name": "scored",
+                        "type": "quality_filter",
+                        "params": {
+                            "input": "docs",
+                            "min_tokens": 1,
+                            "keep_features": True,
+                        },
+                    }
+                ],
+                "sinks": [],
+            }
+        ]
+    }
+    flow = select_dataflow(meta, "qf")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    cols = compiled.frames["scored"].columns
+    assert not [c for c in cols if c.startswith("_qf_")], cols
+    assert "n_tokens" in cols  # public signal surfaced
+    assert cols.count("n_chars") == 1  # original column untouched
