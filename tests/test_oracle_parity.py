@@ -62,3 +62,46 @@ def test_oracle_parity(name: str, spark, duck) -> None:
 def test_every_oracle_has_a_query() -> None:
     orphans = sorted(set(ORACLES) - set(QUERIES))
     assert not orphans, f"oracle_sql() entries without queries(): {orphans}"
+
+
+# One representative per SURVEY.md §2.4 family; the driver's external
+# correctness gate only sees the first 50 queries() entries, so every
+# family must keep at least one member inside that window.
+_FAMILY_REPS = {
+    "joins": {"q02_top_revenue_orders", "q04_customers_with_open_orders",
+              "q05_customers_without_big_orders", "q14_late_shipments",
+              "q15_purchase_click_attribution"},
+    "aggregations": {"q10_order_status_rollup", "q39_order_grouping_sets",
+                     "q46_status_pivot", "q47_price_percentiles"},
+    "windows": {"q06_top3_orders_per_customer", "q07_customer_order_running",
+                "q45_trailing_spend_window"},
+    "set_ops": {"q12_building_big_spenders", "q13_machinery_never_urgent",
+                "q20_all_account_keys"},
+    "scalar_fns": {"q16_events_json_profile", "q18_order_date_features",
+                   "q42_event_props_map"},
+    "validation": {"q50_validated_lineitem"},
+    "text": {"q21_doc_quality", "q22_language_id", "q24_tfidf_top_terms"},
+    "dedup": {"q25_exact_dedup", "q26_minhash_near_dups",
+              "q36_simhash_near_dups", "q57_dedup_clusters"},
+    "similarity": {"q29_knn_bruteforce", "q30_knn_lsh", "q44_knn_ivf"},
+    "multimodal": {"q31_payload_stats", "q32_multimodal_features",
+                   "q52_frame_samples"},
+    "streaming": {"q33_tumbling_event_counts", "q34_user_sessions"},
+    "curation": {"q53_train_val_split", "q56_decontamination",
+                 "q62_corpus_curation"},
+    "scale_infra": {"q60_skew_diagnostics"},
+    "sql_front_end": {"q89_product_nation_profit"},
+}
+
+
+def test_driver_window_covers_every_family() -> None:
+    window = set(list(QUERIES)[:50])
+    dropped = {
+        family: sorted(reps)
+        for family, reps in _FAMILY_REPS.items()
+        if not (reps & window)
+    }
+    assert not dropped, (
+        f"operator families with no query in the driver's 50-entry "
+        f"correctness window: {dropped}"
+    )
