@@ -306,6 +306,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     num_planes: int = 6,
     num_tables: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's bucket in ANY of
     ``num_tables`` LSH tables, then exact cosine re-ranks.  Recall < 1 by
@@ -313,9 +314,15 @@ def lsh_topk(
     num_tables for recall (union of independent chances — the q30 catalog
     config hits recall@5 >= 0.8 vs brute force, pinned by test).
 
+    ``max_bucket_size`` sheds degenerate corpus buckets (a near-constant
+    embedding region hashing to one signature) before the query join —
+    the skew guard; true neighbors stay reachable via the other tables.
+
     Shape at 100 TB: the corpus side is one projection + explode (no
     shuffle); the tiny query side broadcasts; candidate dedup and the
-    top-k window shuffle only (query_id, neighbor_id, cos)."""
+    top-k window shuffle only (query_id, neighbor_id, cos).  The bucket
+    census for the guard is a (table, bucket, count) aggregate — tiny, so
+    AQE broadcasts it back onto the corpus side."""
     cb = _table_buckets(corpus, dim, id_col, vec_col, num_planes, num_tables)
     cb = cb.select(
         F.col(id_col).alias("neighbor_id"),
@@ -324,6 +331,15 @@ def lsh_topk(
         F.col("table").alias("nb_table"),
         F.col("bucket").alias("nb_bucket"),
     )
+    if max_bucket_size is not None:
+        sizes = cb.groupBy("nb_table", "nb_bucket").agg(
+            F.count("*").alias("_bn")
+        )
+        cb = (
+            cb.join(sizes, ["nb_table", "nb_bucket"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     qb = _table_buckets(
         queries.withColumnRenamed(query_id_col, "query_id"),
         dim,

@@ -50,6 +50,20 @@ def _sql_md5_long(expr: str, seed: int) -> str:
     return f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
 
 
+# --- catalog-wide LSH skew caps --------------------------------------------
+# A bucket larger than the cap is degenerate (boilerplate / empty docs
+# sharing one signature) and is shed before pair expansion instead of
+# quadratically dominating the stage; its members' true near-dups are still
+# reachable through their other, discriminating bands/tables.  Values sit
+# well above every observed bucket at the test scales (sf0.1 maxima:
+# minhash 10, simhash 1256, embedding 187) so they are pure insurance
+# today and a hard bound at 100 TB.  Each oracle twin applies the same cap
+# (COUNT() OVER the bucket key) so parity holds at any scale.
+MINHASH_MAX_BUCKET = 1000
+SIMHASH_MAX_BUCKET = 2000
+EMBEDDING_MAX_BUCKET = 1000
+
+
 # --------------------------------------------------------------------------
 # q21 — per-document quality features (LLM corpus filtering signals).
 # --------------------------------------------------------------------------
@@ -203,7 +217,11 @@ def q25_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # buckets -> candidate pairs -> exact Jaccard >= 0.5.  The DuckDB twin
 # replicates the exact hash math.
 # --------------------------------------------------------------------------
-def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = MINHASH_MAX_BUCKET,
+) -> str:
     base = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
     mh_exprs = ", ".join(
         f"list_min([((h >> 30) + {i + 1} * (h & 1073741823)) % 1073741789"
@@ -225,7 +243,13 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
     sh AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks WHERE len(tk) >= 3),
     hsrc AS (SELECT doc_id, [{base} for s in sh] AS hs FROM sh),
     sig AS (SELECT doc_id, {mh_exprs} FROM hsrc WHERE len(hs) > 0),
-    bands AS ({bands_sql}),
+    bands0 AS ({bands_sql}),
+    bands AS (
+        SELECT doc_id, band, bucket FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+            FROM bands0
+        ) WHERE bn <= {max_bucket_size}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -247,7 +271,10 @@ def q26_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # cache_shingles: the persisted shingle frame is keyed by logical plan,
     # so q49's identical pipeline reuses it within the same session.
-    out = D.minhash_near_dups(d, threshold=0.5, cache_shingles=True)
+    out = D.minhash_near_dups(
+        d, threshold=0.5, cache_shingles=True,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -294,6 +321,7 @@ def _lsh_pairs_sql(
     num_planes: int = _LSH_PLANES,
     num_tables: int = _LSH_TABLES,
     threshold: float = 0.45,
+    max_bucket_size: int = EMBEDDING_MAX_BUCKET,
 ) -> str:
     sig_cols = []
     for t in range(num_tables):
@@ -319,7 +347,13 @@ def _lsh_pairs_sql(
     )
     return f"""
     WITH sigs AS (SELECT vec_id, embedding, {', '.join(sig_cols)} FROM embeddings),
-    buckets AS ({buckets}),
+    buckets0 AS ({buckets}),
+    buckets AS (
+        SELECT vec_id, tbl, bucket FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS bn
+            FROM buckets0
+        ) WHERE bn <= {max_bucket_size}
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM buckets a JOIN buckets b
@@ -345,6 +379,7 @@ def q28_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.449,
         num_planes=_LSH_PLANES,
         num_tables=_LSH_TABLES,
+        max_bucket_size=EMBEDDING_MAX_BUCKET,
     )
     return out.withColumn("cos", F.round("cos", 4)).filter(F.col("cos") >= 0.45)
 
@@ -411,6 +446,7 @@ def q30_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(
         e, queries, dim=64, k=5,
         num_planes=_Q30_PLANES, num_tables=_Q30_TABLES,
+        max_bucket_size=EMBEDDING_MAX_BUCKET,
     )
 
 
@@ -523,7 +559,12 @@ def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band tables), verify by Hamming distance <= 3 on the full signature.
 # Oracle replicates the banded bucket join and bit math (xor + bit_count).
 # --------------------------------------------------------------------------
-def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3, bands: int = 2) -> str:
+def _simhash_pairs_sql(
+    bits: int = 16,
+    max_hamming: int = 3,
+    bands: int = 2,
+    max_bucket_size: int = SIMHASH_MAX_BUCKET,
+) -> str:
     sig_inner = _simhash_sql(bits).strip()
     width = bits // bands
     mask = (1 << width) - 1
@@ -534,7 +575,13 @@ def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3, bands: int = 2) -> 
     )
     return f"""
     WITH sigs AS ({sig_inner}),
-    banded AS ({band_rows})
+    banded0 AS ({band_rows}),
+    banded AS (
+        SELECT doc_id, sig, band, bits FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band, bits) AS bn
+            FROM banded0
+        ) WHERE bn <= {max_bucket_size}
+    )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
     FROM banded a JOIN banded b
@@ -546,7 +593,10 @@ def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3, bands: int = 2) -> 
 @query("q36_simhash_near_dups", _simhash_pairs_sql())
 def q36_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    out = D.simhash_near_dups(d, bits=16, max_hamming=3, bands=2)
+    out = D.simhash_near_dups(
+        d, bits=16, max_hamming=3, bands=2,
+        max_bucket_size=SIMHASH_MAX_BUCKET,
+    )
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
@@ -633,7 +683,10 @@ def _dedup_corpus_sql() -> str:
 @query("q49_dedup_corpus_minhash", _dedup_corpus_sql())
 def q49_dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_near_dups(d, threshold=0.5, cache_shingles=True)
+    pairs = D.minhash_near_dups(
+        d, threshold=0.5, cache_shingles=True,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
     return D.dedup_corpus(d, pairs).select("doc_id", "lang")
 
 
@@ -665,7 +718,10 @@ def _dedup_clusters_sql() -> str:
 @query("q57_dedup_clusters", _dedup_clusters_sql())
 def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_near_dups(d, threshold=0.5, cache_shingles=True)
+    pairs = D.minhash_near_dups(
+        d, threshold=0.5, cache_shingles=True,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
     return D.dedup_clusters(pairs)
 
 

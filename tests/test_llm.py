@@ -605,3 +605,51 @@ def test_semantic_dedup_drops_planted_duplicates(spark, sf_dir):
     assert not (planted & out_ids)
     # survivors are a subset of the corpus, rows unchanged
     assert out.columns == ["vec_id", "embedding"]
+
+def test_catalog_caps_shed_planted_degenerate_bucket(spark):
+    """Round-3 hardening: the CATALOG configs now pass the skew caps
+    (queries/llm.py MINHASH_MAX_BUCKET / SIMHASH_MAX_BUCKET), so a
+    degenerate real-world corpus — more boilerplate copies than the cap —
+    is shed at the catalog's own settings while genuine near-dups in
+    healthy buckets are still found."""
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        MINHASH_MAX_BUCKET,
+        SIMHASH_MAX_BUCKET,
+    )
+
+    boiler = "the exact same boilerplate footer text on every single page"
+    pair_a = (
+        "a genuinely unique long form document discussing spark catalyst "
+        "optimizer internals and shuffle partitioning strategy tradeoffs"
+    )
+    pair_b = pair_a + " appendix"
+    rows = [(i, boiler) for i in range(MINHASH_MAX_BUCKET + 1)]
+    rows += [(900000, pair_a), (900001, pair_b)]
+    df = spark.createDataFrame(
+        rows, schema="doc_id bigint, text string"
+    ).repartition(8)
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dups(
+            df, threshold=0.5, max_bucket_size=MINHASH_MAX_BUCKET
+        ).collect()
+    }
+    # hot bucket (cap+1 identical docs, every band degenerate) is shed;
+    # the healthy pair survives
+    assert capped == {(900000, 900001)}
+
+    rows = [(i, boiler) for i in range(SIMHASH_MAX_BUCKET + 1)]
+    rows += [(900000, pair_a), (900001, pair_b)]
+    df = spark.createDataFrame(
+        rows, schema="doc_id bigint, text string"
+    ).repartition(8)
+    capped_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_dups(
+            df, bits=16, max_hamming=3, bands=2,
+            max_bucket_size=SIMHASH_MAX_BUCKET,
+        ).collect()
+    }
+    assert (900000, 900001) in capped_pairs
+    assert not any(a < 900000 and b < 900000 for a, b in capped_pairs)
