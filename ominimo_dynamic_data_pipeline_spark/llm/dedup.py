@@ -705,3 +705,137 @@ def dedup_corpus(
     """
     victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(F.broadcast(victims), on=id_col, how="left_anti")
+
+
+def positional_gram_fps(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 16,
+) -> DataFrame:
+    """(id, pos, fp) rows: the md5 fingerprint of every token n-gram WITH
+    its 0-based start position (unlike gram_frame, positions are kept and
+    within-doc repeats are NOT deduplicated — a doc repeating its own span
+    must count).  Same lead-window assembly as gram_frame (fully codegen'd,
+    one exchange on the doc id); see that docstring for why this must not
+    be built by exploding shingle arrays."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    tail = F.lead("tok", n - 1).over(w)
+    return (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(F.concat_ws(" ", *parts)).alias("fp"),
+            tail.alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .drop("_tail")
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-level dedup detection (the suffix-array family of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every ``span_tokens``-token gram whose fingerprint occurs
+    >= ``min_count`` times ANYWHERE in the corpus (cross-doc or within-doc)
+    flags its window; overlapping/adjacent flagged windows merge into
+    maximal per-doc spans (gaps-and-islands).  Returns
+    (id, span_start, span_end, span_n_tokens) with token positions,
+    span_end exclusive — every returned span is >= span_tokens long.
+
+    Scale shape: positional grams are linear in corpus tokens (one
+    exchange on doc id, reused by both windows); the hot-fingerprint
+    census is one groupBy(fp) and the flag step a fp semi-join — no
+    pairwise comparisons anywhere, unlike suffix-array construction this
+    is embarrassingly shuffle-parallel.  A boilerplate fingerprint shared
+    by 10^6 docs costs one census row + one semi-join probe per
+    occurrence, never |occurrences|^2."""
+    from pyspark.sql.window import Window
+
+    n = span_tokens
+    grams = positional_gram_fps(df, id_col, text_col, n)
+    # Corpus-wide occurrence census as a count-over-fp window: ONE shuffle
+    # of the gram frame (a groupBy census + semi-join back would shuffle
+    # the full frame twice).
+    wfp = Window.partitionBy("fp")
+    flagged = (
+        grams.withColumn("n_occ", F.count(F.lit(1)).over(wfp))
+        .filter(F.col("n_occ") >= min_count)
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = flagged.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    islands = marked.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.sum("brk").over(w).alias("island"),
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n).alias("span_end"),
+        (F.max("pos") + n - F.min("pos")).alias("span_n_tokens"),
+    ).drop("island")
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the flagged token ranges from each document, preserving the
+    order of surviving tokens.  ``spans`` is repeated_spans' output.
+    Returns the input schema with ``text_col`` replaced by the cleaned
+    normalized-token join (docs with no flagged span pass through with
+    their full normalized token stream).
+
+    Shape: flagged positions explode from the (tiny) span list, anti-join
+    against the positional token stream, then an order-preserving
+    array_sort(collect_list(struct(pos, tok))) re-assembly — one shuffle
+    on the doc id."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    bad = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("pos"),
+    )
+    kept = toks.join(bad, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias(text_col)
+    )
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others).join(rebuilt, id_col, "left").withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )

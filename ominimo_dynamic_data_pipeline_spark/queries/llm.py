@@ -1261,3 +1261,56 @@ def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q67_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.repetition_signals(d)
+
+
+# --------------------------------------------------------------------------
+# q90 — exact substring-level dedup (suffix-array family, Lee et al.):
+# maximal repeated >= 16-token spans across the corpus via positional gram
+# fingerprints + gaps-and-islands merge.  The oracle replicates the whole
+# pipeline: same md5 gram fingerprints, same >= 2 occurrence census, same
+# island merge — hash-compared end to end.  Complements q85, which only
+# measures chunk-duplicate FRACTIONS; this locates the spans themselves
+# (the step before span removal in a training-data pipeline).
+# --------------------------------------------------------------------------
+_SPAN_N, _SPAN_MIN_COUNT = 16, 2
+
+
+def _repeated_spans_sql(n: int = _SPAN_N, min_count: int = _SPAN_MIN_COUNT) -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    grams AS (
+        SELECT doc_id, u.pos, u.fp
+        FROM toks, UNNEST([{{'pos': i - 1,
+                             'fp': md5(array_to_string(tk[i : i + {n - 1}], ' '))}}
+                           for i in range(1, len(tk) - {n} + 2)]) AS t(u)
+    ),
+    hot AS (SELECT fp FROM grams GROUP BY fp HAVING COUNT(*) >= {min_count}),
+    flagged AS (SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (fp)),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + {n}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                    THEN 1 ELSE 0 END AS brk
+        FROM flagged
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM marked
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {n} AS span_end,
+           MAX(pos) + {n} - MIN(pos) AS span_n_tokens
+    FROM islands GROUP BY doc_id, island
+    """
+
+
+@query("q90_repeated_spans", _repeated_spans_sql())
+def q90_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.repeated_spans(
+        d, span_tokens=_SPAN_N, min_count=_SPAN_MIN_COUNT
+    )

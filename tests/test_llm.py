@@ -653,3 +653,57 @@ def test_catalog_caps_shed_planted_degenerate_bucket(spark):
     }
     assert (900000, 900001) in capped_pairs
     assert not any(a < 900000 and b < 900000 for a, b in capped_pairs)
+
+def test_repeated_spans_finds_planted_span(spark):
+    """Two docs share a 20-token block (>= span_tokens=8); a third is
+    unique.  The maximal merged span must be located exactly, and the
+    within-doc self-repeat case must flag too."""
+    block = " ".join(f"tok{i}" for i in range(20))
+    d1 = "alpha beta " + block + " gamma delta"
+    d2 = "omega " + block + " epsilon"
+    d3 = " ".join(f"uniq{i}" for i in range(30))
+    d4 = block + " filler " + block  # self-repeat within one doc
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)],
+        schema="doc_id bigint, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_n_tokens"])
+        for r in D.repeated_spans(df, span_tokens=8, min_count=2).collect()
+        if r["doc_id"] in (1, 2, 3)
+    }
+    # doc1: block occupies tokens 2..21 -> span [2, 22); doc2: [1, 21)
+    assert spans[1] == (2, 22, 20)
+    assert spans[2] == (1, 21, 20)
+    assert 3 not in spans
+    # doc4 flags both copies (merged or separate depending on the filler
+    # gap; with 1 filler token the two 20-token blocks at 0..19 and
+    # 21..40 both get flagged and merge via overlapping 8-gram windows)
+    d4_spans = [
+        (r["span_start"], r["span_end"])
+        for r in D.repeated_spans(df, span_tokens=8, min_count=2)
+        .filter(F.col("doc_id") == 4)
+        .collect()
+    ]
+    covered = set()
+    for s, e in d4_spans:
+        covered.update(range(s, e))
+    assert set(range(0, 20)) <= covered and set(range(21, 41)) <= covered
+
+
+def test_strip_repeated_spans_removes_planted_block(spark):
+    block = " ".join(f"tok{i}" for i in range(20))
+    d1 = "alpha beta " + block + " gamma delta"
+    d2 = "omega " + block + " epsilon"
+    d3 = "a unique little document with no repeats at all here"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], schema="doc_id bigint, text string"
+    )
+    spans = D.repeated_spans(df, span_tokens=8, min_count=2)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in D.strip_repeated_spans(df, spans).collect()
+    }
+    assert out[1] == "alpha beta gamma delta"
+    assert out[2] == "omega epsilon"
+    assert out[3] == d3  # untouched, full normalized token stream
