@@ -397,21 +397,9 @@ def quantize_int8(
     staged = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec_d"),
-    ).withColumn(
-        "scale",
-        F.array_max(F.transform(F.col("vec_d"), F.abs)) / F.lit(127.0),
-    )
+    ).withColumn("scale", int8_scale_col(F.col("vec_d")))
     coded = staged.withColumn(
-        "codes",
-        F.when(
-            F.col("scale") > 0,
-            F.transform(
-                F.col("vec_d"),
-                lambda x: F.round(x / F.col("scale")).cast("int"),
-            ),
-        ).otherwise(
-            F.transform(F.col("vec_d"), lambda x: F.lit(0).cast("int"))
-        ),
+        "codes", int8_codes_col(F.col("vec_d"), F.col("scale"))
     )
     err = F.sqrt(
         F.aggregate(
@@ -620,3 +608,147 @@ def semantic_dedup(
         tagged, id_col, vec_col, threshold=threshold, bucket_col="ivf_list"
     )
     return dedup_corpus(df, pairs, id_col)
+
+
+def int8_scale_col(vec_d: Column) -> Column:
+    """max|v| / 127 — the symmetric int8 quantization scale, the SAME math
+    as quantize_int8 (q58's bit-exact oracle covers it)."""
+    return F.array_max(F.transform(vec_d, F.abs)) / F.lit(127.0)
+
+
+def int8_codes_col(vec_d: Column, scale: Column) -> Column:
+    """round(v / scale) codes.  ``scale`` MUST be a staged attribute
+    (withColumn), never the raw int8_scale_col expression: an inlined
+    scale re-evaluates its O(dim) array_max once per element (O(dim^2)
+    per row) — quantize_int8 documents the same staging rule."""
+    return F.when(
+        scale > 0,
+        F.transform(vec_d, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(vec_d, lambda x: F.lit(0).cast("int")))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k_lists: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    rerank_factor: int = 3,
+) -> DataFrame:
+    """IVF + int8 codes with asymmetric distance — the standard
+    billion-scale ANN layout (FAISS IVF-SQ8 shape): the coarse quantizer
+    routes each query to ``nprobe`` inverted lists, candidates are scored
+    ASYMMETRICALLY (float query against int8-reconstructed corpus codes:
+    cos ~ scale * dot(q, codes) / (|q| * scale * |codes|)), the
+    ``k * rerank_factor`` best per query are re-ranked on the float
+    originals, and the exact top-k wins.
+
+    100 TB shape: the corpus carries only (list, scale, int8 codes) — 4x
+    smaller than float32, 8x than float64 — so the probe join streams a
+    quarter of the bytes of full-precision IVF; the rerank fetch joins the
+    tiny shortlist (n_queries * k * rerank_factor rows) back to the float
+    originals by id.  Centroids are the q44 bounded-sample quantizer;
+    codes are the q58 quantizer, bit-exact per its oracle."""
+    centroids = ivf_train_centroids(corpus, id_col, vec_col, k_lists, iters)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cb = (
+        assigned.withColumn("c_scale", int8_scale_col(F.col("vec_d")))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("ivf_list").alias("c_list"),
+            F.col("c_scale"),
+            int8_codes_col(F.col("vec_d"), F.col("c_scale")).alias("c_codes"),
+        )
+    ).withColumn(
+        # reconstructed norm: scale * ||codes||
+        "c_nrm_approx",
+        F.col("c_scale")
+        * F.sqrt(
+            F.aggregate(
+                F.col("c_codes"),
+                F.lit(0.0),
+                lambda acc, c: acc + c.cast("double") * c.cast("double"),
+            )
+        ),
+    )
+    qn = norm_frame(
+        queries.withColumnRenamed(query_id_col, "query_id"), "query_id", vec_col
+    )
+    q_scored = qn.select(
+        F.col("query_id"),
+        F.col("vec_d").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+        _centroid_scores(F.col("vec_d"), centroids).alias("cscores"),
+    )
+    probes = q_scored.select(
+        "query_id", "qv", "q_nrm",
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.zip_with(
+                        F.col("cscores"),
+                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                        lambda s, i: F.struct(s.alias("score"), i.alias("idx")),
+                    )
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("probe_structs"),
+    ).select(
+        "query_id", "qv", "q_nrm",
+        F.explode(F.col("probe_structs.idx")).alias("q_list"),
+    )
+    # asymmetric distance: dot(q_float, codes) * scale, normalized by the
+    # float query norm and the reconstructed corpus norm
+    adc = (
+        F.col("c_scale")
+        * F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.col("c_codes"),
+                lambda q, c: q * c.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / (F.col("q_nrm") * F.col("c_nrm_approx"))
+    )
+    approx = (
+        cb.join(
+            F.broadcast(probes),
+            (F.col("c_list") == F.col("q_list"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "qv", "q_nrm", "neighbor_id", adc.alias("approx_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    shortlist = approx.withColumn("arnk", F.row_number().over(w)).filter(
+        F.col("arnk") <= k * rerank_factor
+    )
+    # rerank the shortlist on the float originals (fetch by id)
+    originals = norm_frame(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec_d").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    reranked = shortlist.join(originals, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot_double(F.col("qv"), F.col("cv"))
+            / (F.col("q_nrm") * F.col("c_nrm"))
+        ).alias("cos"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1314,3 +1314,17 @@ def q90_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.repeated_spans(
         d, span_tokens=_SPAN_N, min_count=_SPAN_MIN_COUNT
     )
+
+
+# --------------------------------------------------------------------------
+# q91 — IVF-PQ-style search: q44's coarse quantizer routing + q58's int8
+# codes scored asymmetrically (float query x reconstructed corpus), float
+# rerank of the 3k shortlist.  Engine-private centroids -> rows-only;
+# recall@5 >= 0.8 vs q29 brute force is pinned in tests/test_llm.py and
+# the int8 code math is bit-exact per q58's oracle.
+# --------------------------------------------------------------------------
+@query("q91_knn_ivfpq")
+def q91_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return S.ivfpq_topk(e, queries, k=5, k_lists=16, nprobe=4)

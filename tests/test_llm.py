@@ -707,3 +707,32 @@ def test_strip_repeated_spans_removes_planted_block(spark):
     assert out[1] == "alpha beta gamma delta"
     assert out[2] == "omega epsilon"
     assert out[3] == d3  # untouched, full normalized token stream
+
+def test_ivfpq_topk_recall_and_rerank(spark, sf_dir):
+    """q91's exact catalog config must hit recall@5 >= 0.8 vs brute force,
+    and its returned cos must be the EXACT float cosine (rerank on
+    originals), not the int8 approximation."""
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in S.brute_force_topk(e, q, k=5).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in S.ivfpq_topk(e, q, k=5, k_lists=16, nprobe=4).collect()
+    }
+    hits = set(exact) & set(pq)
+    assert len(hits) >= len(exact) * 0.8
+    for key in hits:  # rerank returns exact float cosine
+        assert abs(exact[key] - pq[key]) < 1e-9
+    # full probe + generous rerank degrades to exact brute force
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivfpq_topk(
+            e, q, k=5, k_lists=8, nprobe=8, rerank_factor=10
+        ).collect()
+    }
+    assert full == set(exact)
