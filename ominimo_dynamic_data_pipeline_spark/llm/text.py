@@ -353,3 +353,45 @@ def repetition_signals(
             "top_token_frac"
         ),
     )
+
+
+def model_quality_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_seed: int = 31,
+) -> DataFrame:
+    """fastText-style linear quality classifier, pure Catalyst: each token
+    hashes into one of len(weights) buckets (hashing trick, md5_long mod
+    dim — portable to the DuckDB oracle), the document's mean bucket
+    weight plus bias goes through a sigmoid.  No MLlib, no UDF: the
+    weight table is a broadcast literal array and the whole score is one
+    fold over the token array inside whole-stage codegen.
+
+    Returns (id, n_tokens, quality_score) with score rounded to 6
+    decimals; empty-token docs score NULL (no evidence).  At 100 TB this
+    is a narrow projection — no shuffle, no state."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import md5_long
+
+    dim = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("tk"))
+    # left fold in token order — the oracle mirrors it with list_reduce so
+    # float accumulation order (and thus the rounded score) is identical
+    wsum = F.aggregate(
+        F.col("tk"),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(warr, (md5_long(t, seed=hash_seed) % dim + 1).cast("int")),
+    )
+    n_tok = F.size("tk")
+    raw = wsum / n_tok + F.lit(float(bias))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+    return staged.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(F.when(n_tok > 0, prob), 6).alias("quality_score"),
+    )

@@ -10,6 +10,7 @@ LSH hyperplane top-k) are registered rows-only (no oracle entry).
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1328,3 +1329,46 @@ def q91_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     return S.ivfpq_topk(e, queries, k=5, k_lists=16, nprobe=4)
+
+
+# --------------------------------------------------------------------------
+# q92 — model-based quality scoring: fastText-style linear classifier via
+# the hashing trick (64 buckets, pinned deterministic weights), scored as
+# a pure-Catalyst fold — mean hashed-bucket weight + bias -> sigmoid.
+# The oracle replicates the hash, the weight table, and the exact
+# left-fold accumulation order (list_reduce), so scores hash-match to 6
+# decimals.
+# --------------------------------------------------------------------------
+_QS_DIM, _QS_SEED, _QS_BIAS = 64, 31, -0.05
+# pinned pseudo-random weights in [-0.5, 0.5]: deterministic closed form,
+# identical literals rendered into both engines
+_QS_WEIGHTS = [round(math.sin(i * 0.7) / 2.0, 6) for i in range(_QS_DIM)]
+
+
+def _model_quality_sql() -> str:
+    warr = "[" + ", ".join(repr(w) for w in _QS_WEIGHTS) + "]"
+    h = _sql_md5_long("t", _QS_SEED)
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    scored AS (
+        SELECT doc_id, LEN(tk) AS n_tokens,
+               list_reduce(
+                   [CAST(0.0 AS DOUBLE)] ||
+                   [{warr}[CAST(({h}) % {_QS_DIM} AS INT) + 1] for t in tk],
+                   (a, b) -> a + b) AS wsum
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CASE WHEN n_tokens > 0
+                 THEN 1.0 / (1.0 + EXP(-(wsum / n_tokens + {_QS_BIAS})))
+                 END, 6) AS quality_score
+    FROM scored
+    """
+
+
+@query("q92_model_quality_score", _model_quality_sql())
+def q92_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.model_quality_score(
+        d, weights=_QS_WEIGHTS, bias=_QS_BIAS, hash_seed=_QS_SEED
+    )

@@ -736,3 +736,38 @@ def test_ivfpq_topk_recall_and_rerank(spark, sf_dir):
         ).collect()
     }
     assert full == set(exact)
+
+def test_model_quality_score_planted_weights(spark):
+    """One-hot weights: only the bucket containing 'spam' carries weight
+    -8, so a spam-only doc scores sigmoid(-8 + 0) and a doc with no
+    weighted tokens scores sigmoid(0) = 0.5 exactly."""
+    import math as _m
+
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import md5_long
+
+    dim, seed = 16, 31
+    bucket = spark.range(1).select(
+        (md5_long(F.lit("spam"), seed=seed) % dim).cast("int").alias("b")
+    ).first()["b"]
+    weights = [0.0] * dim
+    weights[bucket] = -8.0
+    df = spark.createDataFrame(
+        [(1, "spam spam spam"), (2, ""), (3, "clean words only here")],
+        schema="doc_id bigint, text string",
+    )
+    # guard: none of doc-3's tokens may share the spam bucket
+    others = {"clean", "words", "only", "here"}
+    other_buckets = {
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in others], "t string")
+        .select((md5_long(F.col("t"), seed=seed) % dim).cast("int").alias("b"))
+        .collect()
+    }
+    assert bucket not in other_buckets
+    out = {
+        r["doc_id"]: r["quality_score"]
+        for r in T.model_quality_score(df, weights, bias=0.0, hash_seed=seed).collect()
+    }
+    assert abs(out[1] - round(1 / (1 + _m.exp(8.0)), 6)) < 1e-9
+    assert out[2] is None  # empty doc: no evidence
+    assert out[3] == 0.5
