@@ -44,24 +44,59 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _pil_image():
+    """Optional-dependency guard: the PIL Image module, or None when
+    Pillow is not installed (this container ships without it)."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[float]]:
     """Decode a media payload to (width, height, feature vector).
 
-    STUB: real decoding requires PIL/ffmpeg, not available here.  The
-    fake path derives deterministic pseudo-features from the payload md5 so
-    the distributed plumbing (batching, schema, partitioning) is fully
-    exercised and testable.
+    Real path (when Pillow is importable): open the payload, take the
+    true (width, height), and derive FEATURE_DIM deterministic features —
+    the normalized mean intensity of FEATURE_DIM horizontal grayscale
+    bands (resampling-free, so the values are stable across Pillow
+    versions).  Without Pillow, ``fake=True`` derives deterministic
+    pseudo-features from the payload md5 so the distributed plumbing
+    (batching, schema, partitioning) is exercised identically; the
+    catalog queries pin ``fake=True`` so their oracles never depend on
+    whether Pillow is present.
     """
-    if not fake:
+    if fake:
+        digest = hashlib.md5(payload or b"").digest()
+        width = 1 + digest[0]
+        height = 1 + digest[1]
+        feats = [round(b / 255.0, 6) for b in digest[2 : 2 + FEATURE_DIM]]
+        return width, height, feats
+    image_mod = _pil_image()
+    if image_mod is None:
         raise NotImplementedError(
             "media decode requires imaging libraries not present in this "
             "environment; pass fake=True for the deterministic stub"
         )
-    digest = hashlib.md5(payload or b"").digest()
-    width = 1 + digest[0]
-    height = 1 + digest[1]
-    feats = [round(b / 255.0, 6) for b in digest[2 : 2 + FEATURE_DIM]]
-    return width, height, feats
+    import io
+
+    img = image_mod.open(io.BytesIO(payload))
+    img.load()
+    width, height = img.size
+    gray = img.convert("L")
+    px = list(gray.getdata())  # row-major intensities
+    bands: list[float] = []
+    rows_per_band = max(1, height // FEATURE_DIM)
+    for b in range(FEATURE_DIM):
+        start = b * rows_per_band * width
+        stop = min(len(px), (b + 1) * rows_per_band * width)
+        chunk = px[start:stop]
+        bands.append(
+            round(sum(chunk) / (255.0 * len(chunk)), 6) if chunk else 0.0
+        )
+    return width, height, bands
 
 
 def extract_features(
@@ -108,17 +143,29 @@ FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_payload binary"
 def resize_image_bytes(
     payload: bytes, width: int, height: int, fake: bool = False
 ) -> bytes:
-    """STUB resize: real resampling needs PIL; the fake path derives a
-    deterministic byte string of length width*height from the payload md5
-    so batch shapes and schemas are exercised end to end."""
-    if not fake:
+    """Resize a payload to width x height grayscale bytes.  Real path uses
+    Pillow nearest-neighbor resampling (deterministic across versions);
+    the fake path derives a deterministic byte string of length
+    width*height from the payload md5 so batch shapes and schemas are
+    exercised end to end without imaging libraries."""
+    if fake:
+        seed = hashlib.md5(payload or b"").digest()
+        reps = (width * height) // len(seed) + 1
+        return (seed * reps)[: width * height]
+    image_mod = _pil_image()
+    if image_mod is None:
         raise NotImplementedError(
             "image resize requires imaging libraries not present in this "
             "environment; pass fake=True for the deterministic stub"
         )
-    seed = hashlib.md5(payload or b"").digest()
-    reps = (width * height) // len(seed) + 1
-    return (seed * reps)[: width * height]
+    import io
+
+    img = image_mod.open(io.BytesIO(payload))
+    img.load()
+    resized = img.convert("L").resize(
+        (width, height), resample=image_mod.NEAREST
+    )
+    return resized.tobytes()
 
 
 def resize_payloads(

@@ -129,9 +129,31 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
 
 
-def test_multimodal_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError, match="imaging libraries"):
-        M.decode_image(b"xx", fake=False)
+def test_multimodal_decode_real_path_or_stub():
+    """Runs the Pillow path when the optional dependency is installed,
+    the NotImplementedError boundary otherwise — so the same suite is
+    meaningful in both environments.  The fake path must work either
+    way (the catalog queries pin fake=True)."""
+    if M._pil_image() is not None:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (6, 4), (128, 64, 32)).save(buf, format="PNG")
+        w, h, feats = M.decode_image(buf.getvalue(), fake=False)
+        assert (w, h) == (6, 4)
+        assert len(feats) == M.FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in feats)
+        resized = M.resize_image_bytes(buf.getvalue(), 3, 2, fake=False)
+        assert len(resized) == 3 * 2
+    else:
+        with pytest.raises(NotImplementedError, match="imaging libraries"):
+            M.decode_image(b"xx", fake=False)
+        with pytest.raises(NotImplementedError, match="imaging libraries"):
+            M.resize_image_bytes(b"xx", 3, 2, fake=False)
+    w, h, feats = M.decode_image(b"xx", fake=True)
+    assert len(feats) == M.FEATURE_DIM
 
 
 def test_multimodal_feature_extraction_deterministic(docs):
