@@ -374,3 +374,66 @@ def test_stream_static_enrichment_batch_equivalence(spark, sf_dir, static_events
     cols = ["window_start", "c_mktsegment", "n_events", "value_sum"]
     assert _collect_sorted(streamed, cols) == _collect_sorted(batch, cols)
     assert streamed.count() > 0
+
+
+def test_rocksdb_state_store_batch_equivalence(spark, static_events, stream_events):
+    """The q33/q34 streaming runs under the RocksDB state store provider —
+    the production-scale store (state lives off-heap/on-disk per executor
+    instead of the JVM heap, the right choice when windowed state at 100 TB
+    exceeds executor memory) — driven with Trigger.AvailableNow, must equal
+    the default-provider runs and the static batch twins exactly."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        streamed = ops.run_to_completion(
+            ops.tumbling_counts(stream_events), "t_tumbling_rocksdb"
+        )
+        batch = ops.tumbling_counts(static_events)
+        cols = ["window_start", "event_type", "n_events", "value_sum"]
+        assert _collect_sorted(streamed, cols) == _collect_sorted(batch, cols)
+
+        sessions = ops.run_to_completion(
+            ops.session_counts(stream_events), "t_session_rocksdb"
+        )
+        sbatch = ops.session_counts(static_events)
+        scols = ["user_id", "session_start", "n_events"]
+        assert _collect_sorted(sessions, scols) == _collect_sorted(sbatch, scols)
+
+        totals = ops.run_to_completion(
+            ops.stateful_user_totals(stream_events),
+            "t_user_totals_rocksdb",
+            output_mode="update",
+        )
+        tbatch = ops.stateful_user_totals(static_events)
+        got = {
+            r["user_id"]: (r["n_events"], r["value_sum"])
+            for r in totals.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("value_sum").alias("value_sum"),
+            )
+            .collect()
+        }
+        want = {
+            r["user_id"]: (r["n_events"], r["value_sum"])
+            for r in tbatch.collect()
+        }
+        assert set(got) == set(want)
+        for uid in want:
+            assert got[uid][0] == want[uid][0]
+            # float accumulation order differs between the incremental
+            # per-batch fold and the one-shot batch agg: ulp tolerance
+            assert abs(got[uid][1] - want[uid][1]) < 1e-6
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
