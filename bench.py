@@ -44,8 +44,19 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",")
+        if q.strip()
+    }
+    selected = {
+        name: fn
+        for name, fn in QUERIES.items()
+        if not only or name in only
+    }
+
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for name, fn in selected.items():
         force(fn(spark, sf_dir))  # warm-up: codegen/JIT compile this plan
         start = time.perf_counter()
         force(fn(spark, sf_dir))
