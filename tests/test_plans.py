@@ -191,3 +191,31 @@ def test_q89_star_join_broadcasts_all_dims(q):
     assert p.count("BroadcastHashJoin") >= 3
     assert "StringContains(p_name,widget)" in p
     assert "CartesianProduct" not in p
+
+
+def test_q90_repeated_spans_plan_shape(q):
+    """Round-3 substring dedup: the census must be the count-over-fp
+    window (ONE full-frame shuffle on fp), never a groupBy census joined
+    back (two), and documents must scan only the two needed columns."""
+    p = plan_of(q("q90_repeated_spans"))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    # one window partitioned by fp (census), windows by doc_id for grams/
+    # islands; no join anywhere in the plan
+    assert "Join" not in p
+
+
+def test_q92_model_quality_score_is_shuffle_free(q):
+    """The hashed linear classifier is a narrow projection: no Exchange,
+    no Join, no window — one scan straight through codegen."""
+    p = plan_of(q("q92_model_quality_score"))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_q91_ivfpq_carries_codes_not_vectors_into_probe_join(q):
+    """The probe join's corpus side streams int8 codes (c_codes/c_scale),
+    and the float originals appear only behind the shortlist rerank."""
+    p = plan_of(q("q91_knn_ivfpq"))
+    assert "c_codes" in p and "c_scale" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
