@@ -332,11 +332,13 @@ def lsh_topk(
         F.col("bucket").alias("nb_bucket"),
     )
     if max_bucket_size is not None:
-        sizes = cb.groupBy("nb_table", "nb_bucket").agg(
-            F.count("*").alias("_bn")
-        )
+        # census as a count-over-bucket window: the Arrow signature kernel
+        # runs ONCE and the frame shuffles once on the bucket key (a
+        # groupBy census + join back would run the Python kernel twice —
+        # measured slower than the extra shuffle at every scale tried)
+        wb = Window.partitionBy("nb_table", "nb_bucket")
         cb = (
-            cb.join(sizes, ["nb_table", "nb_bucket"])
+            cb.withColumn("_bn", F.count(F.lit(1)).over(wb))
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
