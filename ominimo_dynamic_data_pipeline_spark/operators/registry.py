@@ -418,6 +418,33 @@ def _op_near_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     ctx.put(out_name, dedup_corpus(df, pairs, params.get("id_col", "doc_id")))
 
 
+@register_operator("span_dedup")
+def _op_span_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Exact substring-level dedup (the q90/q93 suffix-array family):
+    remove every maximal span of >= ``span_tokens`` tokens that occurs
+    >= ``min_count`` times anywhere in the corpus.  The text column is
+    replaced by the cleaned order-preserving token stream; all other
+    columns pass through."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        repeated_spans,
+        strip_repeated_spans,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    df = ctx.get(in_name)
+    id_col = params.get("id_col", "doc_id")
+    text_col = params.get("text_col", "text")
+    spans = repeated_spans(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        span_tokens=params.get("span_tokens", 16),
+        min_count=params.get("min_count", 2),
+    )
+    ctx.put(out_name, strip_repeated_spans(df, spans, id_col, text_col))
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

@@ -1276,9 +1276,9 @@ def q67_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_N, _SPAN_MIN_COUNT = 16, 2
 
 
-def _repeated_spans_sql(n: int = _SPAN_N, min_count: int = _SPAN_MIN_COUNT) -> str:
-    return f"""
-    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+def _span_ctes(n: int, min_count: int) -> str:
+    """Shared CTE chain (toks..islands) for the q90/q93 span pipeline."""
+    return f"""toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
     grams AS (
         SELECT doc_id, u.pos, u.fp
         FROM toks, UNNEST([{{'pos': i - 1,
@@ -1300,7 +1300,12 @@ def _repeated_spans_sql(n: int = _SPAN_N, min_count: int = _SPAN_MIN_COUNT) -> s
         SELECT doc_id, pos,
                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
         FROM marked
-    )
+    )"""
+
+
+def _repeated_spans_sql(n: int = _SPAN_N, min_count: int = _SPAN_MIN_COUNT) -> str:
+    return f"""
+    WITH {_span_ctes(n, min_count)}
     SELECT doc_id,
            MIN(pos) AS span_start,
            MAX(pos) + {n} AS span_end,
@@ -1372,3 +1377,50 @@ def q92_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.model_quality_score(
         d, weights=_QS_WEIGHTS, bias=_QS_BIAS, hash_seed=_QS_SEED
     )
+
+
+# --------------------------------------------------------------------------
+# q93 — the substring-dedup END PRODUCT: the corpus with every repeated
+# >=16-token span REMOVED (order-preserving token stream).  Oracle rebuilds
+# the q90 span pipeline, anti-joins flagged positions, and re-assembles the
+# text with string_agg ORDER BY pos — the cleaned text hash-compares
+# byte-for-byte.
+# --------------------------------------------------------------------------
+def _stripped_corpus_sql(n: int = _SPAN_N, min_count: int = _SPAN_MIN_COUNT) -> str:
+    return f"""
+    WITH {_span_ctes(n, min_count)},
+    spans AS (
+        SELECT doc_id,
+               MIN(pos) AS span_start,
+               MAX(pos) + {n} AS span_end
+        FROM islands GROUP BY doc_id, island
+    ),
+    postoks AS (
+        SELECT doc_id, u.tok, u.pos
+        FROM toks, UNNEST([{{'tok': tk[i], 'pos': i - 1}}
+                           for i in range(1, len(tk) + 1)]) AS t(u)
+    ),
+    bad AS (
+        SELECT doc_id, UNNEST(range(span_start, span_end)) AS pos FROM spans
+    ),
+    kept AS (
+        SELECT p.doc_id, p.tok, p.pos
+        FROM postoks p ANTI JOIN bad b USING (doc_id, pos)
+    )
+    SELECT d.doc_id,
+           COALESCE(k.text, '') AS text
+    FROM documents d
+    LEFT JOIN (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """
+
+
+@query("q93_stripped_corpus", _stripped_corpus_sql())
+def q93_stripped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = D.repeated_spans(
+        d, span_tokens=_SPAN_N, min_count=_SPAN_MIN_COUNT
+    )
+    return D.strip_repeated_spans(d, spans)

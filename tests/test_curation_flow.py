@@ -172,3 +172,46 @@ def test_quality_filter_keep_features_never_leaks_internal_prefix(
     assert not [c for c in cols if c.startswith("_qf_")], cols
     assert "n_tokens" in cols  # public signal surfaced
     assert cols.count("n_chars") == 1  # original column untouched
+
+
+def test_span_dedup_step_strips_repeated_spans(spark):
+    """The declarative span_dedup step removes a planted cross-document
+    repeated block while leaving unique text untouched."""
+    block = " ".join(f"tok{i}" for i in range(20))
+    rows = [
+        (1, "alpha beta " + block + " gamma delta"),
+        (2, "omega " + block + " epsilon"),
+        (3, "totally unique words in this little document body"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    meta = {
+        "dataflows": [
+            {
+                "name": "sd",
+                "sources": [],
+                "transformations": [
+                    {
+                        "name": "cleaned",
+                        "type": "span_dedup",
+                        "params": {
+                            "input": "docs",
+                            "span_tokens": 8,
+                            "min_count": 2,
+                        },
+                    }
+                ],
+                "sinks": [],
+            }
+        ]
+    }
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    ctx = CompileContext(spark, frames={"docs": df})
+    apply_transformations(ctx, meta["dataflows"][0])
+    out = {r["doc_id"]: r["text"] for r in ctx.frames["cleaned"].collect()}
+    assert out[1] == "alpha beta gamma delta"
+    assert out[2] == "omega epsilon"
+    assert out[3] == rows[2][1]
