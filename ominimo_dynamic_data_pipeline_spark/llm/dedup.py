@@ -194,7 +194,11 @@ def minhash_signatures(
     )
 
 
-def expand_member_pairs(grouped: DataFrame, members_col: str) -> DataFrame:
+def expand_member_pairs(
+    grouped: DataFrame,
+    members_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """All ordered in-bucket pairs from a grouped frame holding a SORTED
     ``members_col`` array: posexplode each member, pair it with the slice
     of strictly-later members, explode again.
@@ -203,12 +207,14 @@ def expand_member_pairs(grouped: DataFrame, members_col: str) -> DataFrame:
     array is live, never an O(|bucket|^2) pair array (a flatten-of-
     transforms materializes all pairs of a bucket in ONE row's array,
     which at a degenerate 10^4-member bucket is a multi-GB single row).
-    Emits columns ``a`` and ``b`` (the paired member values)."""
+    Emits columns ``a`` and ``b`` (the paired member values) plus any
+    requested ``keep_cols`` carried through from the group row."""
     m = F.col(members_col)
     exploded = grouped.select(
-        m.alias("_members"), F.posexplode(m).alias("_i", "a")
+        *keep_cols, m.alias("_members"), F.posexplode(m).alias("_i", "a")
     )
     return exploded.select(
+        *keep_cols,
         "a",
         F.explode(
             F.slice(F.col("_members"), F.col("_i") + 2, F.size("_members"))
@@ -464,15 +470,33 @@ def simhash_near_dups(
     )
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("members") <= max_bucket_size)
+    # Multi-band dedup WITHOUT a distinct: a pair agreeing on several
+    # bands would be emitted once per band, and distinct-ing the pair
+    # stream costs a full output-sized shuffle (2.9M rows at sf0.1).
+    # Instead each pair is kept only in its LOWEST matching band: for
+    # band b, drop the row if any band b' < b also matches — a pure
+    # projection-side filter on bits both sides already carry.
+    pairs = expand_member_pairs(grouped, "members", keep_cols=("band",))
+
+    def _eq(b: int):
+        return F.shiftright(F.col("a.sig"), b * width).bitwiseAND(
+            mask
+        ) == F.shiftright(F.col("b.sig"), b * width).bitwiseAND(mask)
+
+    keep = F.lit(False)
+    for b in range(bands - 1, -1, -1):
+        no_lower = F.lit(True)
+        for bp in range(b):
+            no_lower = no_lower & ~_eq(bp)
+        keep = F.when(F.col("band") == b, no_lower).otherwise(keep)
     return (
-        expand_member_pairs(grouped, "members")
+        pairs.filter(keep)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
