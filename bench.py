@@ -49,6 +49,11 @@ def main() -> None:
         for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",")
         if q.strip()
     }
+    unknown = only - set(QUERIES)
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_QUERIES names unknown queries: {sorted(unknown)}"
+        )
     selected = {
         name: fn
         for name, fn in QUERIES.items()

@@ -459,35 +459,62 @@ def simhash_near_dups(
     ).select(
         id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
     )
-    grouped = (
-        banded.groupBy("band", "bits")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), "sig"))
-            ).alias("members")
-        )
-        .filter(F.size("members") > 1)
+    pre = banded.groupBy("band", "bits").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "sig"))
+        ).alias("members")
     )
+    grouped = pre.filter(F.size("members") > 1)
+    shed = None
     if max_bucket_size is not None:
+        # tiny (band, bits) list of shed buckets — empty on healthy data
+        shed = pre.filter(F.size("members") > max_bucket_size).select(
+            "band", "bits"
+        )
         grouped = grouped.filter(F.size("members") <= max_bucket_size)
     # Multi-band dedup WITHOUT a distinct: a pair agreeing on several
     # bands would be emitted once per band, and distinct-ing the pair
     # stream costs a full output-sized shuffle (2.9M rows at sf0.1).
-    # Instead each pair is kept only in its LOWEST matching band: for
-    # band b, drop the row if any band b' < b also matches — a pure
-    # projection-side filter on bits both sides already carry.
+    # Instead each pair is kept only in its lowest matching SURVIVING
+    # band: for band b, drop the row if any band b' < b also matches AND
+    # that lower bucket was not shed.  The surviving qualifier matters —
+    # a pair whose band-0 bucket was shed by the skew guard must still be
+    # emitted from its matching band-1 bucket (that cross-band recovery
+    # is the guard's recall story), so a shed lower band never suppresses
+    # a pair.  Shed-ness is looked up via per-band broadcast joins
+    # against the (tiny, usually empty) shed list; the equality check is
+    # a plain bit comparison on sigs both sides already carry.
     pairs = expand_member_pairs(grouped, "members", keep_cols=("band",))
 
-    def _eq(b: int):
-        return F.shiftright(F.col("a.sig"), b * width).bitwiseAND(
-            mask
-        ) == F.shiftright(F.col("b.sig"), b * width).bitwiseAND(mask)
+    def _bits(side: str, b: int):
+        return F.shiftright(F.col(f"{side}.sig"), b * width).bitwiseAND(mask)
+
+    shed_flags: dict[int, Column] = {}
+    if shed is not None:
+        for bp in range(bands - 1):
+            marker = f"_shed_{bp}"
+            shed_bp = shed.filter(F.col("band") == bp).select(
+                F.col("bits").alias(f"_shed_bits_{bp}"),
+                F.lit(True).alias(marker),
+            )
+            pairs = pairs.join(
+                F.broadcast(shed_bp),
+                _bits("a", bp) == F.col(f"_shed_bits_{bp}"),
+                "left",
+            ).drop(f"_shed_bits_{bp}")
+            shed_flags[bp] = F.coalesce(F.col(marker), F.lit(False))
+
+    def _lower_match(bp: int) -> Column:
+        m = _bits("a", bp) == _bits("b", bp)
+        if bp in shed_flags:
+            m = m & ~shed_flags[bp]
+        return m
 
     keep = F.lit(False)
     for b in range(bands - 1, -1, -1):
         no_lower = F.lit(True)
         for bp in range(b):
-            no_lower = no_lower & ~_eq(bp)
+            no_lower = no_lower & ~_lower_match(bp)
         keep = F.when(F.col("band") == b, no_lower).otherwise(keep)
     return (
         pairs.filter(keep)
@@ -843,6 +870,12 @@ def strip_repeated_spans(
     The earlier shape (posexplode -> anti-join -> collect_list rebuild)
     shuffled every TOKEN twice; this shuffles only doc rows (measured
     3.0 s -> ~1 s at sf0.1)."""
+    clash = {"_spans", "_tk"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"strip_repeated_spans reserves helper columns {sorted(clash)}; "
+            "rename them on the input first"
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(

@@ -318,11 +318,13 @@ def lsh_topk(
     embedding region hashing to one signature) before the query join —
     the skew guard; true neighbors stay reachable via the other tables.
 
-    Shape at 100 TB: the corpus side is one projection + explode (no
-    shuffle); the tiny query side broadcasts; candidate dedup and the
-    top-k window shuffle only (query_id, neighbor_id, cos).  The bucket
-    census for the guard is a (table, bucket, count) aggregate — tiny, so
-    AQE broadcasts it back onto the corpus side."""
+    Shape at 100 TB: without the guard the corpus side is one projection
+    + explode (no shuffle); with it the corpus frame shuffles ONCE on the
+    bucket key for the count-over-bucket census window (a census
+    aggregate + join-back was measured slower here because it runs the
+    Arrow signature kernel twice).  The tiny query side broadcasts;
+    candidate dedup and the top-k window shuffle only
+    (query_id, neighbor_id, cos)."""
     cb = _table_buckets(corpus, dim, id_col, vec_col, num_planes, num_tables)
     cb = cb.select(
         F.col(id_col).alias("neighbor_id"),

@@ -507,8 +507,9 @@ def test_resize_and_frame_sample_plumbing(docs):
     frames = MM.sample_frames(with_payload, n_frames=3).collect()
     assert len(frames) == 15
     assert all(len(r["frame_payload"]) == 16 for r in frames)
-    with pytest.raises(NotImplementedError, match="imaging"):
-        MM.resize_image_bytes(b"x", 4, 4, fake=False)
+    if MM._pil_image() is None:
+        with pytest.raises(NotImplementedError, match="imaging"):
+            MM.resize_image_bytes(b"x", 4, 4, fake=False)
 
 
 def test_chunk_tokens_covers_stream_and_fingerprints(spark):
@@ -793,3 +794,58 @@ def test_model_quality_score_planted_weights(spark):
     assert abs(out[1] - round(1 / (1 + _m.exp(8.0)), 6)) < 1e-9
     assert out[2] is None  # empty doc: no evidence
     assert out[3] == 0.5
+
+def test_simhash_band_filter_equals_distinct_reference_under_shedding(
+    spark, sf_dir
+):
+    """The lowest-matching-SURVIVING-band filter must produce exactly the
+    distinct-of-all-surviving-bands pair set even when the skew cap sheds
+    buckets — a pair whose band-0 bucket is shed must still surface via
+    its band-1 bucket (code-review regression: the pre-fix filter
+    suppressed such pairs because it ignored shed-ness of lower bands)."""
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    cap = 20  # sf0.001/0.01 corpora have simhash buckets well above this
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_near_dups(
+            d, bits=16, max_hamming=3, bands=2, max_bucket_size=cap
+        ).collect()
+    }
+
+    # reference: surviving buckets -> all in-bucket pairs -> distinct
+    sigs = D.simhash_frame(d, bits=16)
+    width, mask = 8, (1 << 8) - 1
+    banded = None
+    for b in range(2):
+        part = sigs.select(
+            F.col("doc_id"),
+            F.col("sig"),
+            F.lit(b).alias("band"),
+            F.shiftright("sig", b * width).bitwiseAND(F.lit(mask)).alias("bits"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    grouped = (
+        banded.groupBy("band", "bits")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id").alias("id"), "sig"))
+            ).alias("members")
+        )
+        .filter((F.size("members") > 1) & (F.size("members") <= cap))
+    )
+    ref = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.expand_member_pairs(grouped, "members")
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            D.hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+        .collect()
+    }
+    assert got == ref and ref
