@@ -582,3 +582,83 @@ def q89_product_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("profit"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q94 — SemDeDup semantic dedup end product (Abbas et al. 2023): the
+# embedding corpus surviving IVF-cluster -> in-cluster cosine >= 0.95 ->
+# greedy keep-lowest-id removal.  Engine-private centroids -> rows-only;
+# the planted-duplicate behavior is pinned in tests/test_llm.py.
+# --------------------------------------------------------------------------
+@query("q94_semantic_dedup")
+def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.semantic_dedup(e, threshold=0.95, k_lists=16).select(
+        "vec_id", "label"
+    )
+
+
+# --------------------------------------------------------------------------
+# q95 — rolling z-score anomaly detection over the event stream: per
+# (event_type, day) counts, 7-day trailing mean/stddev (excluding the
+# current day), |z| >= 2 flags — the standard pipeline-health monitor.
+# Pure window math, exactly mirrored in the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "q95_event_anomalies",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    scored AS (
+        SELECT event_type, day, n_events,
+               AVG(n_events) OVER w AS mean7,
+               STDDEV_SAMP(n_events) OVER w AS std7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n_events,
+           ROUND(mean7, 6) AS mean7,
+           ROUND((n_events - mean7) / std7, 6) AS zscore,
+           CASE WHEN ABS((n_events - mean7) / std7) >= 2
+                THEN TRUE ELSE FALSE END AS is_anomaly
+    FROM scored
+    WHERE std7 IS NOT NULL AND std7 > 0
+    """,
+)
+def q95_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.avg("n_events").over(w).alias("mean7"),
+        F.stddev_samp("n_events").over(w).alias("std7"),
+    )
+    z = (F.col("n_events") - F.col("mean7")) / F.col("std7")
+    return (
+        scored.filter(F.col("std7").isNotNull() & (F.col("std7") > 0))
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round("mean7", 6).alias("mean7"),
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) >= 2).alias("is_anomaly"),
+        )
+    )
