@@ -662,3 +662,148 @@ def q95_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) >= 2).alias("is_anomaly"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q96 — deterministic weighted Bernoulli sampling: doc kept iff its
+# hash-uniform u < rate * n_tokens / max_tokens (longer docs
+# proportionally likelier — importance sampling by a quality weight).
+# Every arithmetic step (md5-derived u, integer-ratio weights, one
+# multiply, one compare) is correctly-rounded IEEE, so membership is
+# bit-identical across engines — unlike exp/ln-keyed weighted reservoir
+# sampling, whose libm calls are implementation-defined.
+# --------------------------------------------------------------------------
+_WS_SEED, _WS_RATE, _WS_MOD = 97, 0.5, 1_048_576
+
+
+@query(
+    "q96_weighted_sample",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               LEN(list_filter(string_split(
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                   t -> t <> '')) AS n_tokens
+        FROM documents
+    ),
+    mx AS (SELECT MAX(n_tokens) AS max_tokens FROM toks),
+    keyed AS (
+        SELECT t.doc_id, t.lang, t.source, t.n_tokens,
+               (CAST(('0x' || substr(md5('{_WS_SEED}:' || CAST(t.doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % {_WS_MOD}) * 1.0 / {_WS_MOD} AS u,
+               {_WS_RATE} * t.n_tokens / mx.max_tokens AS p
+        FROM toks t CROSS JOIN mx
+    )
+    SELECT doc_id, lang, source, n_tokens, ROUND(p, 6) AS keep_p
+    FROM keyed WHERE u < p
+    """,
+)
+def q96_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import md5_long
+    from ominimo_dynamic_data_pipeline_spark.llm.text import tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "doc_id", "lang", "source",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    mx = toks.agg(F.max("n_tokens").alias("max_tokens"))
+    u = (
+        md5_long(F.col("doc_id").cast("string"), seed=_WS_SEED) % _WS_MOD
+    ) * F.lit(1.0) / F.lit(_WS_MOD)
+    p = F.lit(_WS_RATE) * F.col("n_tokens") / F.col("max_tokens")
+    return (
+        toks.crossJoin(F.broadcast(mx))
+        .filter(u < p)
+        .select(
+            "doc_id", "lang", "source", "n_tokens",
+            F.round(p, 6).alias("keep_p"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 — co-purchase pair mining (market-basket shape): parts appearing in
+# the same order become a pair; pairs counted corpus-wide, support >= 3.
+# Reuses expand_member_pairs, so per-order cost is |basket|^2 row by row
+# (baskets are bounded by order size), never a self-join of lineitem.
+# --------------------------------------------------------------------------
+@query(
+    "q97_copurchase_pairs",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    pairs AS (
+        SELECT p1 AS part_a, p2 AS part_b FROM baskets,
+             UNNEST(parts) AS t1(p1), UNNEST(parts) AS t2(p2)
+        WHERE p1 < p2
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 3
+    """,
+)
+def q97_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        expand_member_pairs,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias(
+            "parts"
+        )
+    ).filter(F.size("parts") > 1)
+    return (
+        expand_member_pairs(baskets, "parts")
+        .groupBy(
+            F.col("a").alias("part_a"), F.col("b").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# q98 — cohort retention matrix: customers grouped by first-order month,
+# counted at each month offset at which they order again — the classic
+# retention triangle, exercised on orders.
+# --------------------------------------------------------------------------
+@query(
+    "q98_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+        SELECT DISTINCT o.o_custkey, f.cohort,
+               datediff('month', f.cohort,
+                        date_trunc('month', o.o_orderdate)) AS month_offset
+        FROM orders o JOIN firsts f USING (o_custkey)
+    )
+    SELECT cohort, month_offset,
+           COUNT(*) AS n_customers
+    FROM activity GROUP BY cohort, month_offset
+    """,
+)
+def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+            ).cast("bigint").alias("month_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
