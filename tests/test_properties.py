@@ -7,6 +7,7 @@ suite stays fast."""
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from ominimo_dynamic_data_pipeline_spark.operators.validate import apply_validations
@@ -223,3 +224,72 @@ def test_near_dedup_output_is_subset_and_pairfree(spark, texts):
     pairs = minhash_near_dups(df, threshold=0.5).collect()
     victims = {r["id_b"] for r in pairs}
     assert in_ids - out_ids == victims
+
+
+# --- repeated-span invariants (the q90/q93 substring-dedup family) --------
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc = st.lists(_word, min_size=0, max_size=24).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus)
+def test_repeated_span_invariants(spark, docs):
+    """For arbitrary small corpora over a tiny vocabulary (maximizing
+    collisions): every span is >= n tokens, within the doc's token range,
+    spans never overlap within a doc, every flagged n-gram really occurs
+    >= 2 times in the corpus, and stripping leaves no flagged position."""
+    from ominimo_dynamic_data_pipeline_spark.llm import dedup as D
+    from ominimo_dynamic_data_pipeline_spark.llm.text import tokens as tok_col
+
+    n = 3
+    df = spark.createDataFrame(
+        list(enumerate(docs)), schema="doc_id bigint, text string"
+    )
+    toks = {
+        r["doc_id"]: r["tk"]
+        for r in df.select(
+            "doc_id", tok_col(F.col("text")).alias("tk")
+        ).collect()
+    }
+    spans = D.repeated_spans(df, span_tokens=n, min_count=2).collect()
+
+    # corpus-wide n-gram occurrence counts (positional, self-repeats count)
+    from collections import Counter
+
+    grams = Counter()
+    for tk in toks.values():
+        for i in range(len(tk) - n + 1):
+            grams[tuple(tk[i : i + n])] += 1
+
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans:
+        d, s, e = r["doc_id"], r["span_start"], r["span_end"]
+        assert r["span_n_tokens"] == e - s >= n
+        assert 0 <= s < e <= len(toks[d])
+        by_doc.setdefault(d, []).append((s, e))
+        # every n-gram window inside the span that is flagged must exist;
+        # at minimum the first window must be a >=2-occurrence gram
+        assert grams[tuple(toks[d][s : s + n])] >= 2
+    for d, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert e1 < s2  # non-overlapping, non-adjacent (maximal merge)
+
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in D.strip_repeated_spans(df, D.repeated_spans(
+            df, span_tokens=n, min_count=2
+        )).collect()
+    }
+    for d, tk in toks.items():
+        flagged = set()
+        for s, e in by_doc.get(d, []):
+            flagged.update(range(s, e))
+        expect = " ".join(t for i, t in enumerate(tk) if i not in flagged)
+        assert stripped[d] == expect
