@@ -217,6 +217,30 @@ def embedding_near_dups_lsh(
         F.col("tb.bucket").alias("bucket"),
     )
 
+    kernel, schema = _bucket_pair_kernel(
+        id_col, vec_col, id_field, threshold, max_bucket_size
+    )
+    return (
+        bucketed.groupBy("table", "bucket")
+        .applyInPandas(kernel, schema)
+        .distinct()
+    )
+
+
+def _bucket_pair_kernel(
+    id_col: str,
+    vec_col: str,
+    id_field: str,
+    threshold: float,
+    max_bucket_size: int | None,
+):
+    """(kernel, schema) for per-bucket all-pairs cosine via an Arrow
+    applyInPandas numpy kernel — dimension-ordered accumulation, so the
+    cos doubles are bit-identical to the sequential Catalyst/DuckDB fold
+    (shared by the LSH and IVF-cluster bucketings)."""
+    import numpy as np
+    import pandas as pd
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
         n = len(pdf)
@@ -234,12 +258,7 @@ def embedding_near_dups_lsh(
         ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (cos >= threshold))
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos": cos[ia, ib]})
 
-    schema = f"id_a {id_field}, id_b {id_field}, cos double"
-    return (
-        bucketed.groupBy("table", "bucket")
-        .applyInPandas(kernel, schema)
-        .distinct()
-    )
+    return kernel, f"id_a {id_field}, id_b {id_field}, cos double"
 
 
 def _table_buckets(
@@ -606,11 +625,19 @@ def semantic_dedup(
         df, id_col, vec_col, k_lists=k_lists, iters=iters,
         train_limit=train_limit,
     )
-    assigned = ivf_assign(df, cents, id_col, vec_col)
-    tagged = df.join(assigned.select(id_col, "ivf_list"), id_col)
-    pairs = embedding_near_dups(
-        tagged, id_col, vec_col, threshold=threshold, bucket_col="ivf_list"
+    # ivf_assign already carries (id, vec_d, ivf_list) — group clusters
+    # directly into the per-bucket Arrow pair kernel (ONE shuffle on the
+    # cluster id; the previous shape joined the corpus back to its own
+    # projection and ran a bucket-equality self-join, computing the
+    # assignment twice and scoring pairs in interpreted Catalyst folds)
+    assigned = ivf_assign(df, cents, id_col, vec_col).select(
+        id_col, "vec_d", "ivf_list"
     )
+    id_field = df.schema[id_col].dataType.simpleString()
+    kernel, schema = _bucket_pair_kernel(
+        id_col, "vec_d", id_field, threshold, None
+    )
+    pairs = assigned.groupBy("ivf_list").applyInPandas(kernel, schema)
     return dedup_corpus(df, pairs, id_col)
 
 
