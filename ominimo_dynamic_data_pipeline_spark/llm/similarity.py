@@ -610,16 +610,14 @@ def semantic_dedup(
 
     100 TB shape: centroid training is a bounded driver-side sample
     (ivf_train_centroids); assignment is a pure projection; the pair
-    search is embedding_near_dups with the cluster label as bucket —
-    sum(|cluster|^2) comparisons, never N^2.  Cross-cluster near-dups are
-    missed by construction; that recall tradeoff is the published
-    algorithm's, tuned via k_lists (fewer lists = higher recall, bigger
-    buckets).  Returns the surviving rows of ``df`` unchanged.
+    search groups each cluster into the per-bucket Arrow kernel
+    (_bucket_pair_kernel) — sum(|cluster|^2) comparisons, never N^2.
+    Cross-cluster near-dups are missed by construction; that recall
+    tradeoff is the published algorithm's, tuned via k_lists (fewer
+    lists = higher recall, bigger buckets).  Returns the surviving rows
+    of ``df`` unchanged.
     """
-    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
-        dedup_corpus,
-        embedding_near_dups,
-    )
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import dedup_corpus
 
     cents = ivf_train_centroids(
         df, id_col, vec_col, k_lists=k_lists, iters=iters,
