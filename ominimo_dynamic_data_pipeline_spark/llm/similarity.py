@@ -326,6 +326,7 @@ def lsh_topk(
     num_planes: int = 6,
     num_tables: int = 1,
     max_bucket_size: int | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's bucket in ANY of
     ``num_tables`` LSH tables, then exact cosine re-ranks.  Recall < 1 by
@@ -343,7 +344,11 @@ def lsh_topk(
     aggregate + join-back was measured slower here because it runs the
     Arrow signature kernel twice).  The tiny query side broadcasts;
     candidate dedup and the top-k window shuffle only
-    (query_id, neighbor_id, cos)."""
+    (query_id, neighbor_id, cos).
+
+    ``round_to`` rounds cos BEFORE the top-k window so the ranking (and
+    its ties) is reproducible in an external SQL oracle that rounds the
+    same way — the q28 parity technique applied to top-k."""
     cb = _table_buckets(corpus, dim, id_col, vec_col, num_planes, num_tables)
     cb = cb.select(
         F.col(id_col).alias("neighbor_id"),
@@ -395,6 +400,8 @@ def lsh_topk(
         # a pair found by several tables scores identically -> exact dedup
         .distinct()
     )
+    if round_to is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_to))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -468,6 +475,18 @@ def ivf_train_centroids(
         .toPandas()
     )
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return lloyd_centroids(x, k_lists, iters)
+
+
+def lloyd_centroids(x, k_lists: int, iters: int) -> list[list[float]]:
+    """The numpy Lloyd core of ivf_train_centroids, shared with the
+    DuckDB-oracle builders (train_centroids_from_parquet): the SAME float64
+    ops on the SAME sample matrix make the centroid literals rendered into
+    an oracle's SQL bit-identical to the ones the engine ships to
+    executors, so oracle parity checks assignment/probe/scoring — not
+    driver-side numpy reproducibility (which this sharing guarantees)."""
+    import numpy as np
+
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0  # zero vectors stay zero instead of NaN
     x = x / norms
@@ -483,6 +502,36 @@ def ivf_train_centroids(
                 if n > 0:
                     cents[c] = m / n
     return [[float(v) for v in c] for c in cents]
+
+
+def train_centroids_from_parquet(
+    parquet_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_lists: int = 16,
+    iters: int = 5,
+    train_limit: int = 2048,
+) -> list[list[float]] | None:
+    """ivf_train_centroids without a SparkSession: read the table with
+    pyarrow, take the same deterministic lowest-id sample, run the same
+    Lloyd core.  float32 parquet values convert to float64 exactly in both
+    readers, so the result is bit-identical to what the engine trains.
+
+    Used by the DuckDB oracle builders for q44/q91/q94 to render the
+    centroids as SQL literals (repr round-trips doubles exactly).  Returns
+    None when the parquet is missing — callers fall back to a rows-only
+    oracle entry."""
+    from pathlib import Path
+
+    if not Path(parquet_path).exists():
+        return None
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    pdf = tbl.to_pandas().sort_values(id_col, kind="mergesort").head(train_limit)
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return lloyd_centroids(x, k_lists, iters)
 
 
 def _centroid_scores(vec_d: Column, centroids: list[list[float]]) -> Column:
@@ -526,13 +575,16 @@ def ivf_topk(
     k_lists: int = 16,
     nprobe: int = 4,
     iters: int = 5,
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: candidates come from each query's ``nprobe``
     closest centroid lists, exact cosine re-ranks.
 
     The probe join key is the list id, so comparisons are
     sum(|probed list|) per query instead of N; recall tunes with nprobe
-    (nprobe = k_lists degrades to exact brute force).
+    (nprobe = k_lists degrades to exact brute force).  ``round_to``
+    rounds cos before the top-k window (oracle-parity ranking, see
+    lsh_topk).
     """
     centroids = ivf_train_centroids(corpus, id_col, vec_col, k_lists, iters)
     cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
@@ -587,6 +639,8 @@ def ivf_topk(
             ).alias("cos"),
         )
     )
+    if round_to is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_to))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -667,6 +721,7 @@ def ivfpq_topk(
     nprobe: int = 4,
     iters: int = 5,
     rerank_factor: int = 3,
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF + int8 codes with asymmetric distance — the standard
     billion-scale ANN layout (FAISS IVF-SQ8 shape): the coarse quantizer
@@ -681,7 +736,16 @@ def ivfpq_topk(
     quarter of the bytes of full-precision IVF; the rerank fetch joins the
     tiny shortlist (n_queries * k * rerank_factor rows) back to the float
     originals by id.  Centroids are the q44 bounded-sample quantizer;
-    codes are the q58 quantizer, bit-exact per its oracle."""
+    codes are the q58 quantizer, bit-exact per its oracle.
+
+    ``round_to`` rounds the final cos before the top-k window
+    (oracle-parity ranking, see lsh_topk).  Zero-norm rows are filtered
+    EXPLICITLY before the asymmetric scoring: a zero corpus vector
+    reconstructs to c_nrm_approx = 0 and a zero query has q_nrm = 0,
+    either of which would make approx_cos NULL (Spark non-ANSI
+    div-by-zero) and silently drop the candidate via NULL ordering — the
+    filter makes that exclusion intentional (a zero vector has no
+    defined cosine direction; ivf_train_centroids guards the same way)."""
     centroids = ivf_train_centroids(corpus, id_col, vec_col, k_lists, iters)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     cb = (
@@ -703,10 +767,10 @@ def ivfpq_topk(
                 lambda acc, c: acc + c.cast("double") * c.cast("double"),
             )
         ),
-    )
+    ).filter(F.col("c_nrm_approx") > 0)
     qn = norm_frame(
         queries.withColumnRenamed(query_id_col, "query_id"), "query_id", vec_col
-    )
+    ).filter(F.col("nrm") > 0)
     q_scored = qn.select(
         F.col("query_id"),
         F.col("vec_d").alias("qv"),
@@ -775,6 +839,8 @@ def ivfpq_topk(
             / (F.col("q_nrm") * F.col("c_nrm"))
         ).alias("cos"),
     )
+    if round_to is not None:
+        reranked = reranked.withColumn("cos", F.round("cos", round_to))
     wf = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         reranked.withColumn("rank", F.row_number().over(wf).cast("bigint"))

@@ -587,15 +587,59 @@ def q89_product_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q94 — SemDeDup semantic dedup end product (Abbas et al. 2023): the
 # embedding corpus surviving IVF-cluster -> in-cluster cosine >= 0.95 ->
-# greedy keep-lowest-id removal.  Engine-private centroids -> rows-only;
-# the planted-duplicate behavior is pinned in tests/test_llm.py.
+# greedy keep-lowest-id removal.  The planted-duplicate behavior stays
+# pinned in tests/test_llm.py.
+#
+# Oracle: q44's centroid-literal CTE block (same trainer config: 16
+# lists, 5 iters, 2048-row lowest-id sample -> identical centroid
+# matrix) re-derives the cluster assignment bit-for-bit; the in-cluster
+# pair search compares the RAW cosine fold against the threshold —
+# bit-identical to the engine's Arrow kernel, whose dimension-ordered
+# accumulation equals the sequential list_reduce fold — and the greedy
+# survivor set is the anti-join on the victims' id_b side, exactly
+# dedup_corpus.  Degrades to rows-only if the comparison-scale parquet
+# is absent.
 # --------------------------------------------------------------------------
-@query("q94_semantic_dedup")
+_SEMDEDUP_THRESHOLD = 0.95
+
+
+def _semantic_dedup_sql(dim: int = 64) -> str | None:
+    from ominimo_dynamic_data_pipeline_spark.llm import similarity as S
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        _FOLD,
+        _IVF_ITERS,
+        _IVF_LISTS,
+        _ORACLE_SF_DIR,
+        _ivf_ctes,
+    )
+
+    cents = S.train_centroids_from_parquet(
+        f"{_ORACLE_SF_DIR}/embeddings.parquet",
+        k_lists=_IVF_LISTS, iters=_IVF_ITERS,
+    )
+    if cents is None:
+        return None
+    return f"""
+    WITH {_ivf_ctes(cents, dim)},
+    pairs AS (
+        SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+        FROM assigned ca JOIN assigned cb
+          ON ca.c_list = cb.c_list AND ca.vec_id < cb.vec_id
+        WHERE list_reduce([CAST(0.0 AS DOUBLE)] ||
+                  [ca.v[i] * cb.v[i] for i in range(1, {dim} + 1)],
+                  {_FOLD}) / (ca.nrm * cb.nrm) >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+    """
+
+
+@query("q94_semantic_dedup", _semantic_dedup_sql())
 def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ominimo_dynamic_data_pipeline_spark.llm import similarity as S
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.semantic_dedup(e, threshold=0.95, k_lists=16).select(
+    return S.semantic_dedup(e, threshold=_SEMDEDUP_THRESHOLD, k_lists=16).select(
         "vec_id", "label"
     )
 

@@ -11,6 +11,7 @@ LSH hyperplane top-k) are registered rows-only (no oracle entry).
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +51,18 @@ SQL_SHINGLES = (
 def _sql_md5_long(expr: str, seed: int) -> str:
     return f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
 
+
+# --- oracle comparison scale ----------------------------------------------
+# Oracles whose SQL embeds DATA-DERIVED literals (the IVF/SemDeDup centroid
+# matrices) are rendered for the scale the correctness comparison runs at:
+# the driver's gate and tests/test_oracle_parity.py both compare at sf0.01
+# (env-overridable to match the parity test).  The literals are re-derived
+# from that directory's parquet at import, so the oracle stays valid for
+# whatever data actually sits there; if the directory is missing the
+# affected entries degrade to rows-only instead of shipping a stale twin.
+_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 # --- catalog-wide LSH skew caps --------------------------------------------
 # A bucket larger than the cap is degenerate (boilerplate / empty docs
@@ -317,13 +330,11 @@ def q27_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_DIM, _LSH_PLANES, _LSH_TABLES = 64, 4, 3
 
 
-def _lsh_pairs_sql(
-    dim: int = _LSH_DIM,
-    num_planes: int = _LSH_PLANES,
-    num_tables: int = _LSH_TABLES,
-    threshold: float = 0.45,
-    max_bucket_size: int = EMBEDDING_MAX_BUCKET,
-) -> str:
+def _lsh_sig_cols(dim: int, num_planes: int, num_tables: int) -> list[str]:
+    """Per-table LSH signature columns (sig_0..sig_{T-1}) as explicit
+    left-associative ±embedding[i] sum chains — the exact fold order the
+    engine's _plane_scores / _table_buckets kernels accumulate in, so the
+    sign bits (and buckets) agree bit-for-bit across engines."""
     sig_cols = []
     for t in range(num_tables):
         bit_terms = []
@@ -337,6 +348,17 @@ def _lsh_pairs_sql(
         sig_cols.append(
             "CAST(" + " + ".join(bit_terms) + f" AS BIGINT) AS sig_{t}"
         )
+    return sig_cols
+
+
+def _lsh_pairs_sql(
+    dim: int = _LSH_DIM,
+    num_planes: int = _LSH_PLANES,
+    num_tables: int = _LSH_TABLES,
+    threshold: float = 0.45,
+    max_bucket_size: int = EMBEDDING_MAX_BUCKET,
+) -> str:
+    sig_cols = _lsh_sig_cols(dim, num_planes, num_tables)
     buckets = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, sig_{t} AS bucket FROM sigs"
         for t in range(num_tables)
@@ -431,16 +453,66 @@ def q29_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q30 — LSH-bucketed approximate top-k (the 100 TB path).  Engine-private
-# hyperplane signatures -> rows-only check; recall@5 >= 0.8 vs q29 brute
-# force is pinned in tests/test_llm.py (this corpus is near-random 64-dim,
-# the hardest case for LSH — real embedding corpora cluster far tighter,
-# so the same config only gets better).
+# q30 — LSH-bucketed approximate top-k (the 100 TB path).  The oracle
+# replicates the hyperplane signatures exactly (the q28 technique applied
+# to top-k): ±1 plane components rendered as left-associative sum chains
+# make the buckets agree bit-for-bit, the corpus-side census cap is the
+# same COUNT() OVER, and cos is rounded to 4 in BOTH engines before the
+# rank window so ranking ties resolve identically (cos DESC, neighbor
+# ASC).  recall@5 >= 0.8 vs q29 brute force stays pinned in
+# tests/test_llm.py (this corpus is near-random 64-dim, the hardest case
+# for LSH — real embedding corpora cluster far tighter).
 # --------------------------------------------------------------------------
 _Q30_PLANES, _Q30_TABLES = 3, 8
 
 
-@query("q30_knn_lsh")
+def _lsh_topk_sql(
+    dim: int = 64,
+    num_planes: int = _Q30_PLANES,
+    num_tables: int = _Q30_TABLES,
+    k: int = 5,
+    max_bucket_size: int = EMBEDDING_MAX_BUCKET,
+) -> str:
+    sig_cols = _lsh_sig_cols(dim, num_planes, num_tables)
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, sig_{t} AS bucket FROM sigs"
+        for t in range(num_tables)
+    )
+    cos = (
+        "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+        " / (SQRT(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
+        " * SQRT(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+    )
+    return f"""
+    WITH sigs AS (SELECT vec_id, embedding, {', '.join(sig_cols)} FROM embeddings),
+    buckets0 AS ({buckets}),
+    corpus AS (
+        SELECT vec_id, tbl, bucket FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS bn
+            FROM buckets0
+        ) WHERE bn <= {max_bucket_size}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM corpus c JOIN buckets0 q
+          ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id, ROUND({cos}, 4) AS cos
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.query_id
+        JOIN embeddings eb ON eb.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q30_knn_lsh", _lsh_topk_sql())
 def q30_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
@@ -448,6 +520,7 @@ def q30_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, dim=64, k=5,
         num_planes=_Q30_PLANES, num_tables=_Q30_TABLES,
         max_bucket_size=EMBEDDING_MAX_BUCKET,
+        round_to=4,
     )
 
 
@@ -657,13 +730,109 @@ def q38_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q44 — IVF approximate top-k: sample-trained coarse quantizer (driver-side
 # numpy k-means on lowest-id rows), distributed assign + nprobe search.
-# Engine-private centroids -> rows-only.
+#
+# Oracle: the centroids are DETERMINISTIC given the pinned lowest-id
+# 2048-row sample, so the oracle builder re-trains them with the exact
+# same numpy Lloyd core on a pyarrow read of the comparison-scale parquet
+# (similarity.train_centroids_from_parquet) and renders them as DOUBLE
+# literals — bit-identical to what the engine ships to executors.  Every
+# downstream fold (centroid scores, norms, cosines) is written as the
+# same sequential left fold (list_reduce with a prepended 0.0), so the
+# argmax assignment and probe ordering agree bit-for-bit and the final
+# cos is rounded to 4 in BOTH engines before the rank window.  When the
+# comparison-scale parquet is absent the entry degrades to rows-only.
 # --------------------------------------------------------------------------
-@query("q44_knn_ivf")
+_IVF_LISTS, _IVF_NPROBE, _IVF_ITERS = 16, 4, 5
+
+
+def _cents_literal(cents: list[list[float]]) -> str:
+    """DOUBLE[][] SQL literal; repr() round-trips each double exactly and
+    the ::DOUBLE[] cast defeats DuckDB's default DECIMAL literal typing."""
+    rows = ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]" for c in cents
+    )
+    return f"[{rows}]"
+
+
+_FOLD = "(acc, val) -> acc + val"
+
+
+def _ivf_ctes(cents: list[list[float]], dim: int = 64) -> str:
+    """Shared CTE block: corpus doubles, sequential-fold norms + centroid
+    scores, argmax list assignment, and the per-query nprobe probe set
+    (score DESC, idx DESC — the order Spark's reverse(array_sort(structs))
+    produces)."""
+    k_lists = len(cents)
+    return f"""
+    cents AS (SELECT {_cents_literal(cents)} AS cm),
+    corpus AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        FROM embeddings
+    ),
+    staged AS (
+        SELECT vec_id, v,
+               SQRT(list_reduce([CAST(0.0 AS DOUBLE)] || [x * x for x in v],
+                                {_FOLD})) AS nrm,
+               [list_reduce([CAST(0.0 AS DOUBLE)] ||
+                            [v[i] * c[i] for i in range(1, {dim} + 1)],
+                            {_FOLD}) for c in cm] AS scores
+        FROM corpus, cents
+    ),
+    assigned AS (
+        SELECT vec_id, v, nrm,
+               CAST(list_position(scores, list_max(scores)) - 1 AS INT)
+                   AS c_list
+        FROM staged
+    ),
+    probes AS (
+        SELECT query_id, qv, q_nrm, q_list FROM (
+            SELECT query_id, qv, q_nrm, u.i AS q_list,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY u.s DESC, u.i DESC) AS pr
+            FROM (
+                SELECT vec_id AS query_id, v AS qv, nrm AS q_nrm,
+                       [{{'s': scores[j + 1], 'i': j}}
+                        for j in range({k_lists})] AS st
+                FROM staged WHERE vec_id < 5
+            ), UNNEST(st) AS t(u)
+        ) WHERE pr <= {_IVF_NPROBE}
+    )"""
+
+
+def _ivf_topk_sql(k: int = 5, dim: int = 64) -> str | None:
+    cents = S.train_centroids_from_parquet(
+        f"{_ORACLE_SF_DIR}/embeddings.parquet",
+        k_lists=_IVF_LISTS, iters=_IVF_ITERS,
+    )
+    if cents is None:
+        return None
+    return f"""
+    WITH {_ivf_ctes(cents, dim)},
+    scored AS (
+        SELECT p.query_id, ca.vec_id AS neighbor_id,
+               ROUND(list_reduce([CAST(0.0 AS DOUBLE)] ||
+                                 [p.qv[i] * ca.v[i]
+                                  for i in range(1, {dim} + 1)],
+                                 {_FOLD}) / (p.q_nrm * ca.nrm), 4) AS cos
+        FROM assigned ca JOIN probes p
+          ON ca.c_list = p.q_list AND ca.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q44_knn_ivf", _ivf_topk_sql())
 def q44_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
-    return S.ivf_topk(e, queries, k=5, k_lists=16, nprobe=4)
+    return S.ivf_topk(
+        e, queries, k=5, k_lists=_IVF_LISTS, nprobe=_IVF_NPROBE,
+        iters=_IVF_ITERS, round_to=4,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1325,15 +1494,86 @@ def q90_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q91 — IVF-PQ-style search: q44's coarse quantizer routing + q58's int8
 # codes scored asymmetrically (float query x reconstructed corpus), float
-# rerank of the 3k shortlist.  Engine-private centroids -> rows-only;
-# recall@5 >= 0.8 vs q29 brute force is pinned in tests/test_llm.py and
-# the int8 code math is bit-exact per q58's oracle.
+# rerank of the 3k shortlist.  recall@5 >= 0.8 vs q29 brute force stays
+# pinned in tests/test_llm.py.
+#
+# Oracle: q44's centroid-literal CTEs + q58's bit-exact int8 scale/code
+# math.  The asymmetric shortlist ranks on RAW adc doubles in both
+# engines — every input is bit-identical (integer codes, exact
+# max/abs/127 scale, sequential folds), so the shortlist agrees without
+# rounding; the final reranked cos rounds to 4 before the rank window.
 # --------------------------------------------------------------------------
-@query("q91_knn_ivfpq")
+_PQ_RERANK = 3
+
+
+def _ivfpq_topk_sql(k: int = 5, dim: int = 64) -> str | None:
+    cents = S.train_centroids_from_parquet(
+        f"{_ORACLE_SF_DIR}/embeddings.parquet",
+        k_lists=_IVF_LISTS, iters=_IVF_ITERS,
+    )
+    if cents is None:
+        return None
+    z = "CAST(0.0 AS DOUBLE)"
+    return f"""
+    WITH {_ivf_ctes(cents, dim)},
+    coded AS (
+        SELECT neighbor_id, c_list, c_scale,
+               CASE WHEN c_scale > 0
+                    THEN [CAST(round(x / c_scale) AS INT) for x in v]
+                    ELSE [CAST(0 AS INT) for x in v] END AS codes
+        FROM (
+            SELECT vec_id AS neighbor_id, c_list, v,
+                   list_max([abs(x) for x in v]) / 127.0 AS c_scale
+            FROM assigned
+        )
+    ),
+    cq AS (
+        SELECT *,
+               c_scale * SQRT(list_reduce([{z}] ||
+                   [CAST(c AS DOUBLE) * CAST(c AS DOUBLE) for c in codes],
+                   {_FOLD})) AS c_nrm_approx
+        FROM coded
+    ),
+    shortlist0 AS (
+        SELECT p.query_id, cq.neighbor_id, p.qv, p.q_nrm,
+               cq.c_scale * list_reduce([{z}] ||
+                   [p.qv[i] * CAST(cq.codes[i] AS DOUBLE)
+                    for i in range(1, {dim} + 1)], {_FOLD})
+               / (p.q_nrm * cq.c_nrm_approx) AS adc
+        FROM cq JOIN probes p
+          ON cq.c_list = p.q_list AND cq.neighbor_id <> p.query_id
+        WHERE cq.c_nrm_approx > 0 AND p.q_nrm > 0
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, qv, q_nrm FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, neighbor_id) AS arnk
+            FROM shortlist0
+        ) WHERE arnk <= {k * _PQ_RERANK}
+    ),
+    reranked AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_reduce([{z}] ||
+                     [s.qv[i] * ca.v[i] for i in range(1, {dim} + 1)],
+                     {_FOLD}) / (s.q_nrm * ca.nrm), 4) AS cos
+        FROM short s JOIN assigned ca ON ca.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM reranked
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q91_knn_ivfpq", _ivfpq_topk_sql())
 def q91_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
-    return S.ivfpq_topk(e, queries, k=5, k_lists=16, nprobe=4)
+    return S.ivfpq_topk(
+        e, queries, k=5, k_lists=_IVF_LISTS, nprobe=_IVF_NPROBE,
+        iters=_IVF_ITERS, rerank_factor=_PQ_RERANK, round_to=4,
+    )
 
 
 # --------------------------------------------------------------------------
