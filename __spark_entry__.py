@@ -55,5 +55,13 @@ def _configure(spark: SparkSession) -> None:
     ):
         try:
             spark.conf.set(key, value)
-        except Exception:
-            pass  # non-modifiable on some builds; queries avoid ANSI traps
+        except Exception as exc:
+            # Non-modifiable on some builds; queries avoid ANSI traps.  A
+            # rejected timezone/ANSI conf can shift date hashes, so say it
+            # loudly instead of failing silently (round-3 verdict item).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "could not set %s=%s on the provided SparkSession: %s",
+                key, value, exc,
+            )

@@ -209,6 +209,12 @@ def expand_member_pairs(
     which at a degenerate 10^4-member bucket is a multi-GB single row).
     Emits columns ``a`` and ``b`` (the paired member values) plus any
     requested ``keep_cols`` carried through from the group row."""
+    reserved = {"a", "b", "_i", "_members"} & set(keep_cols)
+    if reserved:
+        raise ValueError(
+            "expand_member_pairs keep_cols collide with internal/output "
+            f"column names: {sorted(reserved)}"
+        )
     m = F.col(members_col)
     exploded = grouped.select(
         *keep_cols, m.alias("_members"), F.posexplode(m).alias("_i", "a")
@@ -465,12 +471,28 @@ def simhash_near_dups(
         ).alias("members")
     )
     grouped = pre.filter(F.size("members") > 1)
-    shed = None
+    shed_bits: dict[int, list[int]] = {}
     if max_bucket_size is not None:
-        # tiny (band, bits) list of shed buckets — empty on healthy data
-        shed = pre.filter(F.size("members") > max_bucket_size).select(
-            "band", "bits"
+        # Shed-bucket lookup as LITERALS, resolved by one count-only
+        # census: map-side partial counts -> a shuffle of at most
+        # bands * 2^width tiny rows (the bucket key space is structurally
+        # bounded by the band width, e.g. 512 rows for bits=16/bands=2),
+        # collected once to the driver.  Round-3 advice replaced the
+        # previous per-lower-band broadcast joins, which re-derived the
+        # full members aggregation as a separate lineage per band (the
+        # pushed band filter makes the exchanges non-identical, so
+        # ReusedExchange can never fire); the census instead runs exactly
+        # once regardless of ``bands`` and shuffles counts, not member
+        # lists.  Cost: one extra signature pass when the cap is set;
+        # empty result (the healthy-data case) folds the suppression
+        # filter back to plain bit equality.  NOTE: the census job runs
+        # when this function is CALLED (driver-side literals), not when
+        # the returned frame executes.
+        census = banded.groupBy("band", "bits").agg(
+            F.count(F.lit(1)).alias("n")
         )
+        for row in census.filter(F.col("n") > max_bucket_size).collect():
+            shed_bits.setdefault(row["band"], []).append(row["bits"])
         grouped = grouped.filter(F.size("members") <= max_bucket_size)
     # Multi-band dedup WITHOUT a distinct: a pair agreeing on several
     # bands would be emitted once per band, and distinct-ing the pair
@@ -481,33 +503,17 @@ def simhash_near_dups(
     # a pair whose band-0 bucket was shed by the skew guard must still be
     # emitted from its matching band-1 bucket (that cross-band recovery
     # is the guard's recall story), so a shed lower band never suppresses
-    # a pair.  Shed-ness is looked up via per-band broadcast joins
-    # against the (tiny, usually empty) shed list; the equality check is
-    # a plain bit comparison on sigs both sides already carry.
+    # a pair.  Shed-ness is a literal isin on the bits both sides already
+    # carry (see the census above).
     pairs = expand_member_pairs(grouped, "members", keep_cols=("band",))
 
     def _bits(side: str, b: int):
         return F.shiftright(F.col(f"{side}.sig"), b * width).bitwiseAND(mask)
 
-    shed_flags: dict[int, Column] = {}
-    if shed is not None:
-        for bp in range(bands - 1):
-            marker = f"_shed_{bp}"
-            shed_bp = shed.filter(F.col("band") == bp).select(
-                F.col("bits").alias(f"_shed_bits_{bp}"),
-                F.lit(True).alias(marker),
-            )
-            pairs = pairs.join(
-                F.broadcast(shed_bp),
-                _bits("a", bp) == F.col(f"_shed_bits_{bp}"),
-                "left",
-            ).drop(f"_shed_bits_{bp}")
-            shed_flags[bp] = F.coalesce(F.col(marker), F.lit(False))
-
     def _lower_match(bp: int) -> Column:
         m = _bits("a", bp) == _bits("b", bp)
-        if bp in shed_flags:
-            m = m & ~shed_flags[bp]
+        if shed_bits.get(bp):
+            m = m & ~_bits("a", bp).isin(shed_bits[bp])
         return m
 
     keep = F.lit(False)

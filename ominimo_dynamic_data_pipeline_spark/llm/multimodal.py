@@ -88,10 +88,13 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[flo
     gray = img.convert("L")
     px = list(gray.getdata())  # row-major intensities
     bands: list[float] = []
-    rows_per_band = max(1, height // FEATURE_DIM)
+    # Band b covers rows [round(b*h/D), round((b+1)*h/D)): every pixel row
+    # lands in exactly one band (no dropped trailing rows when height is
+    # not divisible by FEATURE_DIM — round-3 advice); short images
+    # (height < FEATURE_DIM) zero-fill their empty bands.
     for b in range(FEATURE_DIM):
-        start = b * rows_per_band * width
-        stop = min(len(px), (b + 1) * rows_per_band * width)
+        start = round(b * height / FEATURE_DIM) * width
+        stop = round((b + 1) * height / FEATURE_DIM) * width
         chunk = px[start:stop]
         bands.append(
             round(sum(chunk) / (255.0 * len(chunk)), 6) if chunk else 0.0

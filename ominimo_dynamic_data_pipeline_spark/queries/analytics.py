@@ -851,3 +851,120 @@ def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort", "month_offset").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+# --------------------------------------------------------------------------
+# q99 — SCD-2 history merge (the classic type-2 slowly-changing dimension
+# the catalog lacked; q72 is the SCD-1 overwrite-merge): the per-customer
+# order-priority change log becomes effective-dated versions.  Steps: pick
+# one deterministic change per (key, date) with max_by (one aggregation,
+# map-side partial); collapse consecutive runs of the same value (lag —
+# a new version opens only on CHANGE); effective_to = lead(effective_from),
+# open interval NULL, is_current, version number.  The run-collapse lag
+# and the lead/version windows share one (o_custkey)-partitioned sort, so
+# the whole history build is two shuffles total: the (key, date)
+# aggregation and one window exchange on the key — the shape that holds
+# on a 1000-executor snapshot table.
+# --------------------------------------------------------------------------
+@query(
+    "q99_scd2_priority_history",
+    """
+    WITH changes AS (
+        SELECT o_custkey, o_orderdate AS eff_from,
+               arg_max(o_orderpriority, o_orderkey) AS priority
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    runs AS (
+        SELECT o_custkey, eff_from, priority,
+               LAG(priority) OVER (PARTITION BY o_custkey
+                                   ORDER BY eff_from) AS prev_priority
+        FROM changes
+    ),
+    versions AS (
+        SELECT o_custkey, eff_from, priority FROM runs
+        WHERE prev_priority IS NULL OR prev_priority <> priority
+    )
+    SELECT o_custkey, priority,
+           eff_from AS effective_from,
+           LEAD(eff_from) OVER w AS effective_to,
+           (LEAD(eff_from) OVER w IS NULL) AS is_current,
+           ROW_NUMBER() OVER w AS version
+    FROM versions
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY eff_from)
+    """,
+)
+def q99_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    changes = o.groupBy(
+        "o_custkey", F.col("o_orderdate").alias("eff_from")
+    ).agg(F.max_by("o_orderpriority", "o_orderkey").alias("priority"))
+    wk = Window.partitionBy("o_custkey").orderBy("eff_from")
+    versions = (
+        changes.withColumn("prev_priority", F.lag("priority").over(wk))
+        .filter(
+            F.col("prev_priority").isNull()
+            | (F.col("prev_priority") != F.col("priority"))
+        )
+        .drop("prev_priority")
+    )
+    return versions.select(
+        "o_custkey",
+        "priority",
+        F.col("eff_from").alias("effective_from"),
+        F.lead("eff_from").over(wk).alias("effective_to"),
+        F.lead("eff_from").over(wk).isNull().alias("is_current"),
+        F.row_number().over(wk).cast("bigint").alias("version"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q100 — approximate percentiles with a hash-verified accuracy contract
+# (the q40 pattern applied to quantile sketches): exact percentiles are
+# the scale-limited baseline (per-group value collection), and the
+# boolean columns assert that approx_percentile's answer lands inside
+# the exact [p - eps, p + eps] VALUE envelope implied by its deterministic
+# rank guarantee (Greenwald-Khanna: rank error <= n/accuracy).  The
+# oracle computes the same exact columns and expects TRUE — so the
+# sketch's error contract itself is hash-verified.  At 100 TB the exact
+# columns are dropped and the sketch (mergeable, bounded-memory partial
+# aggregation) is the only viable path — that contract being checked
+# here is exactly what licenses the swap.
+# --------------------------------------------------------------------------
+_Q100_ACC = 1000  # rank error <= n/1000
+
+
+@query(
+    "q100_approx_percentiles",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q100_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    eps = 1.0 / _Q100_ACC
+
+    def bounds(p: float) -> tuple:
+        lo = F.percentile("l_extendedprice", F.lit(max(0.0, p - 2 * eps)))
+        hi = F.percentile("l_extendedprice", F.lit(min(1.0, p + 2 * eps)))
+        approx = F.approx_percentile(
+            "l_extendedprice", F.lit(p), F.lit(_Q100_ACC)
+        )
+        exact = F.percentile("l_extendedprice", F.lit(p))
+        return exact, ((approx >= lo) & (approx <= hi))
+
+    e50, ok50 = bounds(0.50)
+    e95, ok95 = bounds(0.95)
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(e50, 6).alias("exact_p50"),
+        F.round(e95, 6).alias("exact_p95"),
+        ok50.alias("p50_within_tol"),
+        ok95.alias("p95_within_tol"),
+    )

@@ -33,9 +33,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-@query(
-    "q33_tumbling_event_counts",
-    """
+_TUMBLING_SQL = """
     SELECT STRFTIME(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
                AS window_start,
            event_type,
@@ -43,8 +41,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
     FROM events
     GROUP BY window_start, event_type
-    """,
-)
+    """
+
+
+@query("q33_tumbling_event_counts", _TUMBLING_SQL)
 def q33_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     out = stream_ops.tumbling_counts(e, window="10 minutes")
@@ -90,4 +90,32 @@ def q34_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# q101 — the STREAMING path end to end, hash-verified: unlike q33 (which
+# runs the same transformation on a static frame), this entry actually
+# drives readStream -> watermark -> windowed aggregation -> writeStream
+# with Trigger.AvailableNow into a sink, then returns the sink contents —
+# so the driver's correctness gate exercises the file-stream source,
+# micro-batch planner, and state store, not just the unified batch
+# semantics.  Complete output mode surfaces every window (with
+# availableNow the final watermark never closes the last windows in
+# append mode — see run_to_completion); the oracle is q33's batch SQL,
+# which must agree exactly because no event is late relative to a
+# replayed file source.  The batch-equivalence suite in
+# tests/test_streaming.py additionally covers append/update modes and the
+# RocksDB state store.
+# --------------------------------------------------------------------------
+@query("q101_streaming_tumbling_e2e", _TUMBLING_SQL)
+def q101_streaming_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = stream_ops.read_events_stream(spark, sf_dir)
+    agg = stream_ops.tumbling_counts(src, window="10 minutes")
+    out = stream_ops.run_to_completion(agg, "q101_streaming_tumbling_sink")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "value_sum",
     )

@@ -36,7 +36,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Local-harness sizing; a cluster deployment overrides via spark-submit.
     "spark.sql.shuffle.partitions": "32",
-    "spark.driver.memory": "8g",
+    # One JVM hosts driver + all 32 executor threads in local mode: 8g
+    # (~256 MB/thread) caused cache-eviction churn and run-to-run variance
+    # in the sf1 scale bench (round-3 verdict item 3); 24g (~768 MB/thread)
+    # matches the per-core executor memory a real cluster deployment would
+    # get and keeps the shared shingle cache resident by design.
+    "spark.driver.memory": "24g",
     # Spill-aware input sizing: 128 MB splits keep a scan task's working
     # set comfortably inside executor memory at any corpus size (the knob
     # to lower first if wide text/binary rows cause scan-side spill); AQE's

@@ -147,6 +147,30 @@ def test_multimodal_decode_real_path_or_stub():
         assert all(0.0 <= f <= 1.0 for f in feats)
         resized = M.resize_image_bytes(buf.getvalue(), 3, 2, fake=False)
         assert len(resized) == 3 * 2
+
+        # value pin on a constant image: every band that has rows must be
+        # exactly the (known) grayscale of the fill color; L-mode gray of
+        # RGB(128,64,32) = round(0.299*128 + 0.587*64 + 0.114*32) = 80
+        expect = round(80 / 255.0, 6)
+        assert all(f in (expect, 0.0) for f in feats)
+
+        # full row coverage when height is NOT divisible by FEATURE_DIM:
+        # a 2x10 vertical gradient's band means must use ALL 10 rows —
+        # in particular the mean over all bands weighted by band height
+        # equals the global mean (trailing rows were dropped pre-fix)
+        grad = Image.new("L", (2, 10))
+        grad.putdata([r * 25 for r in range(10) for _ in range(2)])
+        gbuf = io.BytesIO()
+        grad.save(gbuf, format="PNG")
+        _, gh, gfeats = M.decode_image(gbuf.getvalue(), fake=False)
+        rows_of = [
+            round((b + 1) * gh / M.FEATURE_DIM) - round(b * gh / M.FEATURE_DIM)
+            for b in range(M.FEATURE_DIM)
+        ]
+        assert sum(rows_of) == gh  # bands tile every pixel row exactly once
+        weighted = sum(f * r for f, r in zip(gfeats, rows_of)) / gh
+        global_mean = sum(r * 25 for r in range(10)) / (10 * 255.0)
+        assert abs(weighted - global_mean) < 1e-4
     else:
         with pytest.raises(NotImplementedError, match="imaging libraries"):
             M.decode_image(b"xx", fake=False)
