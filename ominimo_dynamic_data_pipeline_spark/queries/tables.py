@@ -7,6 +7,8 @@ the parquet scans (verify with ``df.explain``: PushedFilters/ReadSchema).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,7 +26,30 @@ TABLE_NAMES = (
 )
 
 
+# Per-session DataFrame cache: re-calling spark.read.parquet for the same
+# path costs ~100 ms of driver-side work (file listing + footer schema read
+# + analysis over Py4J) PER TABLE, which dominates sub-second catalog
+# queries — q89 spent 0.56 s of its 1.1 s wall just rebuilding its five
+# table frames.  DataFrames are immutable lazy plans, so reuse across
+# queries is safe; WeakKeyDictionary drops entries when a session is
+# garbage-collected (avoids both unbounded growth and id()-reuse bugs
+# across the many short-lived sessions in the test suite).
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    per_session = _CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in per_session:
+        return per_session[key]
+    df = _read_table(spark, sf_dir, name)
+    per_session[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
