@@ -88,3 +88,52 @@ def bucketed_join(
     """Join two pre-bucketed tables on their bucket key (shuffle-free when
     bucket layouts match)."""
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def morton_key(a, b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative dimension values:
+    bit i of ``a`` lands at position 2i+1 and bit i of ``b`` at 2i, so
+    sorting by the result clusters rows that are close in BOTH
+    dimensions.
+
+    This is the data-LAYOUT lever for multi-dimensional scan pruning at
+    100 TB: ``df.repartitionByRange(n, zval).sortWithinPartitions(zval)``
+    before a parquet write makes every file's min/max footer stats tight
+    in *both* dimensions simultaneously, so predicates on either column
+    skip most files — a linear sort can only be tight in one.  (Same
+    mechanism as Delta/Iceberg OPTIMIZE ZORDER, expressed with stock
+    Spark.)
+
+    Pure Catalyst bit arithmetic (shiftright/and/or) — whole-stage
+    codegen'd, no UDF.  Inputs are masked to ``bits`` low bits; callers
+    should pre-scale values into that range (rank, bucket id, or
+    ``pmod``).  2*bits must fit a signed 64-bit long, so bits <= 31.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    a = a.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+    b = b.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def morton_key_sql(a: str, b: str, bits: int = 16) -> str:
+    """The DuckDB-SQL twin of :func:`morton_key` (same bit layout), for
+    oracle queries: renders the interleave as an OR-fold over literal
+    shifts."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    mask = (1 << bits) - 1
+    am = f"(CAST({a} AS BIGINT) & {mask})"
+    bm = f"(CAST({b} AS BIGINT) & {mask})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({am} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({bm} >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"

@@ -493,3 +493,144 @@ def q79_event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("lvl", lvl.cast("int"))
     )
+
+
+# --------------------------------------------------------------------------
+# q103 — ORC sink/source roundtrip with partition pruning: orders are
+# written as an ORC dataset partitioned by o_orderstatus, read back, and
+# aggregated under a partition-key filter, so the catalog exercises
+# Spark's second columnar format end to end (writer, directory
+# partitioning, vectorized ORC reader, partition pruning — the 'O' filter
+# never opens the F/P directories).  DuckDB cannot read ORC, so the
+# oracle states the roundtrip CONTRACT instead: the same aggregate over
+# the original parquet — any loss or corruption in the ORC writer/reader
+# breaks the hash.  The dataset lands in a per-(user, sf) temp dir; the
+# second write per bench run overwrites it.
+# --------------------------------------------------------------------------
+@query(
+    "q103_orc_roundtrip",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2)
+               AS total_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q103_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import getpass
+    import hashlib
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = (
+        f"{tempfile.gettempdir()}/ominimo_spark_{getpass.getuser()}"
+        f"/q103_orc_{tag}"
+    )
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .orc(path)
+    )
+    back = spark.read.orc(path).filter(F.col("o_orderstatus") == "O")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double"),
+            2,
+        ).alias("total_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q104 — Z-order layout quality: rows land in fixed Morton-key ranges
+# (the top 6 interleaved bits over scaled (l_partkey, l_suppkey) = 64
+# quadtree cells) and each cell reports its min/max extent in BOTH
+# dimensions.  The per-cell spans are exactly the parquet footer min/max
+# stats a Z-ordered write (`operators/scale.py:morton_key` +
+# ``repartitionByRange(z).sortWithinPartitions(z)``) would give its
+# files, i.e. the quantity that decides how many files a partkey-OR-
+# suppkey predicate can skip at 100 TB.  Both dimensions are first
+# scaled to the full 16-bit range with EXACT bigint arithmetic
+# ((v * 65535) div max — portable bit-for-bit to the SQL twin): raw
+# keys have unequal bit widths, and interleaving unscaled values
+# degenerates to a sort on the wider dimension (the narrow one's high
+# bits are always zero).  Fixed z ranges rather than NTILE: cell
+# membership is a pure per-row expression (shuffle-free until the
+# 64-group aggregate, no global window sort), which is also how a real
+# layout job assigns files; the one-row max frame broadcasts.
+# tests/test_scale.py additionally pins that the repartitionByRange
+# layout tightens per-partition spans >=2x vs natural order.
+# --------------------------------------------------------------------------
+_Q104_BITS = 16
+_Q104_CELL_SHIFT = 2 * _Q104_BITS - 6  # keep the top 6 interleaved bits
+_Q104_MASK = (1 << _Q104_BITS) - 1
+
+
+def _q104_oracle() -> str:
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import (
+        morton_key_sql,
+    )
+
+    z = morton_key_sql(
+        f"(l_partkey * {_Q104_MASK}) // part_max",
+        f"(l_suppkey * {_Q104_MASK}) // supp_max",
+        _Q104_BITS,
+    )
+    return f"""
+    WITH mx AS (
+        SELECT MAX(l_partkey) AS part_max, MAX(l_suppkey) AS supp_max
+        FROM lineitem
+    ),
+    keyed AS (
+        SELECT l_partkey, l_suppkey,
+               ({z} >> {_Q104_CELL_SHIFT}) AS z_cell
+        FROM lineitem, mx
+    )
+    SELECT z_cell,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+           MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi,
+           MAX(l_partkey) - MIN(l_partkey) AS part_span,
+           MAX(l_suppkey) - MIN(l_suppkey) AS supp_span
+    FROM keyed
+    GROUP BY z_cell
+    """
+
+
+@query("q104_zorder_layout", _q104_oracle())
+def q104_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import morton_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    mx = li.agg(
+        F.max("l_partkey").alias("part_max"),
+        F.max("l_suppkey").alias("supp_max"),
+    )
+    with_mx = li.crossJoin(F.broadcast(mx))
+    z = morton_key(
+        F.expr(f"l_partkey * {_Q104_MASK} div part_max"),
+        F.expr(f"l_suppkey * {_Q104_MASK} div supp_max"),
+        _Q104_BITS,
+    )
+    keyed = with_mx.withColumn(
+        "z_cell", F.shiftright(z, _Q104_CELL_SHIFT)
+    )
+    return keyed.groupBy("z_cell").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("part_lo"),
+        F.max("l_partkey").alias("part_hi"),
+        F.min("l_suppkey").alias("supp_lo"),
+        F.max("l_suppkey").alias("supp_hi"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("part_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("supp_span"),
+    )

@@ -1664,3 +1664,84 @@ def q93_stripped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, span_tokens=_SPAN_N, min_count=_SPAN_MIN_COUNT
     )
     return D.strip_repeated_spans(d, spans)
+
+
+# --------------------------------------------------------------------------
+# q105 — deterministic negative sampling for contrastive training pairs.
+# Contrastive objectives (CLIP, sentence embedders, rerankers) need K
+# random-looking negatives per anchor, reproducibly: same corpus -> same
+# pairs, no RNG state, stable under retries and engine moves (the same
+# argument as q53's hash split).  Shape chosen for 100 TB: a bounded
+# NEGATIVE POOL (one representative doc per hash bucket — one shuffle of
+# B<<N groups) broadcast against anchors, so no global index, no window
+# over the corpus, no N x N candidate stage; anchor j's negative is the
+# representative of a pseudo-random bucket keyed by md5(anchor, j).
+# Accidental self-pairs (anchor happens to represent its drawn bucket)
+# are filtered in both engines.
+# --------------------------------------------------------------------------
+_Q105_BUCKETS = 64
+_Q105_K = 4
+_Q105_SEED_POOL = 211
+_Q105_SEED_DRAW = 223
+
+
+@query(
+    "q105_negative_samples",
+    f"""
+    WITH pool AS (
+        SELECT {_sql_md5_long("CAST(doc_id AS VARCHAR)", _Q105_SEED_POOL)}
+                   % {_Q105_BUCKETS} AS bucket,
+               MIN(doc_id) AS neg_doc_id
+        FROM documents
+        GROUP BY bucket
+    ),
+    anchors AS (
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {_sql_md5_long("CAST(doc_id AS VARCHAR)", 1337)} % 10 = 0
+    ),
+    draws AS (
+        SELECT a.doc_id, a.lang, j,
+               {_sql_md5_long("CAST(a.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)", _Q105_SEED_DRAW)}
+                   % {_Q105_BUCKETS} AS bucket
+        FROM anchors a, UNNEST(range({_Q105_K})) AS t(j)
+    )
+    SELECT d.doc_id, d.lang, d.j, p.neg_doc_id
+    FROM draws d JOIN pool p USING (bucket)
+    WHERE p.neg_doc_id <> d.doc_id
+    """,
+)
+def q105_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket_of = lambda col, seed: (  # noqa: E731
+        D.md5_long(col, seed=seed) % _Q105_BUCKETS
+    )
+    pool = (
+        d.groupBy(
+            bucket_of(F.col("doc_id").cast("string"), _Q105_SEED_POOL).alias(
+                "bucket"
+            )
+        )
+        .agg(F.min("doc_id").alias("neg_doc_id"))
+    )
+    anchors = d.filter(
+        D.md5_long(F.col("doc_id").cast("string"), seed=1337) % 10 == 0
+    )
+    draws = anchors.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(_Q105_K - 1))).alias("j"),
+    ).withColumn(
+        "bucket",
+        bucket_of(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("j").cast("string")
+            ),
+            _Q105_SEED_DRAW,
+        ),
+    )
+    return (
+        draws.join(F.broadcast(pool), "bucket")
+        .filter(F.col("neg_doc_id") != F.col("doc_id"))
+        .select("doc_id", "lang", F.col("j").cast("bigint").alias("j"), "neg_doc_id")
+    )

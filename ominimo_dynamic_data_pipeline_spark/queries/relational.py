@@ -816,15 +816,39 @@ _Q40_RSD = 0.02
     """,
 )
 def q40_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    approx = F.approx_count_distinct("l_partkey", rsd=_Q40_RSD)
-    exact = F.countDistinct("l_partkey")
-    return l.groupBy("l_returnflag").agg(
-        exact.alias("exact_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+    # The sketch and the exact distinct MUST be separate aggregations:
+    # mixing countDistinct with approx_count_distinct in one agg makes
+    # Spark's distinct-rewrite key the FIRST-level aggregate by
+    # (l_returnflag, l_partkey) — and the HLL++ buffer (4 KB at rsd=0.02)
+    # is then allocated PER (group, partkey) PAIR, ~2M sketches / ~8 GB
+    # of aggregation state at sf1 (measured: 21 s -> 1.3 s from this
+    # split).  Separated, the exact side is a plain two-level count
+    # (bounded rows, no sketch state) and the sketch side keeps one HLL
+    # per group with map-side partials; the 5-row joins broadcast.
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey"
+    )
+    per_pair = l.groupBy("l_returnflag", "l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact = per_pair.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_parts"),
+        F.sum("cnt").alias("n_rows"),
+    )
+    approx = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=_Q40_RSD).alias("approx_parts")
+    )
+    joined = exact.join(F.broadcast(approx), "l_returnflag")
+    return joined.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
         (
-            F.abs(approx.cast("double") - exact.cast("double"))
-            <= F.lit(3 * _Q40_RSD) * exact.cast("double")
+            F.abs(
+                F.col("approx_parts").cast("double")
+                - F.col("exact_parts").cast("double")
+            )
+            <= F.lit(3 * _Q40_RSD) * F.col("exact_parts").cast("double")
         ).alias("approx_within_tol"),
     )
 

@@ -119,3 +119,26 @@ def q101_streaming_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_sum",
     )
+
+
+# --------------------------------------------------------------------------
+# q102 — SESSION windows through the real streaming path (q101's harness
+# applied to q34's operator): readStream -> watermark -> session_window
+# merge -> writeStream(availableNow).  Session windows are the hardest
+# streaming state shape (variable-length windows that MERGE as events
+# arrive, unlike fixed tumbling buckets), so driving them through the
+# micro-batch planner + state store and hash-comparing against the
+# lag/cumsum batch oracle verifies the merging state logic itself, not
+# just the unified batch semantics.
+# --------------------------------------------------------------------------
+@query("q102_streaming_sessions_e2e", ORACLES["q34_user_sessions"])
+def q102_streaming_sessions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = stream_ops.read_events_stream(spark, sf_dir)
+    agg = stream_ops.session_counts(src, gap="5 minutes")
+    out = stream_ops.run_to_completion(agg, "q102_streaming_sessions_sink")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )

@@ -42,11 +42,18 @@ _DEFAULTS: dict[str, str] = {
     # matches the per-core executor memory a real cluster deployment would
     # get and keeps the shared shingle cache resident by design.
     "spark.driver.memory": "24g",
-    # Spill-aware input sizing: 128 MB splits keep a scan task's working
-    # set comfortably inside executor memory at any corpus size (the knob
-    # to lower first if wide text/binary rows cause scan-side spill); AQE's
-    # 64 MB advisory target governs post-shuffle coalescing.
-    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Input-split sizing, local-harness value (cluster deployments restore
+    # the 128 MB default via spark-submit): a 100 TB table is thousands of
+    # ~128 MB files, so scan parallelism is never file-bound — but the
+    # miniature bench tables are SINGLE files (lineitem sf1 = one 140 MB
+    # file), and 128 MB splits cap every scan-side stage at 1-2 of the 32
+    # local threads.  4 MB splits restore cluster-like scan parallelism on
+    # miniature data (measured: q26 sf1 6.4 s -> 3.7 s; q104 7.1 s ->
+    # 0.4 s together with splittable row groups in the generator); 1 MB
+    # open-cost still packs tiny files together.  Shrink further only if
+    # wide text/binary rows cause scan-side spill.
+    "spark.sql.files.maxPartitionBytes": "4194304",
+    "spark.sql.files.openCostInBytes": "1048576",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "67108864",
     # Small-dim broadcast: default 10MB is fine, keep explicit for clarity.
     "spark.sql.autoBroadcastJoinThreshold": "10485760",

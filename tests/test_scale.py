@@ -81,3 +81,74 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_morton_key_matches_python_interleave(spark):
+    # pin the bit layout: a's bit i -> 2i+1, b's bit i -> 2i
+    def py_morton(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    vals = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 1), (65535, 65535), (70000, 3)]
+    df = spark.createDataFrame(vals, schema="a bigint, b bigint")
+    out = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", scale.morton_key(F.col("a"), F.col("b"), 16).alias("z")
+        ).collect()
+    }
+    for a, b in vals:
+        assert out[(a, b)] == py_morton(a & 0xFFFF, b & 0xFFFF), (a, b)
+
+
+def test_zorder_layout_tightens_both_dimension_spans(spark, sf_dir):
+    # the production layout path (repartitionByRange on the morton key +
+    # sortWithinPartitions), not q104's deterministic NTILE shim: writing
+    # this layout gives every output file parquet min/max stats that are
+    # tight in BOTH join dimensions, which is what lets a predicate on
+    # either column skip most files at 100 TB.  Compare average per-
+    # partition key-span (as a fraction of the full key range) against
+    # the same partitioning done on natural (orderkey) order: z-order
+    # must shrink the combined span by at least 2x.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey"
+    )
+    n_parts = 16
+
+    def avg_span_fraction(df):
+        spans = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("ps"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("ss"),
+            )
+            .agg(F.avg("ps").alias("ps"), F.avg("ss").alias("ss"))
+            .first()
+        )
+        ranges = li.agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pr"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("sr"),
+        ).first()
+        return spans["ps"] / ranges["pr"] + spans["ss"] / ranges["sr"]
+
+    # scale both dims to the full bit range first: interleaving raw keys
+    # of unequal bit width degenerates to a sort on the wider dimension
+    mx = li.agg(
+        F.max("l_partkey").alias("pm"), F.max("l_suppkey").alias("sm")
+    ).first()
+    z = scale.morton_key(
+        F.col("l_partkey") * 65535 / F.lit(mx["pm"]),
+        F.col("l_suppkey") * 65535 / F.lit(mx["sm"]),
+        16,
+    )
+    zordered = (
+        li.withColumn("z", z)
+        .repartitionByRange(n_parts, "z")
+        .sortWithinPartitions("z")
+    )
+    natural = li.repartitionByRange(n_parts, "l_orderkey")
+    assert avg_span_fraction(zordered) * 2 < avg_span_fraction(natural)

@@ -108,7 +108,15 @@ def main() -> int:
             f"SELECT * FROM '{SRC}/{table}.parquet'"
         )
         out = DST / f"{table}.parquet"
-        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        # Small row groups (20k rows vs DuckDB's 122,880 default) keep the
+        # files SPLITTABLE: Spark parallelizes a parquet scan by byte
+        # ranges aligned to row-group boundaries, and a miniature table
+        # written as one jumbo row group caps every downstream stage at
+        # one task regardless of cluster size — the opposite of the
+        # many-file layout a real 100 TB dataset has.
+        con.execute(
+            f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)"
+        )
         n = con.execute(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
         print(f"{table}: {n} rows -> {out}")
     return 0
