@@ -219,3 +219,40 @@ def test_q91_ivfpq_carries_codes_not_vectors_into_probe_join(q):
     p = plan_of(q("q91_knn_ivfpq"))
     assert "c_codes" in p and "c_scale" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q98_cohort_is_window_not_join(q):
+    # one wide exchange: window-min cohort; the distinct groups on a
+    # superset of the window key so it reuses that partitioning
+    p = plan_of(q("q98_cohort_retention"))
+    assert "Join" not in p
+    # node headers ("Exchange (n)") count physical nodes once; the
+    # formatted dump also repeats each node in the detail section
+    assert p.count("Exchange (") <= 2  # window key + final 2-col agg
+
+
+def test_q40_sketch_not_keyed_by_distinct_column(q):
+    # mixed countDistinct + approx_count_distinct in ONE agg rewrites to
+    # an Expand whose first-level agg keys the HLL buffer by (group,
+    # partkey) — ~8 GB of sketch state at sf1.  The split shape must
+    # keep Expand out of the plan entirely.
+    p = plan_of(q("q40_approx_distinct_parts"))
+    assert "Expand" not in p
+    assert "approx_count_distinct" in p
+
+
+def test_q104_cell_assignment_is_projection(q):
+    # morton cell = pure per-row expression over broadcast maxima: no
+    # shuffle before the 64-group aggregate, maxima attached by a
+    # broadcast (nested-loop, 1-row build side) join — never a cartesian
+    p = plan_of(q("q104_zorder_layout"))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    # 1-row maxima agg + its broadcast + final cell agg; nothing wide
+    assert p.count("Exchange (") <= 3
+
+
+def test_q105_negative_pool_broadcasts(q):
+    p = plan_of(q("q105_negative_samples"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
