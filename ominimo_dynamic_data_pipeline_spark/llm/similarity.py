@@ -450,6 +450,9 @@ def quantize_int8(
     )
 
 
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
+
 def ivf_train_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -457,6 +460,7 @@ def ivf_train_centroids(
     k_lists: int = 16,
     iters: int = 5,
     train_limit: int = 2048,
+    cache_key: str | None = None,
 ) -> list[list[float]]:
     """Train an IVF coarse quantizer: k-means on a deterministic sample.
 
@@ -465,7 +469,19 @@ def ivf_train_centroids(
     iterations), then shipped to executors as literals.  Assignment and
     search stay fully distributed (ivf_assign / ivf_topk); only the tiny
     k_lists x dim centroid matrix ever lives on the driver.
+
+    ``cache_key``: a production IVF index trains its quantizer ONCE per
+    index build, not once per query — callers reading an immutable
+    dataset pass its path (plus any sampling config that isn't in the
+    explicit args) to memoize the trained matrix for the process
+    lifetime.  Training is deterministic, so the cache can never go
+    stale for the same underlying bytes; omit the key when the input
+    frame is mutable/derived.
     """
+    if cache_key is not None:
+        full_key = (cache_key, id_col, vec_col, k_lists, iters, train_limit)
+        if full_key in _CENTROID_CACHE:
+            return _CENTROID_CACHE[full_key]
     import numpy as np
 
     pdf = (
@@ -475,7 +491,10 @@ def ivf_train_centroids(
         .toPandas()
     )
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    return lloyd_centroids(x, k_lists, iters)
+    cents = lloyd_centroids(x, k_lists, iters)
+    if cache_key is not None:
+        _CENTROID_CACHE[full_key] = cents
+    return cents
 
 
 def lloyd_centroids(x, k_lists: int, iters: int) -> list[list[float]]:
@@ -576,6 +595,7 @@ def ivf_topk(
     nprobe: int = 4,
     iters: int = 5,
     round_to: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: candidates come from each query's ``nprobe``
     closest centroid lists, exact cosine re-ranks.
@@ -586,7 +606,9 @@ def ivf_topk(
     rounds cos before the top-k window (oracle-parity ranking, see
     lsh_topk).
     """
-    centroids = ivf_train_centroids(corpus, id_col, vec_col, k_lists, iters)
+    centroids = ivf_train_centroids(
+        corpus, id_col, vec_col, k_lists, iters, cache_key=cache_key
+    )
     cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("vec_d").alias("cv"),
@@ -657,6 +679,7 @@ def semantic_dedup(
     k_lists: int = 16,
     iters: int = 5,
     train_limit: int = 2048,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     embeddings with the IVF coarse quantizer, find cosine near-dup pairs
@@ -675,7 +698,7 @@ def semantic_dedup(
 
     cents = ivf_train_centroids(
         df, id_col, vec_col, k_lists=k_lists, iters=iters,
-        train_limit=train_limit,
+        train_limit=train_limit, cache_key=cache_key,
     )
     # ivf_assign already carries (id, vec_d, ivf_list) — group clusters
     # directly into the per-bucket Arrow pair kernel (ONE shuffle on the
@@ -722,6 +745,7 @@ def ivfpq_topk(
     iters: int = 5,
     rerank_factor: int = 3,
     round_to: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF + int8 codes with asymmetric distance — the standard
     billion-scale ANN layout (FAISS IVF-SQ8 shape): the coarse quantizer
@@ -746,7 +770,9 @@ def ivfpq_topk(
     div-by-zero) and silently drop the candidate via NULL ordering — the
     filter makes that exclusion intentional (a zero vector has no
     defined cosine direction; ivf_train_centroids guards the same way)."""
-    centroids = ivf_train_centroids(corpus, id_col, vec_col, k_lists, iters)
+    centroids = ivf_train_centroids(
+        corpus, id_col, vec_col, k_lists, iters, cache_key=cache_key
+    )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     cb = (
         assigned.withColumn("c_scale", int8_scale_col(F.col("vec_d")))

@@ -639,9 +639,9 @@ def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ominimo_dynamic_data_pipeline_spark.llm import similarity as S
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.semantic_dedup(e, threshold=_SEMDEDUP_THRESHOLD, k_lists=16).select(
-        "vec_id", "label"
-    )
+    return S.semantic_dedup(
+        e, threshold=_SEMDEDUP_THRESHOLD, k_lists=16, cache_key=sf_dir
+    ).select("vec_id", "label")
 
 
 # --------------------------------------------------------------------------

@@ -831,7 +831,7 @@ def q44_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     return S.ivf_topk(
         e, queries, k=5, k_lists=_IVF_LISTS, nprobe=_IVF_NPROBE,
-        iters=_IVF_ITERS, round_to=4,
+        iters=_IVF_ITERS, round_to=4, cache_key=sf_dir,
     )
 
 
@@ -1573,6 +1573,7 @@ def q91_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_topk(
         e, queries, k=5, k_lists=_IVF_LISTS, nprobe=_IVF_NPROBE,
         iters=_IVF_ITERS, rerank_factor=_PQ_RERANK, round_to=4,
+        cache_key=sf_dir,
     )
 
 
