@@ -906,3 +906,34 @@ def strip_repeated_spans(
     return staged.withColumn(text_col, F.concat_ws(" ", kept)).select(
         *df.columns
     )
+
+
+def incremental_exact_dedup(
+    incoming: DataFrame,
+    reference_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an incoming batch against an already-curated corpus: the
+    production shape for a pipeline that ingests continuously and must
+    not re-admit (or re-scan) what it already holds.
+
+    ``reference_fps`` is the corpus's fingerprint INDEX — one 'fp' column
+    (md5 of normalized text, as written by exact_dedup) — not the corpus
+    itself: at 100 TB the index is ~16 bytes/doc and lives as its own
+    parquet, so the anti-join shuffles hashes, never text.  Survivors are
+    the incoming batch's lowest-id representative per fingerprint that is
+    absent from the reference (two hash-shuffles on fp: the anti-join and
+    the group-min; a Bloom prefilter — operators/bloom.py — can shed most
+    of the anti-join's shuffle when the reference is far larger than the
+    batch).
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    inc = incoming.withColumn("fp", fp)
+    fresh = inc.join(
+        reference_fps.select("fp").distinct(), on="fp", how="left_anti"
+    )
+    return fresh.groupBy("fp").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_batch_copies"),
+    )

@@ -17,6 +17,8 @@ values (no RNG state, reproducible across runs and engines).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -523,6 +525,7 @@ def lloyd_centroids(x, k_lists: int, iters: int) -> list[list[float]]:
     return [[float(v) for v in c] for c in cents]
 
 
+@functools.lru_cache(maxsize=16)
 def train_centroids_from_parquet(
     parquet_path: str,
     id_col: str = "vec_id",
@@ -539,7 +542,10 @@ def train_centroids_from_parquet(
     Used by the DuckDB oracle builders for q44/q91/q94 to render the
     centroids as SQL literals (repr round-trips doubles exactly).  Returns
     None when the parquet is missing — callers fall back to a rows-only
-    oracle entry."""
+    oracle entry.  lru_cached: the three oracle builders train with
+    identical arguments at import, and the file at a given path is
+    immutable in this harness — callers must treat the returned matrix
+    as read-only."""
     from pathlib import Path
 
     if not Path(parquet_path).exists():

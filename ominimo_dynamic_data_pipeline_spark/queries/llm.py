@@ -1746,3 +1746,35 @@ def q105_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_doc_id") != F.col("doc_id"))
         .select("doc_id", "lang", F.col("j").cast("bigint").alias("j"), "neg_doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q106 — incremental exact dedup: the continuous-ingest shape.  doc_id%10
+# splits documents into an already-curated reference corpus (<8) and an
+# incoming batch (>=8); the batch is deduped against the reference's
+# FINGERPRINT INDEX (anti-join on md5 — hashes shuffle, text never does)
+# and then within itself (keep-lowest-id per fp).  See
+# llm/dedup.py:incremental_exact_dedup for the 100 TB layout notes.
+# --------------------------------------------------------------------------
+@query(
+    "q106_incremental_dedup",
+    f"""
+    WITH fps AS (
+        SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents
+    ),
+    ref AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8),
+    inc AS (SELECT * FROM fps WHERE doc_id % 10 >= 8)
+    SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
+    FROM inc
+    WHERE fp NOT IN (SELECT fp FROM ref)
+    GROUP BY fp
+    """,
+)
+def q106_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    reference = d.filter(F.col("doc_id") % 10 < 8)
+    incoming = d.filter(F.col("doc_id") % 10 >= 8)
+    ref_fps = reference.select(
+        F.md5(D.normalize_text(F.col("text"))).alias("fp")
+    )
+    return D.incremental_exact_dedup(incoming, ref_fps)

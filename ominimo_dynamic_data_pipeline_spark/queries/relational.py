@@ -832,7 +832,11 @@ def q40_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     exact = per_pair.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("exact_parts"),
+        # COUNT(DISTINCT x) semantics: a NULL partkey group must not
+        # count as a distinct part (n_rows still counts its rows)
+        F.count(F.when(F.col("l_partkey").isNotNull(), F.lit(1))).alias(
+            "exact_parts"
+        ),
         F.sum("cnt").alias("n_rows"),
     )
     approx = l.groupBy("l_returnflag").agg(

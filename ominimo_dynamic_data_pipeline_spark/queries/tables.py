@@ -7,7 +7,7 @@ the parquet scans (verify with ``df.explain``: PushedFilters/ReadSchema).
 
 from __future__ import annotations
 
-import weakref
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,16 +31,30 @@ TABLE_NAMES = (
 # + analysis over Py4J) PER TABLE, which dominates sub-second catalog
 # queries — q89 spent 0.56 s of its 1.1 s wall just rebuilding its five
 # table frames.  DataFrames are immutable lazy plans, so reuse across
-# queries is safe; WeakKeyDictionary drops entries when a session is
-# garbage-collected (avoids both unbounded growth and id()-reuse bugs
-# across the many short-lived sessions in the test suite).
-_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    weakref.WeakKeyDictionary()
+# queries is safe.  A weak-key dict would NOT bound this cache: a cached
+# DataFrame holds a strong ``_session`` reference back to its
+# SparkSession, so the value would pin the key alive forever — instead
+# the cache is an explicitly bounded FIFO over the few most recent
+# sessions (the suite churns short-lived sessions; dropping an old
+# session's entry only costs the ~100 ms rebuild if it is ever used
+# again).
+_MAX_SESSIONS = 4
+_CACHE: "OrderedDict[int, tuple[SparkSession, dict[tuple[str, str], DataFrame]]]" = (
+    OrderedDict()
 )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    per_session = _CACHE.setdefault(spark, {})
+    # key by id() but store the session too: the strong reference makes
+    # id-reuse after garbage collection impossible while the entry lives
+    sid = id(spark)
+    entry = _CACHE.get(sid)
+    if entry is None or entry[0] is not spark:
+        entry = (spark, {})
+        _CACHE[sid] = entry
+        while len(_CACHE) > _MAX_SESSIONS:
+            _CACHE.popitem(last=False)
+    per_session = entry[1]
     key = (sf_dir, name)
     if key in per_session:
         return per_session[key]

@@ -40,8 +40,10 @@ _DEFAULTS: dict[str, str] = {
     # (~256 MB/thread) caused cache-eviction churn and run-to-run variance
     # in the sf1 scale bench (round-3 verdict item 3); 24g (~768 MB/thread)
     # matches the per-core executor memory a real cluster deployment would
-    # get and keeps the shared shingle cache resident by design.
-    "spark.driver.memory": "24g",
+    # get and keeps the shared shingle cache resident by design.  Clamped
+    # to half the machine's RAM so small hosts degrade to Spark spilling
+    # instead of OS-level swap/OOM (set in get_spark via
+    # _driver_memory_gb(); overridable through extra_conf).
     # Input-split sizing, local-harness value (cluster deployments restore
     # the 128 MB default via spark-submit): a 100 TB table is thousands of
     # ~128 MB files, so scan parallelism is never file-bound — but the
@@ -67,6 +69,19 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+def _driver_memory_gb() -> int:
+    """24g target (768 MB per local thread on the 32-core harness),
+    clamped to half of physical RAM and floored at 4g, so hosts smaller
+    than the harness degrade to Spark's own spilling inside a heap the
+    OS can actually back."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        half_gb = int(total / (1 << 30) / 2)
+    except (ValueError, OSError, AttributeError):
+        half_gb = 24
+    return max(4, min(24, half_gb))
+
+
 def get_spark(
     app_name: str = "ominimo-dynamic-data-pipeline-spark",
     master: str | None = None,
@@ -82,6 +97,7 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    conf["spark.driver.memory"] = f"{_driver_memory_gb()}g"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -149,9 +149,13 @@ def test_multimodal_decode_real_path_or_stub():
         assert len(resized) == 3 * 2
 
         # value pin on a constant image: every band that has rows must be
-        # exactly the (known) grayscale of the fill color; L-mode gray of
-        # RGB(128,64,32) = round(0.299*128 + 0.587*64 + 0.114*32) = 80
-        expect = round(80 / 255.0, 6)
+        # exactly the (known) grayscale of the fill color, computed with
+        # Pillow's own 16.16 fixed-point ITU-R 601-2 coefficients
+        # (round-half then floor) — RGB(128,64,32) -> 79, NOT
+        # round(0.299*128 + 0.587*64 + 0.114*32) = 79.488 -> 79 by the
+        # float formula alone
+        gray = (19595 * 128 + 38470 * 64 + 7471 * 32 + 0x8000) >> 16
+        expect = round(gray / 255.0, 6)
         assert all(f in (expect, 0.0) for f in feats)
 
         # full row coverage when height is NOT divisible by FEATURE_DIM:

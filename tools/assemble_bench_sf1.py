@@ -56,9 +56,11 @@ def main() -> int:
             for line in Path(args.stability).read_text().splitlines()
             if line.strip()
         ]
-        out["dedup_stability_3_runs_sf1"] = {
-            q: [r.get(q) for r in runs] for q in sorted(runs[0])
-        }
+        all_queries = sorted({q for r in runs for q in r})
+        if runs:
+            out["dedup_stability_3_runs_sf1"] = {
+                q: [r.get(q) for r in runs] for q in all_queries
+            }
     if args.notes:
         out["notes"] = json.loads(Path(args.notes).read_text())
     (ROOT / "BENCH_sf1.json").write_text(json.dumps(out, indent=1))
