@@ -36,14 +36,17 @@ _merge(_an)
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
     # Round-4 rotation (round-3 verdict item 2): every query added since
-    # round 3 (q90-q101) gets at least one round of independent driver
+    # round 3 (q90-q106) gets at least one round of independent driver
     # verification, funded by dropping within-family redundancy (q03/q08/
-    # q11/q12/q13/q18/q19/q35/q38/q49/q52/q62 — each family keeps >=1
-    # entry, asserted by test_driver_window_covers_every_family; the
-    # dropped entries stay hash-gated by tests/test_oracle_parity.py).
+    # q11/q12/q13/q18/q19/q24/q33/q35/q38/q42/q45/q47/q49/q52/q62 — each
+    # family keeps >=1 entry, asserted by
+    # test_driver_window_covers_every_family; dropped entries stay
+    # hash-gated by tests/test_oracle_parity.py and all carry driver-green
+    # records from earlier rounds).
     #
     # relational core: scans, filters, joins (broadcast/semi/anti/range/as-of)
     "q01_pricing_summary",
+    "q103_orc_roundtrip",
     "q02_top_revenue_orders",
     "q04_customers_with_open_orders",
     "q05_customers_without_big_orders",
@@ -56,22 +59,18 @@ CORRECTNESS_WINDOW = [
     "q39_order_grouping_sets",
     "q40_approx_distinct_parts",
     "q46_status_pivot",
-    "q47_price_percentiles",
     "q100_approx_percentiles",
     # set ops
     "q20_all_account_keys",
     # scalar function library: JSON/map
     "q16_events_json_profile",
-    "q42_event_props_map",
     # window frames + history
-    "q45_trailing_spend_window",
     "q99_scd2_priority_history",
     # validation rule language at scale
     "q50_validated_lineitem",
     # text analysis
     "q21_doc_quality",
     "q22_language_id",
-    "q24_tfidf_top_terms",
     "q92_model_quality_score",
     # dedup family
     "q25_exact_dedup",
@@ -82,6 +81,7 @@ CORRECTNESS_WINDOW = [
     "q90_repeated_spans",
     "q93_stripped_corpus",
     "q94_semantic_dedup",
+    "q106_incremental_dedup",
     # similarity search
     "q29_knn_bruteforce",
     "q30_knn_lsh",
@@ -91,20 +91,22 @@ CORRECTNESS_WINDOW = [
     # multimodal
     "q31_payload_stats",
     "q32_multimodal_features",
-    # streaming: batch twins + the real readStream path
-    "q33_tumbling_event_counts",
+    # streaming: batch twin + the real readStream paths
     "q34_user_sessions",
     "q101_streaming_tumbling_e2e",
+    "q102_streaming_sessions_e2e",
     # training-data pipeline / curation
     "q53_train_val_split",
     "q56_decontamination",
     "q96_weighted_sample",
+    "q105_negative_samples",
     # analytics additions
     "q95_event_anomalies",
     "q97_copurchase_pairs",
     "q98_cohort_retention",
     # scale infrastructure + SQL front end
     "q60_skew_diagnostics",
+    "q104_zorder_layout",
     "q89_product_nation_profit",
 ]
 
