@@ -390,6 +390,52 @@ def _op_exact_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     ctx.put(out_name, out)
 
 
+@register_operator("incremental_dedup")
+def _op_incremental_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Dedup the input batch against an already-curated REFERENCE frame
+    (continuous-ingest shape): rows whose normalized-text fingerprint
+    already exists in ``params.reference`` are dropped, then the batch is
+    exact-deduped within itself (lowest id survives, full rows kept).
+    ``reference`` names another frame in the dataflow — typically a
+    parquet source holding the corpus fingerprint index ('fp' column) or
+    the curated corpus itself (``reference_text_col`` re-derives fps)."""
+    from pyspark.sql.window import Window
+
+    from ominimo_dynamic_data_pipeline_spark.llm.text import normalize_text
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ref_name = params.get("reference")
+    if not ref_name:
+        raise ValueError("incremental_dedup requires params.reference")
+    id_col = params.get("id_col", "doc_id")
+    text_col = params.get("text_col", "text")
+    df = ctx.get(in_name)
+    ref = ctx.get(ref_name)
+    clash = {"_dedup_fp", "_dedup_rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"incremental_dedup reserves helper columns {sorted(clash)}; "
+            f"rename them on input '{in_name}' first"
+        )
+    if "fp" in ref.columns:
+        ref_fps = ref.select(F.col("fp").alias("_dedup_fp"))
+    else:
+        ref_text = params.get("reference_text_col", text_col)
+        ref_fps = ref.select(
+            F.md5(normalize_text(F.col(ref_text))).alias("_dedup_fp")
+        )
+    w = Window.partitionBy("_dedup_fp").orderBy(id_col)
+    out = (
+        df.withColumn("_dedup_fp", F.md5(normalize_text(F.col(text_col))))
+        .join(ref_fps.distinct(), on="_dedup_fp", how="left_anti")
+        .withColumn("_dedup_rn", F.row_number().over(w))
+        .filter(F.col("_dedup_rn") == 1)
+        .drop("_dedup_fp", "_dedup_rn")
+    )
+    ctx.put(out_name, out)
+
+
 @register_operator("near_dedup")
 def _op_near_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     """MinHash-LSH near-duplicate removal: band-bucket candidates, exact

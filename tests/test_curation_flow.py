@@ -215,3 +215,63 @@ def test_span_dedup_step_strips_repeated_spans(spark):
     assert out[1] == "alpha beta gamma delta"
     assert out[2] == "omega epsilon"
     assert out[3] == rows[2][1]
+
+
+def test_incremental_dedup_step_drops_known_and_batch_dupes(spark):
+    """The declarative incremental_dedup step anti-joins the batch against
+    the reference corpus's fingerprints (whitespace/case-normalized), then
+    keeps the lowest-id row per batch fingerprint; helper columns never
+    leak.  Both reference shapes work: full corpus rows and a
+    pre-computed 'fp' index frame."""
+    ref = spark.createDataFrame(
+        [(1, "already in the corpus"), (2, "another known doc")],
+        schema="doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Already  in the CORPUS"),  # known (normalizes equal)
+            (11, "brand new document"),
+            (12, "brand new document"),      # in-batch dup -> 11 survives
+            (13, "second new document"),
+        ],
+        schema="doc_id bigint, text string",
+    )
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    flow = {
+        "name": "inc",
+        "sources": [],
+        "transformations": [
+            {
+                "name": "fresh",
+                "type": "incremental_dedup",
+                "params": {"input": "batch", "reference": "corpus"},
+            }
+        ],
+        "sinks": [],
+    }
+    ctx = CompileContext(spark, frames={"batch": batch, "corpus": ref})
+    apply_transformations(ctx, flow)
+    out = ctx.frames["fresh"]
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+    assert out.columns == ["doc_id", "text"]
+
+    # fp-index reference shape: same verdicts from the 16-byte index
+    fp_index = ref.select(
+        F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    ctx2 = CompileContext(spark, frames={"batch": batch, "corpus": fp_index})
+    apply_transformations(ctx2, flow)
+    assert sorted(r["doc_id"] for r in ctx2.frames["fresh"].collect()) == [11, 13]
+
+    # missing reference is a hard error, not a silent full-batch pass
+    with pytest.raises(ValueError, match="requires params.reference"):
+        bad = {**flow, "transformations": [
+            {"name": "fresh", "type": "incremental_dedup",
+             "params": {"input": "batch"}}]}
+        apply_transformations(
+            CompileContext(spark, frames={"batch": batch}), bad
+        )
