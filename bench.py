@@ -61,25 +61,33 @@ def main() -> None:
     }
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in selected.items():
-        force(fn(spark, sf_dir))  # warm-up: codegen/JIT compile this plan
-        start = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 3)
+        # one failing query must not zero out the whole record — note it
+        # loudly in the output instead (stderr + an `errors` field)
+        try:
+            force(fn(spark, sf_dir))  # warm-up: codegen/JIT compile this plan
+            start = time.perf_counter()
+            force(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     spark.stop()
+    if errors:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
