@@ -634,3 +634,63 @@ def q104_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("l_partkey") - F.min("l_partkey")).alias("part_span"),
         (F.max("l_suppkey") - F.min("l_suppkey")).alias("supp_span"),
     )
+
+
+# --------------------------------------------------------------------------
+# q107 — custom Python DataSource (Spark 4 DataSource V2 extension
+# point): the catalog reads from the registered `synthetic_events`
+# format — driver plans 8 range partitions, executors generate rows in
+# parallel, no driver materialization (io/pydatasource.py) — and
+# aggregates per event type.  Every generated column is a pure integer
+# function of the row index, so the DuckDB twin regenerates the table
+# with range() and the identical formulas; the money sum goes through
+# ROUND(value*100) cents so no cross-engine double-accumulation is ever
+# compared.  This is the template for bolting non-file systems (REST
+# cursors, queues, proprietary formats) onto the same engine.
+# --------------------------------------------------------------------------
+_Q107_ROWS = 50_000
+
+
+@query(
+    "q107_custom_source_events",
+    f"""
+    WITH gen AS (
+        SELECT i AS event_id,
+               (i * 2654435761) % 9973 AS user_id,
+               ['view','click','purchase'][((i * 48271) % 31) % 3 + 1]
+                   AS event_type,
+               ((i * 16807) % 100000) / 100.0 AS value,
+               TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 SECOND AS ts
+        FROM range({_Q107_ROWS}) t(i)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM gen GROUP BY event_type
+    """,
+)
+def q107_custom_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.io.pydatasource import (
+        register_synthetic_events,
+    )
+
+    register_synthetic_events(spark)
+    e = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", _Q107_ROWS)
+        .option("num_partitions", 8)
+        .load()
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -163,3 +163,34 @@ def test_csv_dropmalformed_skips_bad_rows(spark, tmp_path):
         },
     )
     assert sorted(r["id"] for r in back.collect()) == [1, 3]
+
+
+def test_custom_python_datasource_partitions_and_determinism(spark):
+    """The synthetic_events Python DataSource (Spark 4 extension point)
+    plans range partitions driver-side, generates rows executor-side,
+    and is a pure function of the row index."""
+    from ominimo_dynamic_data_pipeline_spark.io.pydatasource import (
+        register_synthetic_events,
+    )
+
+    register_synthetic_events(spark)
+
+    def read(n, parts):
+        return (
+            spark.read.format("synthetic_events")
+            .option("n_rows", n)
+            .option("num_partitions", parts)
+            .load()
+        )
+
+    df = read(1000, 8)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    # partitioning must not change content
+    a = sorted(map(tuple, read(100, 1).collect()))
+    b = sorted(map(tuple, read(100, 7).collect()))
+    assert a == b
+    row = dict(zip(df.columns, a[2]))
+    assert row["event_id"] == 2
+    assert row["user_id"] == (2 * 2654435761) % 9973
+    assert row["event_type"] == "purchase"
