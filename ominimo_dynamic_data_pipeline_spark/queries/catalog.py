@@ -36,9 +36,9 @@ _merge(_an)
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
     # Round-4 rotation (round-3 verdict item 2): every query added since
-    # round 3 (q90-q106) gets at least one round of independent driver
+    # round 3 (q90-q107) gets at least one round of independent driver
     # verification, funded by dropping within-family redundancy (q03/q08/
-    # q11/q12/q13/q18/q19/q24/q33/q35/q38/q42/q45/q47/q49/q52/q62 — each
+    # q11/q12/q13/q18/q19/q24/q31/q33/q35/q38/q42/q45/q47/q49/q52/q62 — each
     # family keeps >=1 entry, asserted by
     # test_driver_window_covers_every_family; dropped entries stay
     # hash-gated by tests/test_oracle_parity.py and all carry driver-green
@@ -88,9 +88,9 @@ CORRECTNESS_WINDOW = [
     "q44_knn_ivf",
     "q91_knn_ivfpq",
     "q58_embedding_quantization",
-    # multimodal
-    "q31_payload_stats",
+    # multimodal + custom Python DataSource
     "q32_multimodal_features",
+    "q107_custom_source_events",
     # streaming: batch twin + the real readStream paths
     "q34_user_sessions",
     "q101_streaming_tumbling_e2e",
