@@ -26,14 +26,6 @@ from pyspark.sql.window import Window
 from ominimo_dynamic_data_pipeline_spark.llm.dedup import dot_double, norm_frame
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -91,86 +83,6 @@ def hyperplane(dim: int, plane: int) -> list[float]:
     return comps
 
 
-def lsh_signature(vec: Column, dim: int, num_planes: int = 8) -> Column:
-    """Random-hyperplane signature: bit i = sign(dot(v, h_i)).  Returned as
-    a bigint bucket id."""
-    sig = F.lit(0).cast("bigint")
-    for p in range(num_planes):
-        comps = hyperplane(dim, p)
-        plane_col = F.array(*[F.lit(c) for c in comps])
-        positive = dot(vec, plane_col) >= 0
-        sig = sig + F.when(positive, F.lit(2 ** p).cast("bigint")).otherwise(0)
-    return sig
-
-
-def lsh_buckets(
-    df: DataFrame,
-    dim: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    num_planes: int = 8,
-) -> DataFrame:
-    return df.withColumn(
-        "lsh_bucket", lsh_signature(F.col(vec_col), dim, num_planes)
-    )
-
-
-def lsh_table_signature(
-    vec_d: Column, dim: int, table: int, num_planes: int
-) -> Column:
-    """Bucket id for one LSH table: bit p = sign(dot(v, plane_{table*planes+p})).
-
-    ``vec_d`` must be a staged array<double> attribute (see norm_frame /
-    the HOF staging notes in dedup.py); planes are literal arrays, so the
-    per-row cost is num_planes sequential fold dot products whose double
-    results are reproducible bit-for-bit in any engine that sums in the
-    same order (the DuckDB oracle emits the same left-associative chain).
-
-    Column-helper form for single tables/tests; multi-table hot paths use
-    the staged plane-scores array (_plane_scores / _sigs_from_scores):
-    ONE nested transform for all tables*planes dots instead of a separate
-    interpreted HOF per (table, plane), ~3x faster at 24 planes."""
-    sig = F.lit(0).cast("bigint")
-    for p in range(num_planes):
-        comps = hyperplane(dim, table * num_planes + p)
-        plane = F.array(*[F.lit(c) for c in comps])
-        sig = sig + F.when(
-            dot_double(vec_d, plane) >= 0, F.lit(2**p).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return sig
-
-
-def _plane_scores(
-    vec_d: Column, dim: int, num_planes: int, num_tables: int
-) -> Column:
-    """Array of dot(vec, plane_i) for ALL num_tables*num_planes planes in
-    one nested transform over a literal array-of-arrays.  Each inner dot
-    is the same sequential fold the oracle replicates; ``vec_d`` must be a
-    staged attribute so the lambda touches only lambda vars + attributes."""
-    planes = F.array(
-        *[
-            F.array(*[F.lit(c) for c in hyperplane(dim, i)])
-            for i in range(num_planes * num_tables)
-        ]
-    )
-    return F.transform(planes, lambda pl: dot_double(vec_d, pl))
-
-
-def _sigs_from_scores(scores: Column, num_planes: int, num_tables: int) -> Column:
-    """Array of per-table bucket ids from a STAGED plane-scores attribute:
-    bit p of table t = sign(scores[t*num_planes + p]).  Cheap element_at
-    arithmetic — the expensive dots were all computed once upstream."""
-    sigs = []
-    for t in range(num_tables):
-        sig = F.lit(0).cast("bigint")
-        for p in range(num_planes):
-            sig = sig + F.when(
-                scores[t * num_planes + p] >= 0, F.lit(2**p).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-        sigs.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
-    return F.array(*sigs)
-
-
 def embedding_near_dups_lsh(
     df: DataFrame,
     dim: int,
@@ -186,41 +98,24 @@ def embedding_near_dups_lsh(
     pairwise work is sum(|bucket|^2) per table, never N^2, and nothing is
     ever collected to the driver.
 
-    Plan: one projection computes ``num_tables`` hyperplane signatures
-    JVM-side -> explode to (id, vec, table, bucket) -> ONE shuffle on
-    (table, bucket) -> Arrow ``applyInPandas`` numpy kernel scores each
-    bucket's pairs (dimension-ordered accumulation, bit-identical to the
-    sequential Catalyst/DuckDB fold) -> distinct() merges pairs found by
-    multiple tables (their cos doubles are identical, so distinct is
-    exact).  Recall tunes with (num_planes, num_tables): fewer planes =
-    bigger buckets = higher recall per table; more tables = union of
-    chances.  ``max_bucket_size`` sheds degenerate buckets (skew guard —
-    a bucket holding a constant-vector pile would otherwise quadratically
+    Plan: the shared ``_table_buckets`` Arrow kernel computes norms + all
+    table signatures in one columnar pass (dimension-ordered dots,
+    bit-identical to the staged-transform path and the DuckDB oracle's
+    sequential folds) -> ONE shuffle on (table, bucket) -> Arrow
+    ``applyInPandas`` numpy kernel scores each bucket's pairs (same
+    accumulation order) -> distinct() merges pairs found by multiple
+    tables (their cos doubles are identical, so distinct is exact).
+    Recall tunes with (num_planes, num_tables): fewer planes = bigger
+    buckets = higher recall per table; more tables = union of chances.
+    ``max_bucket_size`` sheds degenerate buckets (skew guard — a bucket
+    holding a constant-vector pile would otherwise quadratically
     dominate; its pairs are typically still found by other tables).
     """
-    import numpy as np
-    import pandas as pd
-
     id_field = df.schema[id_col].dataType.simpleString()
-    staged = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec_d"),
-    ).withColumn(
-        "_scores", _plane_scores(F.col("vec_d"), dim, num_planes, num_tables)
-    )
-    tables = _sigs_from_scores(F.col("_scores"), num_planes, num_tables)
-    bucketed = staged.select(
-        F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb")
-    ).select(
-        id_col,
-        vec_col,
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
-    )
+    bucketed = _table_buckets(df, dim, id_col, vec_col, num_planes, num_tables)
 
     kernel, schema = _bucket_pair_kernel(
-        id_col, vec_col, id_field, threshold, max_bucket_size
+        id_col, "vec_d", id_field, threshold, max_bucket_size
     )
     return (
         bucketed.groupBy("table", "bucket")
@@ -274,8 +169,9 @@ def _table_buckets(
     """(id, vec_d, nrm, table, bucket) — one row per (vector, LSH table),
     via an Arrow mapInPandas numpy kernel: norms, all plane dots, and the
     per-table sign buckets in one columnar pass (dimension-ordered
-    accumulation, bit-identical to the Catalyst fold and therefore to the
-    staged-transform path used where oracle parity matters, e.g. q28)."""
+    accumulation, bit-identical to the sequential Catalyst/DuckDB fold —
+    the q28/q30 oracles replicate these signatures from the same
+    hyperplanes)."""
     import numpy as np
     import pandas as pd
 

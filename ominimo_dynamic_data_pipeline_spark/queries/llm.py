@@ -333,7 +333,7 @@ _LSH_DIM, _LSH_PLANES, _LSH_TABLES = 64, 4, 3
 def _lsh_sig_cols(dim: int, num_planes: int, num_tables: int) -> list[str]:
     """Per-table LSH signature columns (sig_0..sig_{T-1}) as explicit
     left-associative ±embedding[i] sum chains — the exact fold order the
-    engine's _plane_scores / _table_buckets kernels accumulate in, so the
+    engine's _table_buckets kernel accumulates in, so the
     sign bits (and buckets) agree bit-for-bit across engines."""
     sig_cols = []
     for t in range(num_tables):
