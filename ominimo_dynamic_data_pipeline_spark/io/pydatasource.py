@@ -68,13 +68,17 @@ class SyntheticEventsReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         n, parts = self.n_rows, max(1, self.num_partitions)
+        if n <= 0:
+            return []  # empty source plans an empty scan, not a crash
         step = (n + parts - 1) // parts
         return [
             _RangePartition(lo, min(lo + step, n))
             for lo in range(0, n, step)
         ]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+    def read(self, partition: _RangePartition | None) -> Iterator[tuple]:
+        if partition is None:  # empty plan: Spark still issues one read
+            return
         for i in range(partition.start, partition.end):
             yield _row(i)
 

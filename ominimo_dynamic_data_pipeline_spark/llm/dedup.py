@@ -593,7 +593,7 @@ def embedding_near_dups(
     Brute-force O(N^2/2) pairs — correct baseline for verification scale.
     At 100 TB pass ``bucket_col`` (e.g. an LSH bucket or cluster label) to
     restrict comparisons within buckets, turning the blow-up into
-    sum(|bucket|^2); see similarity.lsh_buckets.  Norms/casts are staged
+    sum(|bucket|^2); see similarity.embedding_near_dups_lsh.  Norms/casts are staged
     per row (norm_frame) so the pairwise work is one dot product.
     """
     nf = norm_frame(df, id_col, vec_col, [bucket_col] if bucket_col else None)

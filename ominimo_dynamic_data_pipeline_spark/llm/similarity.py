@@ -112,7 +112,9 @@ def embedding_near_dups_lsh(
     dominate; its pairs are typically still found by other tables).
     """
     id_field = df.schema[id_col].dataType.simpleString()
-    bucketed = _table_buckets(df, dim, id_col, vec_col, num_planes, num_tables)
+    bucketed = _table_buckets(
+        df, dim, id_col, vec_col, num_planes, num_tables
+    ).drop("nrm")  # the pair kernel re-derives norms; don't shuffle them
 
     kernel, schema = _bucket_pair_kernel(
         id_col, "vec_d", id_field, threshold, max_bucket_size
@@ -709,13 +711,17 @@ def ivfpq_topk(
     # int8 encode + reconstructed norm in ONE Arrow pass over the
     # assigned frame.  The numpy math mirrors the staged Catalyst
     # expressions q58's oracle pins bit-for-bit: scale = max|v|/127
-    # (max is exact, one division), codes = HALF_UP round of v/scale
-    # (sign*floor(|x|+0.5) — BigDecimal HALF_UP on a double and this
-    # identity agree at |codes| <= 127 magnitudes), reconstructed norm
-    # accumulates codes^2 dimension-by-dimension like the fold.  The
-    # previous expression pipeline evaluated ~200 interpreted HOF
-    # lambdas per row (encode + norm folds): cb alone cost 4.3 s at sf1,
-    # now ~0.5 s.
+    # (max is exact, one division); codes = HALF_UP round of v/scale,
+    # computed as floor(|x|) + (frac >= 0.5) where frac = |x|-floor(|x|)
+    # — for |x| < 2^52 that subtraction is EXACT in float64, so the
+    # comparison decides on the true fractional part of the binary
+    # value, exactly like BigDecimal HALF_UP on the same double.  (The
+    # tempting floor(|x|+0.5) is NOT equivalent: |x| = 0.5 - 2^-54 has
+    # |x|+0.5 round UP to 1.0, giving code 1 where HALF_UP gives 0.)
+    # The reconstructed norm accumulates codes^2 dimension-by-dimension
+    # like the fold.  The previous expression pipeline evaluated ~200
+    # interpreted HOF lambdas per row (encode + norm folds): cb alone
+    # cost 4.3 s at sf1, now ~0.5 s.
     import numpy as np
     import pandas as pd
 
@@ -729,7 +735,10 @@ def ivfpq_topk(
             scale = np.abs(v).max(axis=1) / 127.0
             safe = np.where(scale > 0, scale, 1.0)[:, None]
             x = v / safe
-            codes = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int32")
+            ax = np.abs(x)
+            fl = np.floor(ax)
+            half_up = fl + (ax - fl >= 0.5)
+            codes = (np.sign(x) * half_up).astype("int32")
             codes[scale <= 0] = 0
             sq = np.zeros(len(pdf), dtype=np.float64)
             cd = codes.astype(np.float64)
@@ -781,49 +790,34 @@ def ivfpq_topk(
     )
     # asymmetric distance per candidate: scale * dot(q_float, codes),
     # normalized by the float query norm and the reconstructed corpus
-    # norm.  Scored in a COGROUPED Arrow kernel on the list id — the
-    # corpus lists and the probe lists co-partition, each (list) group
-    # gets its corpus codes and its probing queries as pandas frames, so
-    # nothing is ever collected to the driver and both sides scale out.
-    # Inside, the dot matrix ACCUMULATES DIMENSION-BY-DIMENSION in
-    # float64 and the expression order (scale*dot, then one division by
-    # the precomputed norm product) mirrors the previous per-pair
-    # Catalyst fold exactly, so adc values — and therefore the RAW-double
-    # shortlist ranking the oracle replicates — are bit-identical while
-    # skipping the interpreted-HOF cost (64 lambda evaluations per
-    # candidate; measured ~3 s -> ~0.3 s for 25k candidates at sf1).
-    import numpy as np
-    import pandas as pd
-
-    def score_lists(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        out_cols = ["query_id", "neighbor_id", "approx_cos"]
-        if left.empty or right.empty:
-            return pd.DataFrame(columns=out_cols)
-        codes = np.stack(left["c_codes"].to_numpy()).astype(np.float64)
-        qv = np.stack(right["qv"].to_numpy()).astype(np.float64)
-        dots = np.zeros((len(right), len(left)), dtype=np.float64)
-        for d in range(codes.shape[1]):
-            dots += qv[:, d : d + 1] * codes[:, d]
-        adc = (left["c_scale"].to_numpy() * dots) / (
-            right["q_nrm"].to_numpy()[:, None]
-            * left["c_nrm_approx"].to_numpy()
+    # norm.  Kept as a streamed broadcast join + per-pair fold, NOT a
+    # cogrouped kernel: grouping by list id would cap the scoring
+    # stage's parallelism at k_lists tasks and materialize an entire
+    # inverted list (corpus/k_lists rows) per task — exactly the shape
+    # that breaks at the 100 TB posture, while the join streams the
+    # codes row-by-row with no corpus shuffle.  With the encode kernel
+    # upstream, this fold is no longer the bottleneck (candidates per
+    # query are nprobe list fractions, not the corpus).
+    adc = (
+        F.col("c_scale")
+        * F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.col("c_codes"),
+                lambda q, c: q * c.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        qid = np.repeat(right["query_id"].to_numpy(), len(left))
-        nid = np.tile(left["neighbor_id"].to_numpy(), len(right))
-        out = pd.DataFrame(
-            {"query_id": qid, "neighbor_id": nid, "approx_cos": adc.ravel()}
-        )
-        return out[out["query_id"] != out["neighbor_id"]]
-
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
-    nid_type = corpus.schema[id_col].dataType.simpleString()
+        / (F.col("q_nrm") * F.col("c_nrm_approx"))
+    )
     approx = (
-        cb.groupby("c_list")
-        .cogroup(probes.groupby("q_list"))
-        .applyInPandas(
-            score_lists,
-            f"query_id {qid_type}, neighbor_id {nid_type}, approx_cos double",
+        cb.join(
+            F.broadcast(probes),
+            (F.col("c_list") == F.col("q_list"))
+            & (F.col("query_id") != F.col("neighbor_id")),
         )
+        .select("query_id", "neighbor_id", adc.alias("approx_cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cos"), F.asc("neighbor_id")

@@ -877,3 +877,61 @@ def test_simhash_band_filter_equals_distinct_reference_under_shedding(
         .collect()
     }
     assert got == ref and ref
+
+
+def test_ivfpq_encode_rounding_matches_catalyst_half_up(spark):
+    """The numpy int8 encode must reproduce F.round's BigDecimal HALF_UP
+    exactly — including the adversarial |x| = 0.5 - 2^-54, where the
+    floor(|x|+0.5) shortcut rounds UP to 1 (|x|+0.5 is not representable
+    and rounds to 1.0) but HALF_UP keeps 0."""
+    import numpy as np
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        int8_scale_col,
+        int8_codes_col,
+    )
+
+    adversarial = 0.5 - 2.0**-54
+    # craft vectors whose v/scale hits exact targets: scale = 127/127 = 1
+    vecs = [
+        (1, [127.0, adversarial, -adversarial, 2.5, -2.5, 0.49999999999999994]),
+        (2, [127.0, 126.5, -126.5, 0.5, -0.5, 1.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    staged = df.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS vec_d"
+    ).withColumn("scale", int8_scale_col(F.col("vec_d")))
+    catalyst = {
+        r["vec_id"]: list(r["codes"])
+        for r in staged.withColumn(
+            "codes", int8_codes_col(F.col("vec_d"), F.col("scale"))
+        ).collect()
+    }
+
+    def kernel_codes(v):
+        v = np.asarray(v, dtype=np.float64)
+        scale = np.abs(v).max() / 127.0
+        x = v / scale
+        ax = np.abs(x)
+        fl = np.floor(ax)
+        return list((np.sign(x) * (fl + (ax - fl >= 0.5))).astype("int32"))
+
+    for vid, vec in vecs:
+        assert kernel_codes(vec) == catalyst[vid], vid
+    # and pin the adversarial value itself: HALF_UP keeps 0
+    assert kernel_codes(vecs[0][1])[1] == 0
+    assert kernel_codes(vecs[0][1])[2] == 0
+
+
+def test_custom_datasource_empty_source(spark):
+    from ominimo_dynamic_data_pipeline_spark.io.pydatasource import (
+        register_synthetic_events,
+    )
+
+    register_synthetic_events(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 0)
+        .load()
+    )
+    assert df.count() == 0
