@@ -293,3 +293,88 @@ def test_repeated_span_invariants(spark, docs):
             flagged.update(range(s, e))
         expect = " ".join(t for i, t in enumerate(tk) if i not in flagged)
         assert stripped[d] == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(0, 10_000), min_size=2, max_size=40, unique=True
+    )
+)
+def test_incremental_dedup_invariants(spark, ids):
+    """For arbitrary id sets split into reference/batch with planted
+    text collisions: no survivor's fingerprint exists in the reference,
+    exactly one survivor (the lowest id) per batch fingerprint, and
+    reference ∪ survivors has no duplicate fingerprints."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        incremental_exact_dedup,
+        normalize_text,
+    )
+
+    # text derived from id % 5 -> heavy collisions within and across sides
+    rows = [(i, f"text number {i % 5} body") for i in sorted(ids)]
+    half = len(rows) // 2
+    ref = spark.createDataFrame(rows[:half] or [(99999, "ref only")],
+                                schema="doc_id bigint, text string")
+    batch = spark.createDataFrame(rows[half:], schema="doc_id bigint, text string")
+    ref_fps = ref.select(
+        F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    out = incremental_exact_dedup(batch, ref_fps).collect()
+    ref_fp_set = {r["fp"] for r in ref_fps.distinct().collect()}
+    batch_rows = batch.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    ).collect()
+    by_fp: dict = {}
+    for r in batch_rows:
+        by_fp.setdefault(r["fp"], []).append(r["doc_id"])
+    for r in out:
+        assert r["fp"] not in ref_fp_set  # nothing already curated
+        assert r["doc_id"] == min(by_fp[r["fp"]])  # lowest id survives
+        assert r["n_batch_copies"] == len(by_fp[r["fp"]])
+    expected_fresh = {fp for fp in by_fp if fp not in ref_fp_set}
+    assert {r["fp"] for r in out} == expected_fresh
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.integers(0, (1 << 16) - 1),
+    b=st.integers(0, (1 << 16) - 1),
+    a2=st.integers(0, (1 << 16) - 1),
+    b2=st.integers(0, (1 << 16) - 1),
+)
+def test_morton_key_properties(spark, a, b, a2, b2):
+    """Interleave invariants: zero maps to zero, the key is a bijection
+    on (a, b) pairs (distinct pairs -> distinct keys), and growing either
+    coordinate's highest differing bit grows the key."""
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import morton_key
+
+    df = spark.createDataFrame(
+        [(a, b), (a2, b2), (0, 0)], schema="x bigint, y bigint"
+    )
+    out = [
+        r["z"]
+        for r in df.select(morton_key(F.col("x"), F.col("y"), 16).alias("z"))
+        .collect()
+    ]
+    z1, z2, z0 = out
+    assert z0 == 0
+    if (a, b) != (a2, b2):
+        assert z1 != z2  # bijection: no two pairs share a key
+    # de-interleave reverses exactly
+    def undo(z):
+        ra = rb = 0
+        for i in range(16):
+            ra |= ((z >> (2 * i + 1)) & 1) << i
+            rb |= ((z >> (2 * i)) & 1) << i
+        return ra, rb
+
+    assert undo(z1) == (a, b)
