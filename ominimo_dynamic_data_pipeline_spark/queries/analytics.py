@@ -990,3 +990,128 @@ def q100_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((ap[0] >= ex[0]) & (ap[0] <= ex[2])).alias("p50_within_tol"),
         ((ap[1] >= ex[3]) & (ap[1] <= ex[5])).alias("p95_within_tol"),
     )
+
+
+# --------------------------------------------------------------------------
+# q108 — PageRank over the co-purchase graph, EXACT-INTEGER arithmetic:
+# the iterative-graph-algorithm shape (each iteration = one edges⋈ranks
+# join + one aggregation on the destination key — Pregel-lite on stock
+# DataFrames; q57's connected components covers the
+# converge-with-checkpoint variant, this covers fixed-iteration
+# scoring).  All rank math is BIGINT: r0 = 10^9 per node, contributions
+# r div outdeg, damping as (85 * S) div 100 + 15*10^7 — floor division
+# and integer sums are order-independent and identical in every engine,
+# so a 3-iteration unrolled DuckDB twin hash-verifies the distributed
+# run exactly (double-based PageRank could never be compared exactly:
+# per-node sums would depend on partitioning order).  Scale bound:
+# sum(S) per iteration = N * 10^9, so 85 * S fits bigint far past sf100.
+# --------------------------------------------------------------------------
+_Q108_SCALE = 10**9
+_Q108_BASE = (15 * _Q108_SCALE) // 100
+_Q108_ITERS = 3
+
+
+def _q108_oracle() -> str:
+    edges_cte = """
+    baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    pairs AS (
+        SELECT p1 AS part_a, p2 AS part_b FROM baskets,
+             UNNEST(parts) AS t1(p1), UNNEST(parts) AS t2(p2)
+        WHERE p1 < p2
+        GROUP BY p1, p2 HAVING COUNT(*) >= 3
+    ),
+    edges AS (
+        SELECT part_a AS src, part_b AS dst FROM pairs
+        UNION ALL
+        SELECT part_b AS src, part_a AS dst FROM pairs
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS r FROM outdeg)
+    """.format(scale=_Q108_SCALE)
+    its = []
+    for t in range(1, _Q108_ITERS + 1):
+        its.append(
+            f"""
+    s{t} AS (
+        SELECT e.dst AS node, SUM(r.r // o.deg) AS s
+        FROM edges e
+        JOIN r{t - 1} r ON e.src = r.node
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+    ),
+    r{t} AS (
+        SELECT n.node,
+               {_Q108_BASE} + (85 * COALESCE(s.s, 0)) // 100 AS r
+        FROM r{t - 1} n LEFT JOIN s{t} s USING (node)
+    )"""
+        )
+    return (
+        "WITH "
+        + edges_cte
+        + ","
+        + ",".join(its)
+        + f"\n    SELECT node AS part, r AS pagerank FROM r{_Q108_ITERS}"
+    )
+
+
+@query("q108_pagerank_parts", _q108_oracle())
+def q108_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        expand_member_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.collect_list("l_partkey"))
+            ).alias("parts")
+        )
+        .filter(F.size("parts") > 1)
+    )
+    pairs = (
+        expand_member_pairs(baskets, "parts")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("a", "b")
+    )
+    # the edge list and degrees are loop INVARIANTS referenced by every
+    # iteration's join: localCheckpoint materializes them once instead
+    # of replaying the basket->pair expansion lineage 3x (the q57
+    # connected-components pattern; measured sf1 10.7 s -> 4 s)
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
+    r = outdeg.select(
+        F.col("src").alias("node"),
+        F.lit(_Q108_SCALE).cast("bigint").alias("r"),
+    )
+    for _ in range(_Q108_ITERS):
+        contrib = (
+            edges.join(r, edges.src == F.col("node"))
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        r = (
+            r.select("node")
+            .join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(_Q108_BASE).cast("bigint")
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).alias("r"),
+            )
+        )
+    return r.select(F.col("node").alias("part"), F.col("r").alias("pagerank"))
