@@ -36,9 +36,9 @@ _merge(_an)
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
     # Round-4 rotation (round-3 verdict item 2): every query added since
-    # round 3 (q90-q107) gets at least one round of independent driver
+    # round 3 (q90-q108) gets at least one round of independent driver
     # verification, funded by dropping within-family redundancy (q03/q08/
-    # q11/q12/q13/q18/q19/q24/q31/q33/q35/q38/q42/q45/q47/q49/q52/q62 — each
+    # q05/q11/q12/q13/q18/q19/q24/q31/q33/q35/q38/q42/q45/q47/q49/q52/q62 — each
     # family keeps >=1 entry, asserted by
     # test_driver_window_covers_every_family; dropped entries stay
     # hash-gated by tests/test_oracle_parity.py and all carry driver-green
@@ -49,7 +49,6 @@ CORRECTNESS_WINDOW = [
     "q103_orc_roundtrip",
     "q02_top_revenue_orders",
     "q04_customers_with_open_orders",
-    "q05_customers_without_big_orders",
     "q06_top3_orders_per_customer",
     "q07_customer_order_running",
     "q14_late_shipments",
@@ -104,8 +103,9 @@ CORRECTNESS_WINDOW = [
     "q95_event_anomalies",
     "q97_copurchase_pairs",
     "q98_cohort_retention",
-    # scale infrastructure + SQL front end
+    # scale infrastructure, graph, + SQL front end
     "q60_skew_diagnostics",
+    "q108_pagerank_parts",
     "q104_zorder_layout",
     "q89_product_nation_profit",
 ]
