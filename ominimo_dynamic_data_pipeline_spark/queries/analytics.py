@@ -771,29 +771,33 @@ def q96_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same order become a pair; pairs counted corpus-wide, support >= 3.
 # Reuses expand_member_pairs, so per-order cost is |basket|^2 row by row
 # (baskets are bounded by order size), never a self-join of lineitem.
+# The pair derivation is shared with q108 (its PageRank edges) in BOTH
+# engines: _copurchase_pairs / _COPURCHASE_SQL_CTES are the single
+# source of truth for basket normalization and the support threshold.
 # --------------------------------------------------------------------------
-@query(
-    "q97_copurchase_pairs",
-    """
-    WITH baskets AS (
+_COPURCHASE_SUPPORT = 3
+
+_COPURCHASE_SQL_CTES = f"""
+    baskets AS (
         SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
         FROM lineitem GROUP BY l_orderkey
     ),
     pairs AS (
-        SELECT p1 AS part_a, p2 AS part_b FROM baskets,
-             UNNEST(parts) AS t1(p1), UNNEST(parts) AS t2(p2)
+        SELECT p1 AS part_a, p2 AS part_b, COUNT(*) AS n_orders
+        FROM baskets, UNNEST(parts) AS t1(p1), UNNEST(parts) AS t2(p2)
         WHERE p1 < p2
-    )
-    SELECT part_a, part_b, COUNT(*) AS n_orders
-    FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 3
-    """,
-)
-def q97_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        GROUP BY p1, p2 HAVING COUNT(*) >= {_COPURCHASE_SUPPORT}
+    )"""
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_a, part_b, n_orders) for part pairs co-purchased in >=
+    _COPURCHASE_SUPPORT orders — q97's output and q108's edge source."""
     from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
         expand_member_pairs,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias(
             "parts"
@@ -805,8 +809,19 @@ def q97_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").alias("part_a"), F.col("b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 3)
+        .filter(F.col("n_orders") >= _COPURCHASE_SUPPORT)
     )
+
+
+@query(
+    "q97_copurchase_pairs",
+    f"""
+    WITH {_COPURCHASE_SQL_CTES}
+    SELECT part_a, part_b, n_orders FROM pairs
+    """,
+)
+def q97_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _copurchase_pairs(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -1012,35 +1027,14 @@ _Q108_ITERS = 3
 
 
 def _q108_oracle() -> str:
-    edges_cte = """
-    baskets AS (
-        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
-        FROM lineitem GROUP BY l_orderkey
-    ),
-    pairs AS (
-        SELECT p1 AS part_a, p2 AS part_b FROM baskets,
-             UNNEST(parts) AS t1(p1), UNNEST(parts) AS t2(p2)
-        WHERE p1 < p2
-        GROUP BY p1, p2 HAVING COUNT(*) >= 3
-    ),
-    edges AS (
-        SELECT part_a AS src, part_b AS dst FROM pairs
-        UNION ALL
-        SELECT part_b AS src, part_a AS dst FROM pairs
-    ),
-    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-    r0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS r FROM outdeg)
-    """.format(scale=_Q108_SCALE)
     its = []
     for t in range(1, _Q108_ITERS + 1):
         its.append(
             f"""
     s{t} AS (
-        SELECT e.dst AS node, SUM(r.r // o.deg) AS s
-        FROM edges e
-        JOIN r{t - 1} r ON e.src = r.node
-        JOIN outdeg o ON e.src = o.src
-        GROUP BY e.dst
+        SELECT w.dst AS node, SUM(r.r // w.deg) AS s
+        FROM weights w JOIN r{t - 1} r ON w.src = r.node
+        GROUP BY w.dst
     ),
     r{t} AS (
         SELECT n.node,
@@ -1049,58 +1043,42 @@ def _q108_oracle() -> str:
     )"""
         )
     return (
-        "WITH "
-        + edges_cte
-        + ","
+        f"""WITH {_COPURCHASE_SQL_CTES},
+    edges AS (
+        SELECT part_a AS src, part_b AS dst FROM pairs
+        UNION ALL
+        SELECT part_b AS src, part_a AS dst FROM pairs
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    weights AS (SELECT e.src, e.dst, o.deg FROM edges e JOIN outdeg o USING (src)),
+    r0 AS (SELECT src AS node, CAST({_Q108_SCALE} AS BIGINT) AS r FROM outdeg),"""
         + ",".join(its)
-        + f"\n    SELECT node AS part, r AS pagerank FROM r{_Q108_ITERS}"
+        + f"""
+    SELECT node AS part, CAST(r AS BIGINT) AS pagerank FROM r{_Q108_ITERS}"""
     )
 
 
 @query("q108_pagerank_parts", _q108_oracle())
 def q108_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
-        expand_member_pairs,
+    pairs = _copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    edges = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).union(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
-
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.array_sort(
-                F.array_distinct(F.collect_list("l_partkey"))
-            ).alias("parts")
-        )
-        .filter(F.size("parts") > 1)
-    )
-    pairs = (
-        expand_member_pairs(baskets, "parts")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 3)
-        .select("a", "b")
-    )
-    # the edge list and degrees are loop INVARIANTS referenced by every
-    # iteration's join: localCheckpoint materializes them once instead
-    # of replaying the basket->pair expansion lineage 3x (the q57
-    # connected-components pattern; measured sf1 10.7 s -> 4 s)
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint()
-    )
-    outdeg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg) is THE loop invariant every iteration joins against:
+    # localCheckpoint materializes it once — iterations never replay the
+    # basket->pair expansion lineage and never repeat the edges⋈outdeg
+    # join (the q57 connected-components pattern; sf1 10.7 s -> ~5 s)
+    weights = edges.join(outdeg, "src").localCheckpoint()
     r = outdeg.select(
         F.col("src").alias("node"),
         F.lit(_Q108_SCALE).cast("bigint").alias("r"),
     )
     for _ in range(_Q108_ITERS):
-        contrib = (
-            edges.join(r, edges.src == F.col("node"))
-            .join(outdeg, "src")
-            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+        contrib = weights.join(r, weights.src == F.col("node")).select(
+            F.col("dst").alias("node"), F.expr("r div deg").alias("c")
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         r = (
@@ -1114,4 +1092,6 @@ def q108_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return r.select(F.col("node").alias("part"), F.col("r").alias("pagerank"))
+    return r.select(
+        F.col("node").alias("part"), F.col("r").cast("bigint").alias("pagerank")
+    )

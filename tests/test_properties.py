@@ -318,8 +318,7 @@ def test_incremental_dedup_invariants(spark, ids):
     # text derived from id % 5 -> heavy collisions within and across sides
     rows = [(i, f"text number {i % 5} body") for i in sorted(ids)]
     half = len(rows) // 2
-    ref = spark.createDataFrame(rows[:half] or [(99999, "ref only")],
-                                schema="doc_id bigint, text string")
+    ref = spark.createDataFrame(rows[:half], schema="doc_id bigint, text string")
     batch = spark.createDataFrame(rows[half:], schema="doc_id bigint, text string")
     ref_fps = ref.select(
         F.md5(normalize_text(F.col("text"))).alias("fp")
@@ -353,22 +352,31 @@ def test_incremental_dedup_invariants(spark, ids):
 )
 def test_morton_key_properties(spark, a, b, a2, b2):
     """Interleave invariants: zero maps to zero, the key is a bijection
-    on (a, b) pairs (distinct pairs -> distinct keys), and growing either
-    coordinate's highest differing bit grows the key."""
+    on (a, b) pairs (distinct pairs -> distinct keys), the key is
+    monotone in each coordinate with the other held fixed (the property
+    that makes z-range cells axis-aligned rectangles), and
+    de-interleaving reverses exactly."""
     from ominimo_dynamic_data_pipeline_spark.operators.scale import morton_key
 
     df = spark.createDataFrame(
-        [(a, b), (a2, b2), (0, 0)], schema="x bigint, y bigint"
+        [(a, b), (a2, b2), (0, 0), (a2, b), (a, b2)],
+        schema="x bigint, y bigint",
     )
     out = [
         r["z"]
         for r in df.select(morton_key(F.col("x"), F.col("y"), 16).alias("z"))
         .collect()
     ]
-    z1, z2, z0 = out
+    z1, z2, z0, z_a2b, z_ab2 = out
     assert z0 == 0
     if (a, b) != (a2, b2):
         assert z1 != z2  # bijection: no two pairs share a key
+    # per-coordinate monotonicity: with one coordinate fixed, key order
+    # follows the other coordinate's order
+    if a != a2:
+        assert (z1 < z_a2b) == (a < a2)
+    if b != b2:
+        assert (z1 < z_ab2) == (b < b2)
     # de-interleave reverses exactly
     def undo(z):
         ra = rb = 0
