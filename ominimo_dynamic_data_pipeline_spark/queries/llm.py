@@ -1778,3 +1778,62 @@ def q106_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(D.normalize_text(F.col("text"))).alias("fp")
     )
     return D.incremental_exact_dedup(incoming, ref_fps)
+
+
+# --------------------------------------------------------------------------
+# q109 — BPE merge-candidate mining: the first iteration of tokenizer
+# training at corpus scale.  BPE training repeatedly merges the most
+# frequent adjacent symbol pair; iteration one's statistics are exactly
+# "count every adjacent character pair inside every word" — one
+# generate-explode over the token stream and ONE shuffle on the pair key
+# (at 100 TB this is the canonical map-side-combine aggregation; the
+# full training loop just repeats it from the driver over a shrinking
+# pair table, the same fixed-iteration driver-loop shape as q108).
+# Pairs come from substring(word, i, 2) so both engines derive them
+# byte-for-byte identically; top 20 with a deterministic tie-break.
+# --------------------------------------------------------------------------
+_Q109_TOP = 20
+
+
+@query(
+    "q109_bpe_merge_candidates",
+    f"""
+    WITH toks AS (
+        SELECT unnest({SQL_TOKS}) AS w FROM documents
+    ),
+    bp AS (
+        SELECT substr(w, i + 1, 2) AS pair
+        FROM toks, UNNEST(range(length(w) - 1)) AS t(i)
+        WHERE length(w) >= 2
+    ),
+    counted AS (
+        SELECT pair, COUNT(*) AS n_occurrences FROM bp GROUP BY pair
+    )
+    SELECT pair, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+                AS BIGINT) AS rank
+    FROM counted
+    ORDER BY rank LIMIT {_Q109_TOP}
+    """,
+)
+def q109_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(T.tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _Q109_TOP)
+        .orderBy("rank")
+    )
