@@ -36,9 +36,9 @@ _merge(_an)
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
     # Round-4 rotation (round-3 verdict item 2): every query added since
-    # round 3 (q90-q108) gets at least one round of independent driver
+    # round 3 (q90-q109) gets at least one round of independent driver
     # verification, funded by dropping within-family redundancy (q03/q08/
-    # q05/q11/q12/q13/q18/q19/q24/q31/q33/q35/q38/q42/q45/q47/q49/q52/q62 — each
+    # q05/q11/q12/q13/q18/q19/q21/q24/q31/q33/q35/q38/q42/q45/q47/q49/q52/q62 — each
     # family keeps >=1 entry, asserted by
     # test_driver_window_covers_every_family; dropped entries stay
     # hash-gated by tests/test_oracle_parity.py and all carry driver-green
@@ -68,8 +68,8 @@ CORRECTNESS_WINDOW = [
     # validation rule language at scale
     "q50_validated_lineitem",
     # text analysis
-    "q21_doc_quality",
     "q22_language_id",
+    "q109_bpe_merge_candidates",
     "q92_model_quality_score",
     # dedup family
     "q25_exact_dedup",
