@@ -777,7 +777,9 @@ def q96_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _COPURCHASE_SUPPORT = 3
 
-_COPURCHASE_SQL_CTES = f"""
+
+def _copurchase_sql_ctes(support: int = _COPURCHASE_SUPPORT) -> str:
+    return f"""
     baskets AS (
         SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
         FROM lineitem GROUP BY l_orderkey
@@ -786,13 +788,18 @@ _COPURCHASE_SQL_CTES = f"""
         SELECT p1 AS part_a, p2 AS part_b, COUNT(*) AS n_orders
         FROM baskets, UNNEST(parts) AS t1(p1), UNNEST(parts) AS t2(p2)
         WHERE p1 < p2
-        GROUP BY p1, p2 HAVING COUNT(*) >= {_COPURCHASE_SUPPORT}
+        GROUP BY p1, p2 HAVING COUNT(*) >= {support}
     )"""
 
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+_COPURCHASE_SQL_CTES = _copurchase_sql_ctes()
+
+
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, support: int = _COPURCHASE_SUPPORT
+) -> DataFrame:
     """(part_a, part_b, n_orders) for part pairs co-purchased in >=
-    _COPURCHASE_SUPPORT orders — q97's output and q108's edge source."""
+    ``support`` orders — q97's output and the q108/q112 edge source."""
     from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
         expand_member_pairs,
     )
@@ -809,7 +816,7 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").alias("part_a"), F.col("b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= _COPURCHASE_SUPPORT)
+        .filter(F.col("n_orders") >= support)
     )
 
 
@@ -1094,4 +1101,117 @@ def q108_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return r.select(
         F.col("node").alias("part"), F.col("r").cast("bigint").alias("pagerank")
+    )
+
+# --------------------------------------------------------------------------
+# q112 — triangle counting on the co-purchase graph (degree-ordered
+# node-iterator): the third classic distributed-graph shape next to q57's
+# converging label propagation and q108's fixed-iteration PageRank.
+# Every edge is ORIENTED from its lower-(degree, id) endpoint to the
+# higher one, so each triangle is counted exactly once at its minimum
+# vertex and — the scale property — every wedge list is bounded by the
+# ORIENTED out-degree, O(sqrt(|E|)) for any graph, never the raw degree
+# of a hub part.  Shape: one wedge self-join on the source key + one
+# closing join on the (v, w) edge key; the tiny per-part degree table
+# broadcasts.  Support drops to 2 for this query (the shared
+# support-3 co-purchase graph is triangle-free at test scale); the
+# threshold is mirrored via the shared CTE builder.
+# --------------------------------------------------------------------------
+_Q112_SUPPORT, _Q112_TOP = 2, 20
+
+
+@query(
+    "q112_triangle_parts",
+    f"""
+    WITH {_copurchase_sql_ctes(_Q112_SUPPORT)},
+    deg AS (
+        SELECT part, COUNT(*) AS deg FROM (
+            SELECT part_a AS part FROM pairs
+            UNION ALL SELECT part_b FROM pairs
+        ) GROUP BY part
+    ),
+    directed AS (
+        SELECT CASE WHEN da.deg < db.deg
+                      OR (da.deg = db.deg AND p.part_a < p.part_b)
+                    THEN p.part_a ELSE p.part_b END AS u,
+               CASE WHEN da.deg < db.deg
+                      OR (da.deg = db.deg AND p.part_a < p.part_b)
+                    THEN p.part_b ELSE p.part_a END AS v
+        FROM pairs p
+        JOIN deg da ON da.part = p.part_a
+        JOIN deg db ON db.part = p.part_b
+    ),
+    tri AS (
+        SELECT d1.u AS a, d1.v AS b, d2.v AS c
+        FROM directed d1
+        JOIN directed d2 ON d2.u = d1.u AND d2.v <> d1.v
+        JOIN directed d3 ON d3.u = d1.v AND d3.v = d2.v
+    ),
+    participation AS (
+        SELECT unnest([a, b, c]) AS part FROM tri
+    ),
+    counted AS (
+        SELECT part, COUNT(*) AS n_triangles
+        FROM participation GROUP BY part
+    )
+    SELECT part, n_triangles, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            ORDER BY n_triangles DESC, part) AS BIGINT) AS rank
+        FROM counted
+    ) WHERE rank <= {_Q112_TOP}
+    """,
+)
+def q112_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir, support=_Q112_SUPPORT).select(
+        "part_a", "part_b"
+    )
+    deg = (
+        pairs.select(F.col("part_a").alias("part"))
+        .union(pairs.select(F.col("part_b").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("part_a") < F.col("part_b"))
+    )
+    # the wedge + closing joins reuse this frame three times: materialize
+    # once (the q108 loop-invariant pattern) so the basket->pair expansion
+    # never replays
+    directed = (
+        pairs.join(
+            F.broadcast(deg.withColumnsRenamed({"part": "part_a", "deg": "da"})),
+            "part_a",
+        )
+        .join(
+            F.broadcast(deg.withColumnsRenamed({"part": "part_b", "deg": "db"})),
+            "part_b",
+        )
+        .select(
+            F.when(lower, F.col("part_a")).otherwise(F.col("part_b")).alias("u"),
+            F.when(lower, F.col("part_b")).otherwise(F.col("part_a")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    d1, d2 = directed.alias("d1"), directed.alias("d2")
+    wedges = d1.join(
+        d2,
+        (F.col("d1.u") == F.col("d2.u")) & (F.col("d1.v") != F.col("d2.v")),
+    ).select(
+        F.col("d1.u").alias("a"), F.col("d1.v").alias("b"), F.col("d2.v").alias("c")
+    )
+    tri = wedges.join(
+        directed.withColumnsRenamed({"u": "b", "v": "c"}), ["b", "c"]
+    )
+    from pyspark.sql.window import Window
+
+    counted = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    w = Window.orderBy(F.desc("n_triangles"), F.asc("part"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _Q112_TOP)
+        .select("part", "n_triangles", "rank")
     )

@@ -1837,3 +1837,125 @@ def q109_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _Q109_TOP)
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q110 — BM25 retrieval over an inverted index: the classic sparse
+# counterpart to q29/q30's dense ANN, and the retrieval shape RAG-style
+# corpus tooling actually runs.  The index is the postings table
+# (term, doc, tf) — ONE shuffle of the exploded token stream with
+# map-side combine; document lengths and document frequencies both
+# REDUCE from the already-aggregated postings (no second corpus scan).
+# Queries are the distinct terms of the lowest-id docs ("more like
+# this"); the tiny query-term list broadcasts, so scoring touches only
+# the matching postings rows — at 100 TB you additionally stoplist
+# df-heavy terms before the join (this corpus's 31-word vocabulary
+# makes every term df-heavy, so the cap would empty the query; the
+# selectivity win is real on a Zipfian vocabulary).  Lucene-style
+# idf = ln(1 + (N-df+0.5)/(df+0.5)) keeps scores non-negative at any
+# df.  The per-pair score sums doubles in engine order -> rounded to 4
+# in BOTH engines BEFORE the rank window (the q30 technique); ties
+# break on neighbor id.
+# --------------------------------------------------------------------------
+_Q110_K1, _Q110_B = 1.2, 0.75
+_Q110_NQ, _Q110_TOP = 3, 10
+
+
+@query(
+    "q110_bm25_retrieval",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qterms AS (
+        SELECT doc_id AS query_id, term FROM tf WHERE doc_id < {_Q110_NQ}
+    ),
+    scored AS (
+        SELECT q.query_id, p.doc_id AS neighbor_id,
+               ROUND(SUM(
+                   ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * p.tf * ({_Q110_K1} + 1)
+                   / (p.tf + {_Q110_K1} * (1 - {_Q110_B}
+                      + {_Q110_B} * l.dl / (s.sum_dl * 1.0 / s.n_docs)))
+               ), 4) AS bm25
+        FROM qterms q
+        JOIN tf p ON p.term = q.term AND p.doc_id <> q.query_id
+        JOIN df f ON f.term = q.term
+        JOIN dl l ON l.doc_id = p.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id, neighbor_id, bm25, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {_Q110_TOP}
+    """,
+)
+def q110_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = tf.filter(F.col("doc_id") < _Q110_NQ).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    scored = (
+        tf.withColumnRenamed("doc_id", "neighbor_id")
+        .join(F.broadcast(qterms), "term")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(df), "term")
+        .join(dl.withColumnRenamed("doc_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(stats))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * F.col("tf")
+                    * (_Q110_K1 + 1)
+                    / (
+                        F.col("tf")
+                        + _Q110_K1
+                        * (
+                            1
+                            - _Q110_B
+                            + _Q110_B
+                            * F.col("dl")
+                            / (F.col("sum_dl") * 1.0 / F.col("n_docs"))
+                        )
+                    )
+                ),
+                4,
+            ).alias("bm25")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _Q110_TOP)
+        .select("query_id", "neighbor_id", "bm25", "rank")
+    )
