@@ -1215,3 +1215,81 @@ def q112_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _Q112_TOP)
         .select("part", "n_triangles", "rank")
     )
+
+# --------------------------------------------------------------------------
+# q114 — peak concurrent open orders (interval sweep line): each order is
+# "open" from o_orderdate until its last line ships; the busiest days are
+# the classic interval-overlap aggregation (concurrent sessions/policies/
+# jobs).  Scale shape: the fact tables reduce FIRST — one groupBy for the
+# per-order close date, one +1/-1 delta explode, one groupBy on the date
+# key — and only then does the running sum scan the ~|distinct dates|
+# aggregated spine in a single ordered window (the q88 rule: global
+# windows only ever run on date-bounded frames, never on facts).  All
+# arithmetic is integer-exact.
+# --------------------------------------------------------------------------
+_Q114_TOP = 20
+
+
+@query(
+    "q114_peak_open_orders",
+    f"""
+    WITH spans AS (
+        SELECT o.o_orderdate AS start_d,
+               MAX(l.l_shipdate) AS end_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT start_d AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT end_d + INTERVAL 1 DAY AS d, -1 AS delta FROM spans
+    ),
+    daily AS (
+        SELECT CAST(d AS DATE) AS d, SUM(delta) AS net FROM deltas GROUP BY d
+    ),
+    running AS (
+        SELECT d, CAST(SUM(net) OVER (
+            ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS open_orders
+        FROM daily
+    )
+    SELECT d, open_orders, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            ORDER BY open_orders DESC, d) AS BIGINT) AS rank
+        FROM running
+    ) WHERE rank <= {_Q114_TOP}
+    """,
+)
+def q114_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("end_d"))
+        .select(F.col("o_orderdate").alias("start_d"), "end_d")
+    )
+    deltas = spans.select(
+        F.col("start_d").alias("d"), F.lit(1).alias("delta")
+    ).union(
+        spans.select(
+            F.date_add("end_d", 1).alias("d"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    running = daily.withColumn(
+        "open_orders",
+        F.sum("net")
+        .over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint"),
+    )
+    w = Window.orderBy(F.desc("open_orders"), F.asc("d"))
+    return (
+        running.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _Q114_TOP)
+        .select("d", "open_orders", "rank")
+    )

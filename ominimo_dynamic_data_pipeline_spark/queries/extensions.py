@@ -694,3 +694,103 @@ def q107_custom_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# q113 — corpus snapshot diff (CDC shape): given two versions of the
+# documents corpus, classify every doc_id as added / removed / changed /
+# unchanged by comparing 16-byte md5 fingerprints through ONE full outer
+# join on the key — the change-data-capture primitive behind incremental
+# corpus refreshes (q106 is the ingest-side anti-join; this is the
+# audit-side full diff).  At 100 TB only (doc_id, fingerprint, n_chars)
+# shuffles — the text never leaves its scan (the q106 rule).  The "new"
+# snapshot is derived deterministically from the old one (drops, edits,
+# and re-keyed additions), so both engines build bit-identical inputs.
+# --------------------------------------------------------------------------
+_Q113_ADD_OFFSET = 1_000_000
+
+
+def _q113_new_snapshot_sql() -> str:
+    return f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 13 <> 5
+        UNION ALL
+        SELECT doc_id + {_Q113_ADD_OFFSET} AS doc_id, 'added ' || text AS text
+        FROM documents WHERE doc_id % 17 = 2
+    """
+
+
+@query(
+    "q113_snapshot_diff",
+    f"""
+    WITH new_snap AS ({_q113_new_snapshot_sql()}),
+    old_fp AS (
+        SELECT doc_id, md5(text) AS fp, length(text) AS n_chars
+        FROM documents
+    ),
+    new_fp AS (
+        SELECT doc_id, md5(text) AS fp, length(text) AS n_chars
+        FROM new_snap
+    ),
+    diff AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp <> n.fp THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               COALESCE(n.n_chars, o.n_chars) AS n_chars
+        FROM old_fp o FULL OUTER JOIN new_fp n ON o.doc_id = n.doc_id
+    )
+    SELECT change_type,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM diff GROUP BY change_type
+    """,
+)
+def q113_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    new_snap = (
+        d.filter(F.col("doc_id") % 13 != 5)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" rev2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .union(
+            d.filter(F.col("doc_id") % 17 == 2).select(
+                (F.col("doc_id") + _Q113_ADD_OFFSET).alias("doc_id"),
+                F.concat(F.lit("added "), F.col("text")).alias("text"),
+            )
+        )
+    )
+
+    def fp(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "doc_id",
+            F.md5("text").alias("fp"),
+            F.length("text").alias("n_chars"),
+        )
+
+    o, n = fp(d).alias("o"), fp(new_snap).alias("n")
+    diff = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer").select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.fp") != F.col("n.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        F.coalesce(F.col("n.n_chars"), F.col("o.n_chars")).alias("n_chars"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
