@@ -855,3 +855,92 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-integer distributed k-means (Lloyd) — the q108 exact-arithmetic
+# idea applied to clustering.
+# --------------------------------------------------------------------------
+def kmeans_exact_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    shift: int = 1000,
+) -> DataFrame:
+    """Distributed Lloyd k-means in EXACT bigint arithmetic: returns
+    (id, cluster_id, qv) — the assignment after ``iters`` rounds from
+    deterministic seeds (the ``k`` lowest-id vectors).
+
+    Every quantity is an integer, so the result is bit-identical across
+    engines and partitionings (double-based k-means can't be compared
+    exactly: per-cluster mean sums depend on reduction order):
+
+    - vectors quantize once to ``round(x * scale) + shift`` (round =
+      half-away-from-zero in both Spark and DuckDB — the q58 contract);
+      ``shift`` makes every component non-negative so integer division
+      below is floor division in every engine;
+    - centroids are INTEGER vectors ``sum div n`` (the floored per-dim
+      mean), so distances stay small exact bigints;
+    - assignment ties break on the lowest cluster id.
+
+    Scale shape (per iteration): assignment is a PURE PROJECTION — the
+    k x dim centroid table is collected to the driver (bounded, the IVF
+    training-sample precedent) and rendered as literals, so no join and
+    no shuffle touches the corpus; the centroid update is ONE shuffle of
+    (cluster, dim, component) with map-side combine, k*dim rows out.
+    Empty clusters keep their previous centroid.
+    """
+    q = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * {scale})"
+            f" as bigint) + {shift})"
+        ).alias("qv"),
+    )
+    seeds = q.orderBy(id_col).limit(k).collect()
+    centroids = [list(r["qv"]) for r in seeds]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qv"),
+                            F.array(*[F.lit(c) for c in cent]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(cid).cast("int").alias("cid"),
+                )
+                for cid, cent in enumerate(centroids)
+            ]
+        )
+        return frame.withColumn("cluster_id", F.array_min(cands)["cid"])
+
+    assigned = assign(q)
+    for _ in range(iters - 1):
+        upd = (
+            assigned.select(
+                "cluster_id", F.posexplode("qv").alias("dim", "v")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in upd:
+            sums.setdefault(r["cluster_id"], {})[r["dim"]] = (r["s"], r["n"])
+        centroids = [
+            [sums[cid][d][0] // sums[cid][d][1] for d in range(len(cent))]
+            if cid in sums
+            else cent  # empty cluster keeps its previous centroid
+            for cid, cent in enumerate(centroids)
+        ]
+        assigned = assign(q)
+    return assigned.select(F.col(id_col), "cluster_id", "qv")

@@ -1959,3 +1959,95 @@ def q110_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _Q110_TOP)
         .select("query_id", "neighbor_id", "bm25", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q111 — distributed k-means in EXACT bigint arithmetic (Lloyd, fixed
+# iterations): the corpus-clustering primitive under SemDeDup/IVF, run
+# as a first-class catalog operator with a full hash oracle — possible
+# only because every quantity is an integer (q108's exact-arithmetic
+# idea applied to clustering; double k-means can never hash-match, its
+# mean sums depend on reduction order).  Vectors quantize to
+# round(x*1000)+1000 (non-negative, so s div n is floor division in
+# both engines); centroids are floored integer means; assignment ties
+# break on the lowest cluster id.  Per iteration: assignment is a pure
+# projection against driver-rendered centroid literals (k x dim,
+# bounded — the IVF-sample precedent), the update one map-side-combined
+# shuffle of (cluster, dim) pairs.  The DuckDB twin unrolls both
+# iterations as CTEs over the same integer math.
+# --------------------------------------------------------------------------
+_Q111_K, _Q111_ITERS = 8, 2
+
+
+def _q111_oracle() -> str:
+    dist = (
+        "list_reduce([CAST(0 AS BIGINT)] || "
+        "[(z.qv[i] - c.m[i]) * (z.qv[i] - c.m[i]) "
+        "for i in range(1, len(z.qv) + 1)], (a, b) -> a + b)"
+    )
+    parts = [
+        f"""
+    qz AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000
+                for x in embedding] AS qv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               qv AS m
+        FROM (SELECT vec_id, qv FROM qz ORDER BY vec_id LIMIT {_Q111_K})
+    )"""
+    ]
+    for it in range(1, _Q111_ITERS + 1):
+        parts.append(
+            f"""
+    a{it} AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT z.vec_id, z.qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM qz z CROSS JOIN c{it - 1} c
+        ) WHERE rn = 1
+    )"""
+        )
+        if it < _Q111_ITERS:
+            parts.append(
+                f"""
+    u{it} AS (
+        SELECT cid, i, SUM(qv[i]) AS s, COUNT(*) AS n
+        FROM a{it}, UNNEST(range(1, len(qv) + 1)) AS t(i)
+        GROUP BY cid, i
+    ),
+    c{it} AS (
+        SELECT c.cid,
+               CASE WHEN COUNT(u.i) = 0 THEN c.m
+                    ELSE list(CAST(u.s AS BIGINT) // u.n ORDER BY u.i)
+               END AS m
+        FROM c{it - 1} c LEFT JOIN u{it} u ON u.cid = c.cid
+        GROUP BY c.cid, c.m
+    )"""
+            )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT cid AS cluster_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(qv[1]) AS BIGINT) AS sum_d0,
+           CAST(SUM(qv[2]) AS BIGINT) AS sum_d1
+    FROM a{_Q111_ITERS} GROUP BY cid"""
+    )
+
+
+@query("q111_kmeans_exact", _q111_oracle())
+def q111_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = S.kmeans_exact_assignments(
+        e, k=_Q111_K, iters=_Q111_ITERS, scale=1000, shift=1000
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("qv")[0]).cast("bigint").alias("sum_d0"),
+        F.sum(F.col("qv")[1]).cast("bigint").alias("sum_d1"),
+    )
