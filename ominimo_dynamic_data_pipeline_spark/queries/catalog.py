@@ -36,19 +36,19 @@ _merge(_an)
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
     # Round-4 rotation (round-3 verdict item 2): every query added since
-    # round 3 (q90-q109) gets at least one round of independent driver
+    # round 3 (q90-q114) gets at least one round of independent driver
     # verification, funded by dropping within-family redundancy (q03/q08/
-    # q05/q11/q12/q13/q18/q19/q21/q24/q31/q33/q35/q38/q42/q45/q47/q49/q52/q62 — each
-    # family keeps >=1 entry, asserted by
-    # test_driver_window_covers_every_family; dropped entries stay
-    # hash-gated by tests/test_oracle_parity.py and all carry driver-green
-    # records from earlier rounds).
+    # q05/q11/q12/q13/q18/q19/q21/q24/q31/q33/q35/q38/q42/q45/q47/q49/q52/q62,
+    # and for the q110-q114 batch q04/q40/q25/q28/q97 — each family keeps
+    # >=1 entry, asserted by test_driver_window_covers_every_family;
+    # dropped entries stay hash-gated by tests/test_oracle_parity.py and
+    # all carry driver-green records from earlier rounds).
     #
     # relational core: scans, filters, joins (broadcast/semi/anti/range/as-of)
     "q01_pricing_summary",
     "q103_orc_roundtrip",
     "q02_top_revenue_orders",
-    "q04_customers_with_open_orders",
+    "q114_peak_open_orders",
     "q06_top3_orders_per_customer",
     "q07_customer_order_running",
     "q14_late_shipments",
@@ -56,7 +56,7 @@ CORRECTNESS_WINDOW = [
     # aggregation breadth: rollup/grouping sets/approx/pivot/percentiles
     "q10_order_status_rollup",
     "q39_order_grouping_sets",
-    "q40_approx_distinct_parts",
+    "q110_bm25_retrieval",
     "q46_status_pivot",
     "q100_approx_percentiles",
     # set ops
@@ -72,9 +72,9 @@ CORRECTNESS_WINDOW = [
     "q109_bpe_merge_candidates",
     "q92_model_quality_score",
     # dedup family
-    "q25_exact_dedup",
+    "q113_snapshot_diff",
     "q26_minhash_near_dups",
-    "q28_embedding_similar_pairs",
+    "q111_kmeans_exact",
     "q36_simhash_near_dups",
     "q57_dedup_clusters",
     "q90_repeated_spans",
@@ -101,7 +101,7 @@ CORRECTNESS_WINDOW = [
     "q105_negative_samples",
     # analytics additions
     "q95_event_anomalies",
-    "q97_copurchase_pairs",
+    "q112_triangle_parts",
     "q98_cohort_retention",
     # scale infrastructure, graph, + SQL front end
     "q60_skew_diagnostics",

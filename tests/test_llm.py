@@ -935,3 +935,51 @@ def test_custom_datasource_empty_source(spark):
         .load()
     )
     assert df.count() == 0
+
+
+# --- exact-integer k-means (q111 operator) --------------------------------
+def test_kmeans_exact_two_obvious_clusters(spark):
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.4, 0.4]),
+        (2, [0.001, 0.0]),
+        (3, [0.4, 0.401]),
+        (4, [0.0, 0.002]),
+        (5, [0.399, 0.4]),
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id bigint, embedding array<double>")
+    out = S.kmeans_exact_assignments(df, k=2, iters=2)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    # seeds are ids 0 (cluster 0) and 1 (cluster 1); the two planted
+    # blobs must separate exactly
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_kmeans_exact_is_deterministic_and_total(spark, sf_dir):
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = S.kmeans_exact_assignments(e, k=4, iters=2)
+    first = sorted((r["vec_id"], r["cluster_id"]) for r in a.collect())
+    second = sorted((r["vec_id"], r["cluster_id"]) for r in a.collect())
+    assert first == second  # bit-stable across executions
+    n = e.count()
+    assert len(first) == n  # every vector assigned exactly once
+    assert {c for _, c in first} <= set(range(4))
+
+
+def test_kmeans_exact_empty_cluster_keeps_seed_centroid(spark):
+    # two far blobs, k=3: seed 2 sits inside blob A, loses every vector
+    # to seed 0 (lower id tie-break is irrelevant: distances differ), and
+    # must survive as an empty cluster without crashing the update
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.5, 0.5]),
+        (2, [0.25, 0.25]),
+        (3, [0.001, 0.0]),
+        (4, [0.5, 0.501]),
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id bigint, embedding array<double>")
+    out = S.kmeans_exact_assignments(df, k=3, iters=3)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3, 4}

@@ -256,3 +256,45 @@ def test_q105_negative_pool_broadcasts(q):
     p = plan_of(q("q105_negative_samples"))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q110_query_side_broadcasts_onto_postings(q):
+    # the inverted-index join must broadcast the tiny query-term /
+    # df / corpus-stats sides; the postings table never broadcasts
+    p = plan_of(q("q110_bm25_retrieval"))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q111_kmeans_assignment_is_join_free(q):
+    # assignment scores against driver-rendered centroid literals: the
+    # whole query is scan -> projection -> one aggregate, no join at all
+    p = plan_of(q("q111_kmeans_exact"))
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q112_degree_table_broadcasts_and_edges_materialize_once(q):
+    p = plan_of(q("q112_triangle_parts"))
+    # per-part degree table broadcasts onto the pair list
+    assert "BroadcastHashJoin" in p
+    # the oriented edge list is localCheckpointed: wedge + closing joins
+    # read the materialized RDD, not a replay of the basket expansion
+    assert "Scan ExistingRDD" in p
+
+
+def test_q113_diff_scans_prune_to_key_and_text(q):
+    # both snapshot scans read only what the fingerprints need
+    p = plan_of(q("q113_snapshot_diff"))
+    assert "FullOuter" in p
+    for col in ("lang", "source", "n_chars"):
+        assert f"{col}:" not in p, f"{col} should be pruned from the scans"
+
+
+def test_q114_running_sum_windows_over_aggregated_spine(q):
+    # the global ordered window must consume the date-aggregated frame
+    # (HashAggregate before Window), never the raw fact rows
+    p = plan_of(q("q114_peak_open_orders"))
+    agg_pos = p.find("HashAggregate")
+    win_pos = p.find("Window")
+    assert agg_pos != -1 and win_pos != -1
