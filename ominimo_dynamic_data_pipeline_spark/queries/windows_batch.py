@@ -142,3 +142,70 @@ def q102_streaming_sessions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# q115 — stream-STREAM interval join through the real streaming path:
+# readStream -> two watermarked sides -> bounded-state interval join ->
+# availableNow sink.  q61 registers the identical logic as a batch twin;
+# this entry drives the micro-batch planner's symmetric join state store
+# (clicks retained only lookback+watermark deep per side) and
+# hash-compares against the same DuckDB oracle — inner joins emit
+# eagerly per batch, so a full replay must reproduce the batch result
+# exactly.  Completes the streaming family: windowed agg (q101), merging
+# session windows (q102), stream-stream join (this).
+# --------------------------------------------------------------------------
+from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+    ORACLES as _LLM_ORACLES,
+)
+
+
+@query("q115_streaming_attribution_e2e", _LLM_ORACLES["q61_interval_attribution"])
+def q115_streaming_attribution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = stream_ops.read_events_stream(spark, sf_dir)
+    joined = stream_ops.interval_click_attribution(src, lookback="1 hour")
+    out = stream_ops.run_to_completion(joined, "q115_streaming_attribution_sink")
+    lag = F.floor(
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1000000)
+    )
+    return out.select(
+        "purchase_id", "click_id", "user_id", lag.alias("lag_seconds")
+    )
+
+
+# --------------------------------------------------------------------------
+# q116 — CUSTOM stateful operator through the real streaming path:
+# readStream -> applyInPandasWithState per-user running totals (arbitrary
+# per-key state transitions, the escape hatch beyond built-in windowed
+# aggs) -> update-mode availableNow sink.  The sink holds one row per
+# user per micro-batch; the final state per user (max_by batches) must
+# equal the one-shot batch aggregate.  value_sum: the event values are
+# cent-exact, so the operator's arrival-order double accumulation and
+# the oracle's exact DECIMAL sum agree after ROUND(.., 2) (error < 1e-9
+# against a cent-multiple true sum).
+# --------------------------------------------------------------------------
+@query(
+    "q116_streaming_stateful_totals_e2e",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS value_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def q116_streaming_stateful_totals_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src = stream_ops.read_events_stream(spark, sf_dir)
+    totals = stream_ops.stateful_user_totals(src)
+    out = stream_ops.run_to_completion(
+        totals, "q116_stateful_totals_sink", output_mode="update"
+    )
+    final = out.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "value_sum"), "batches").alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round("s.value_sum", 2).alias("value_sum"),
+    )
