@@ -1293,3 +1293,141 @@ def q114_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _Q114_TOP)
         .select("d", "open_orders", "rank")
     )
+
+# --------------------------------------------------------------------------
+# q117 — population-stability-index (PSI) drift monitor: the standard
+# production check that a feature's distribution hasn't shifted between a
+# reference window and the current window — here the per-event-type value
+# distribution, first half of the month vs the second.  Scale shape: one
+# groupBy on (event_type, period, bucket) reduces the facts, everything
+# after runs on the tiny (types x 10 buckets) frame; add-one smoothing
+# keeps empty buckets finite.  PSI = sum (p_cur - p_ref) * ln(p_cur /
+# p_ref); the per-type sum runs over <= 10 doubles -> rounded(6) in both
+# engines.  Buckets are fixed-width (value div 50), the production
+# choice at 100 TB: bucket edges must come from config or the reference
+# snapshot, never a data-dependent quantile scan of the current window.
+# --------------------------------------------------------------------------
+_Q117_SPLIT = "2024-01-16"
+_Q117_BUCKETS = 10
+_Q117_WIDTH = 50.0
+
+
+@query(
+    "q117_psi_value_drift",
+    f"""
+    WITH bucketed AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '{_Q117_SPLIT}' THEN 'ref' ELSE 'cur'
+               END AS period,
+               LEAST(CAST(FLOOR(value / {_Q117_WIDTH}) AS INT),
+                     {_Q117_BUCKETS - 1}) AS bucket,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type, period, bucket
+    ),
+    totals AS (
+        SELECT event_type, period, SUM(n) AS total
+        FROM bucketed GROUP BY event_type, period
+    ),
+    grid AS (
+        SELECT t.event_type, p.period, g.bucket, tt.total,
+               COALESCE(b.n, 0) AS n
+        FROM (SELECT DISTINCT event_type FROM bucketed) t
+        CROSS JOIN (SELECT unnest(range({_Q117_BUCKETS})) AS bucket) g
+        CROSS JOIN (SELECT 'ref' AS period UNION ALL SELECT 'cur') p
+        JOIN totals tt ON tt.event_type = t.event_type AND tt.period = p.period
+        LEFT JOIN bucketed b ON b.event_type = t.event_type
+                            AND b.period = p.period AND b.bucket = g.bucket
+    ),
+    probs AS (
+        SELECT event_type, bucket,
+               MAX(CASE WHEN period = 'ref'
+                        THEN (n + 1.0) / (total + {_Q117_BUCKETS}) END) AS p_ref,
+               MAX(CASE WHEN period = 'cur'
+                        THEN (n + 1.0) / (total + {_Q117_BUCKETS}) END) AS p_cur
+        FROM grid GROUP BY event_type, bucket
+    ),
+    psi AS (
+        SELECT event_type,
+               ROUND(SUM((p_cur - p_ref) * LN(p_cur / p_ref)), 6) AS psi
+        FROM probs GROUP BY event_type
+    )
+    SELECT s.event_type, s.psi,
+           CAST(r.total AS BIGINT) AS n_ref,
+           CAST(c.total AS BIGINT) AS n_cur
+    FROM psi s
+    JOIN totals r ON r.event_type = s.event_type AND r.period = 'ref'
+    JOIN totals c ON c.event_type = s.event_type AND c.period = 'cur'
+    """,
+)
+def q117_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucketed = (
+        e.select(
+            "event_type",
+            F.when(
+                F.col("ts") < F.lit(_Q117_SPLIT).cast("timestamp"), F.lit("ref")
+            )
+            .otherwise(F.lit("cur"))
+            .alias("period"),
+            F.least(
+                F.floor(F.col("value") / _Q117_WIDTH).cast("int"),
+                F.lit(_Q117_BUCKETS - 1),
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "period", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = bucketed.groupBy("event_type", "period").agg(
+        F.sum("n").alias("total")
+    )
+    # dense (type x period x bucket) grid so empty buckets smooth to 1/(N+B)
+    grid = (
+        bucketed.select("event_type").distinct()
+        .crossJoin(spark.range(_Q117_BUCKETS).select(F.col("id").cast("int").alias("bucket")))
+        .crossJoin(
+            spark.createDataFrame([("ref",), ("cur",)], schema="period string")
+        )
+        .join(totals, ["event_type", "period"])
+        .join(bucketed, ["event_type", "period", "bucket"], "left")
+        .fillna(0, subset=["n"])
+    )
+    probs = grid.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.when(
+                F.col("period") == "ref",
+                (F.col("n") + 1.0) / (F.col("total") + _Q117_BUCKETS),
+            )
+        ).alias("p_ref"),
+        F.max(
+            F.when(
+                F.col("period") == "cur",
+                (F.col("n") + 1.0) / (F.col("total") + _Q117_BUCKETS),
+            )
+        ).alias("p_cur"),
+    )
+    ref_tot = totals.filter(F.col("period") == "ref").select(
+        "event_type", F.col("total").alias("n_ref")
+    )
+    cur_tot = totals.filter(F.col("period") == "cur").select(
+        "event_type", F.col("total").alias("n_cur")
+    )
+    return (
+        probs.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p_cur") - F.col("p_ref"))
+                    * F.log(F.col("p_cur") / F.col("p_ref"))
+                ),
+                6,
+            ).alias("psi")
+        )
+        .join(F.broadcast(ref_tot), "event_type")
+        .join(F.broadcast(cur_tot), "event_type")
+        .select(
+            "event_type", "psi",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+        )
+    )

@@ -36,10 +36,10 @@ _merge(_an)
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
     # Round-4 rotation (round-3 verdict item 2): every query added since
-    # round 3 (q90-q114) gets at least one round of independent driver
+    # round 3 (q90-q117) gets at least one round of independent driver
     # verification, funded by dropping within-family redundancy (q03/q08/
     # q05/q11/q12/q13/q18/q19/q21/q24/q31/q33/q35/q38/q42/q45/q47/q49/q52/q62,
-    # and for the q110-q114 batch q04/q40/q25/q28/q97 — each family keeps
+    # and for the q110-q117 batch q04/q40/q25/q28/q97/q34/q53/q95 — each family keeps
     # >=1 entry, asserted by test_driver_window_covers_every_family;
     # dropped entries stay hash-gated by tests/test_oracle_parity.py and
     # all carry driver-green records from earlier rounds).
@@ -91,16 +91,16 @@ CORRECTNESS_WINDOW = [
     "q32_multimodal_features",
     "q107_custom_source_events",
     # streaming: batch twin + the real readStream paths
-    "q34_user_sessions",
+    "q115_streaming_attribution_e2e",
     "q101_streaming_tumbling_e2e",
     "q102_streaming_sessions_e2e",
     # training-data pipeline / curation
-    "q53_train_val_split",
+    "q116_streaming_stateful_totals_e2e",
     "q56_decontamination",
     "q96_weighted_sample",
     "q105_negative_samples",
     # analytics additions
-    "q95_event_anomalies",
+    "q117_psi_value_drift",
     "q112_triangle_parts",
     "q98_cohort_retention",
     # scale infrastructure, graph, + SQL front end

@@ -86,7 +86,10 @@ _FAMILY_REPS = {
     "similarity": {"q29_knn_bruteforce", "q30_knn_lsh", "q44_knn_ivf"},
     "multimodal": {"q31_payload_stats", "q32_multimodal_features",
                    "q52_frame_samples"},
-    "streaming": {"q33_tumbling_event_counts", "q34_user_sessions"},
+    "streaming": {"q33_tumbling_event_counts", "q34_user_sessions",
+                  "q101_streaming_tumbling_e2e", "q102_streaming_sessions_e2e",
+                  "q115_streaming_attribution_e2e",
+                  "q116_streaming_stateful_totals_e2e"},
     "curation": {"q53_train_val_split", "q56_decontamination",
                  "q62_corpus_curation"},
     "scale_infra": {"q60_skew_diagnostics"},
