@@ -167,13 +167,20 @@ def _table_buckets(
     vec_col: str,
     num_planes: int,
     num_tables: int,
+    include_vec: bool = True,
 ) -> DataFrame:
     """(id, vec_d, nrm, table, bucket) — one row per (vector, LSH table),
     via an Arrow mapInPandas numpy kernel: norms, all plane dots, and the
     per-table sign buckets in one columnar pass (dimension-ordered
     accumulation, bit-identical to the sequential Catalyst/DuckDB fold —
     the q28/q30 oracles replicate these signatures from the same
-    hyperplanes)."""
+    hyperplanes).
+
+    ``include_vec=False`` emits only (id, table, bucket): column pruning
+    cannot reach inside a Python kernel, so count-only consumers (the
+    bucket census) must ask for the slim schema explicitly — building
+    num_tables python-list copies of every vector is the dominant kernel
+    cost."""
     import numpy as np
     import pandas as pd
 
@@ -200,19 +207,30 @@ def _table_buckets(
                 (scores >= 0).reshape(n, num_tables, num_planes) * weights
             ).sum(axis=2)  # (n, T)
             rows = {
-                id_col: np.repeat(ids, num_tables),
-                "vec_d": [list(v) for v in x for _ in range(num_tables)],
-                "nrm": np.repeat(nrm, num_tables),
-                "table": np.tile(np.arange(num_tables), n),
-                "bucket": sigs.reshape(-1),
+                id_col: ids,
+                "buckets": [list(s) for s in sigs],
             }
-            yield pd.DataFrame(rows)
+            if include_vec:
+                rows["vec_d"] = [list(v) for v in x]
+                rows["nrm"] = nrm
+            cols = (
+                [id_col, "vec_d", "nrm", "buckets"]
+                if include_vec
+                else [id_col, "buckets"]
+            )
+            yield pd.DataFrame(rows)[cols]
 
-    schema = (
-        f"{id_col} {id_field}, vec_d array<double>, nrm double, "
-        "table int, bucket bigint"
-    )
-    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+    # ONE kernel row per vector (the per-table fan-out happens JVM-side
+    # via posexplode): the python worker builds each vector list once,
+    # not num_tables times — at 8 tables that was 8x the Arrow transfer
+    # and 8x the list construction, the dominant cost of the pass.
+    vec_fields = ", vec_d array<double>, nrm double" if include_vec else ""
+    schema = f"{id_col} {id_field}{vec_fields}, buckets array<bigint>"
+    per_vec = df.select(id_col, vec_col).mapInPandas(kernel, schema)
+    keep = [id_col, "vec_d", "nrm"] if include_vec else [id_col]
+    return per_vec.select(
+        *keep, F.posexplode("buckets").alias("table", "bucket")
+    ).withColumn("table", F.col("table").cast("int"))
 
 
 def lsh_topk(
@@ -238,12 +256,17 @@ def lsh_topk(
     embedding region hashing to one signature) before the query join —
     the skew guard; true neighbors stay reachable via the other tables.
 
-    Shape at 100 TB: without the guard the corpus side is one projection
-    + explode (no shuffle); with it the corpus frame shuffles ONCE on the
-    bucket key for the count-over-bucket census window (a census
-    aggregate + join-back was measured slower here because it runs the
-    Arrow signature kernel twice).  The tiny query side broadcasts;
-    candidate dedup and the top-k window shuffle only
+    Shape at 100 TB: the corpus side NEVER shuffles — candidates stream
+    through a broadcast hash join against the tiny query side, and the
+    skew guard is a count-only census (the q36 simhash pattern): a slim
+    (id, table, bucket) kernel pass aggregates to at most
+    num_tables * 2^num_planes count rows, and oversized bucket keys come
+    back to the driver as literals folded into the bucket-equality
+    filter.  Cost: one extra slim signature pass when the cap is set
+    (an earlier count-over-bucket window ran the kernel once but
+    shuffled num_tables full-vector copies of the corpus on the bucket
+    key — measured 6.05x sf1 growth vs ~linear for the kernel pass).
+    Candidate dedup and the top-k window shuffle only
     (query_id, neighbor_id, cos).
 
     ``round_to`` rounds cos BEFORE the top-k window so the ranking (and
@@ -258,16 +281,30 @@ def lsh_topk(
         F.col("bucket").alias("nb_bucket"),
     )
     if max_bucket_size is not None:
-        # census as a count-over-bucket window: the Arrow signature kernel
-        # runs ONCE and the frame shuffles once on the bucket key (a
-        # groupBy census + join back would run the Python kernel twice —
-        # measured slower than the extra shuffle at every scale tried)
-        wb = Window.partitionBy("nb_table", "nb_bucket")
-        cb = (
-            cb.withColumn("_bn", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
+        # NOTE: the census job runs when this function is CALLED
+        # (driver-side literals), not when the returned frame executes —
+        # the q36 contract.  The count shuffle is bounded by the bucket
+        # key space (num_tables * 2^num_planes), not the corpus.
+        slim = _table_buckets(
+            corpus, dim, id_col, vec_col, num_planes, num_tables,
+            include_vec=False,
         )
+        shed = (
+            slim.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .collect()
+        )
+        shed_bits: dict[int, list[int]] = {}
+        for row in shed:
+            shed_bits.setdefault(row["table"], []).append(row["bucket"])
+        for t, buckets in shed_bits.items():
+            cb = cb.filter(
+                ~(
+                    (F.col("nb_table") == t)
+                    & F.col("nb_bucket").isin(buckets)
+                )
+            )
     qb = _table_buckets(
         queries.withColumnRenamed(query_id_col, "query_id"),
         dim,
