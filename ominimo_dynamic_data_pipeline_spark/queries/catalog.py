@@ -36,10 +36,10 @@ _merge(_an)
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
     # Round-4 rotation (round-3 verdict item 2): every query added since
-    # round 3 (q90-q117) gets at least one round of independent driver
+    # round 3 (q90-q119) gets at least one round of independent driver
     # verification, funded by dropping within-family redundancy (q03/q08/
     # q05/q11/q12/q13/q18/q19/q21/q24/q31/q33/q35/q38/q42/q45/q47/q49/q52/q62,
-    # and for the q110-q117 batch q04/q40/q25/q28/q97/q34/q53/q95 — each family keeps
+    # and for the q110-q119 batch q04/q40/q25/q28/q97/q34/q53/q95/q46/q29 — each family keeps
     # >=1 entry, asserted by test_driver_window_covers_every_family;
     # dropped entries stay hash-gated by tests/test_oracle_parity.py and
     # all carry driver-green records from earlier rounds).
@@ -57,7 +57,7 @@ CORRECTNESS_WINDOW = [
     "q10_order_status_rollup",
     "q39_order_grouping_sets",
     "q110_bm25_retrieval",
-    "q46_status_pivot",
+    "q118_fuzzy_part_matches",
     "q100_approx_percentiles",
     # set ops
     "q20_all_account_keys",
@@ -82,7 +82,7 @@ CORRECTNESS_WINDOW = [
     "q94_semantic_dedup",
     "q106_incremental_dedup",
     # similarity search
-    "q29_knn_bruteforce",
+    "q119_spend_decline_pattern",
     "q30_knn_lsh",
     "q44_knn_ivf",
     "q91_knn_ivfpq",

@@ -794,3 +794,128 @@ def q113_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# q118 — entity resolution with blocking: fuzzy-match part names via
+# last-word blocking + in-block Levenshtein (<= 3).  The ER-canonical
+# scale shape: match DISTINCT name strings (vocabulary-bound — the
+# distinct-name table does NOT grow with corpus rows, only per-name
+# counts do), never raw rows, so exact-duplicate names can't explode
+# the pair space quadratically; blocking bounds comparisons to
+# sum(|block|^2) via the shared expand_member_pairs row-by-row
+# expansion (no self-join, no second name-table lineage).  Levenshtein
+# is exact and identical in both engines; pairs order a < b by name.
+# --------------------------------------------------------------------------
+_Q118_MAX_LEV = 3
+
+
+@query(
+    "q118_fuzzy_part_matches",
+    f"""
+    WITH names AS (
+        SELECT p_name, COUNT(*) AS n_parts, MIN(p_partkey) AS min_partkey
+        FROM part GROUP BY p_name
+    ),
+    blocked AS (
+        SELECT *, string_split(p_name, ' ')[-1] AS block FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS lev,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_Q118_MAX_LEV}
+    """,
+)
+def q118_fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        expand_member_pairs,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+    blocked = names.withColumn(
+        "block", F.element_at(F.split("p_name", " "), -1)
+    )
+    grouped = blocked.groupBy("block").agg(
+        F.array_sort(
+            F.collect_list(F.struct("p_name", "n_parts"))
+        ).alias("members")
+    ).filter(F.size("members") > 1)
+    pairs = expand_member_pairs(grouped, "members")
+    return (
+        pairs.select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("lev"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+        .filter(F.col("lev") <= _Q118_MAX_LEV)
+    )
+
+
+# --------------------------------------------------------------------------
+# q119 — sequential pattern detection: customers with three consecutive
+# calendar months of strictly declining spend (the churn-risk signal).
+# The facts reduce to (customer, month) in one groupBy; the lag chain
+# then runs per customer over the tiny monthly frame — consecutive-ness
+# is enforced by comparing the 2-back month, not assumed from row
+# adjacency.  Spend is DECIMAL-exact so the strict inequalities are
+# engine-independent.
+# --------------------------------------------------------------------------
+@query(
+    "q119_spend_decline_pattern",
+    """
+    WITH monthly AS (
+        SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey, m
+    ),
+    lagged AS (
+        SELECT o_custkey, m, spend,
+               LAG(spend, 1) OVER (PARTITION BY o_custkey ORDER BY m) AS s1,
+               LAG(spend, 2) OVER (PARTITION BY o_custkey ORDER BY m) AS s2,
+               LAG(m, 2) OVER (PARTITION BY o_custkey ORDER BY m) AS m2
+        FROM monthly
+    )
+    SELECT o_custkey, STRFTIME(m, '%Y-%m-%d') AS decline_month,
+           CAST(spend AS DOUBLE) AS spend,
+           CAST(s1 AS DOUBLE) AS prev_spend,
+           CAST(s2 AS DOUBLE) AS prev2_spend
+    FROM lagged
+    WHERE s2 IS NOT NULL AND spend < s1 AND s1 < s2
+      AND datediff('month', m2, m) = 2
+    """,
+)
+def q119_spend_decline_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    lagged = monthly.select(
+        "o_custkey", "m", "spend",
+        F.lag("spend", 1).over(w).alias("s1"),
+        F.lag("spend", 2).over(w).alias("s2"),
+        F.lag("m", 2).over(w).alias("m2"),
+    )
+    return lagged.filter(
+        F.col("s2").isNotNull()
+        & (F.col("spend") < F.col("s1"))
+        & (F.col("s1") < F.col("s2"))
+        & (
+            F.months_between(F.date_trunc("month", "m"),
+                             F.date_trunc("month", "m2")) == 2
+        )
+    ).select(
+        "o_custkey",
+        F.col("m").cast("date").alias("decline_month"),
+        F.col("spend").cast("double").alias("spend"),
+        F.col("s1").cast("double").alias("prev_spend"),
+        F.col("s2").cast("double").alias("prev2_spend"),
+    )
