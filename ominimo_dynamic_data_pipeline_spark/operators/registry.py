@@ -491,6 +491,38 @@ def _op_span_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     ctx.put(out_name, strip_repeated_spans(df, spans, id_col, text_col))
 
 
+@register_operator("kmeans_cluster")
+def _op_kmeans_cluster(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Attach an exact-integer k-means cluster id to every row (the q111
+    operator as a pipeline step): deterministic lowest-id seeds, fixed
+    Lloyd iterations, driver-literal centroids — assignment is a pure
+    projection, so the step adds no shuffle beyond the per-iteration
+    (cluster, dim) update aggregates.  Typical use: partition a corpus
+    into semantic shards before per-cluster dedup or quota sampling."""
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        kmeans_exact_assignments,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    df = ctx.get(in_name)
+    id_col = params.get("id_col", "vec_id")
+    out_col = params.get("output_col", "cluster_id")
+    if out_col in df.columns:
+        raise ValueError(
+            f"kmeans_cluster output column {out_col!r} already exists on "
+            f"input '{in_name}'"
+        )
+    assigned = kmeans_exact_assignments(
+        df,
+        k=params.get("k", 8),
+        iters=params.get("iters", 2),
+        id_col=id_col,
+        vec_col=params.get("vec_col", "embedding"),
+    ).select(id_col, F.col("cluster_id").alias(out_col))
+    ctx.put(out_name, df.join(assigned, on=id_col))
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

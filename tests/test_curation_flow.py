@@ -275,3 +275,54 @@ def test_incremental_dedup_step_drops_known_and_batch_dupes(spark):
         apply_transformations(
             CompileContext(spark, frames={"batch": batch}), bad
         )
+
+
+def test_kmeans_cluster_step_attaches_deterministic_shards(spark):
+    """The declarative kmeans_cluster step shards rows by the exact-integer
+    k-means assignment: two planted blobs separate, every row keeps its
+    full schema plus the new column, and a name clash raises."""
+    rows = [
+        (0, [0.0, 0.0], "a"),
+        (1, [0.4, 0.4], "b"),
+        (2, [0.001, 0.0], "c"),
+        (3, [0.4, 0.401], "d"),
+        (4, [0.0, 0.002], "e"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id bigint, embedding array<double>, tag string"
+    )
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    flow = {
+        "transformations": [
+            {
+                "name": "sharded",
+                "type": "kmeans_cluster",
+                "params": {"input": "vecs", "k": 2, "iters": 2},
+            }
+        ]
+    }
+    ctx = CompileContext(spark, frames={"vecs": df})
+    apply_transformations(ctx, flow)
+    out = ctx.frames["sharded"]
+    assert set(out.columns) == {"vec_id", "embedding", "tag", "cluster_id"}
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1}
+
+    clash_flow = {
+        "transformations": [
+            {
+                "name": "bad",
+                "type": "kmeans_cluster",
+                "params": {"input": "withcol", "k": 2},
+            }
+        ]
+    }
+    ctx2 = CompileContext(
+        spark, frames={"withcol": df.withColumn("cluster_id", F.lit(9))}
+    )
+    with pytest.raises(ValueError, match="cluster_id"):
+        apply_transformations(ctx2, clash_flow)
