@@ -105,6 +105,32 @@ SHOWCASE = {
         "invariant edge frame; exact-bigint damping keeps the unrolled "
         "oracle hash-comparable."
     ),
+    "q110_bm25_retrieval": (
+        "Inverted-index retrieval: postings aggregated once; query "
+        "terms, document frequencies, and corpus stats all broadcast "
+        "onto the postings stream — the big side never shuffles until "
+        "the per-(query, doc) score aggregation."
+    ),
+    "q111_kmeans_exact": (
+        "Lloyd assignment as a PURE PROJECTION: centroids are driver "
+        "literals, so the final pass is scan -> codegen'd projection -> "
+        "one aggregate exchange; no join anywhere in the plan."
+    ),
+    "q112_triangle_parts": (
+        "Degree-ordered triangle join: the oriented edge list is "
+        "materialized once (Scan ExistingRDD) and reused by the wedge "
+        "and closing joins; the per-part degree table broadcasts."
+    ),
+    "q113_snapshot_diff": (
+        "CDC fingerprint diff: both snapshot scans prune to (doc_id, "
+        "text), the full-outer join shuffles 16-byte fingerprints + "
+        "lengths only — text never leaves its scan."
+    ),
+    "q114_peak_open_orders": (
+        "Interval sweep line: facts reduce to per-order spans, then "
+        "per-date deltas; the single-partition running-sum window only "
+        "ever sees the ~|distinct dates| aggregated spine."
+    ),
 }
 
 
