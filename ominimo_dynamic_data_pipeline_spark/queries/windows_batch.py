@@ -112,7 +112,10 @@ def q34_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q101_streaming_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_ops.read_events_stream(spark, sf_dir)
     agg = stream_ops.tumbling_counts(src, window="10 minutes")
-    out = stream_ops.run_to_completion(agg, "q101_streaming_tumbling_sink")
+    out = stream_ops.run_to_completion(
+        agg, "q101_streaming_tumbling_sink",
+        shuffle_partitions=stream_ops.sized_state_partitions(spark, sf_dir),
+    )
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -135,7 +138,10 @@ def q101_streaming_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q102_streaming_sessions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_ops.read_events_stream(spark, sf_dir)
     agg = stream_ops.session_counts(src, gap="5 minutes")
-    out = stream_ops.run_to_completion(agg, "q102_streaming_sessions_sink")
+    out = stream_ops.run_to_completion(
+        agg, "q102_streaming_sessions_sink",
+        shuffle_partitions=stream_ops.sized_state_partitions(spark, sf_dir),
+    )
     return out.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -164,7 +170,13 @@ from ominimo_dynamic_data_pipeline_spark.queries.llm import (
 def q115_streaming_attribution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_ops.read_events_stream(spark, sf_dir)
     joined = stream_ops.interval_click_attribution(src, lookback="1 hour")
-    out = stream_ops.run_to_completion(joined, "q115_streaming_attribution_sink")
+    # the join's state is O(lookback window) per side regardless of input
+    # volume, so per-batch overhead dominates: a FIXED small state-store
+    # count wins at every measured scale (sf0.1 5.5->2.4 s, sf1 9.1->3.5 s
+    # vs the session's 32)
+    out = stream_ops.run_to_completion(
+        joined, "q115_streaming_attribution_sink", shuffle_partitions=8
+    )
     lag = F.floor(
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1000000)
     )
@@ -198,6 +210,10 @@ def q116_streaming_stateful_totals_e2e(
 ) -> DataFrame:
     src = stream_ops.read_events_stream(spark, sf_dir)
     totals = stream_ops.stateful_user_totals(src)
+    # python-stateful ops are WORKER-bound, not state-bound: every row
+    # crosses into pandas, so the partition count sets python-worker
+    # parallelism — keep the session's full width (8 partitions measured
+    # 17.7 s vs 4.8 s at 32 on sf1)
     out = stream_ops.run_to_completion(
         totals, "q116_stateful_totals_sink", output_mode="update"
     )

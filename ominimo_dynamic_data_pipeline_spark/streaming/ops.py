@@ -325,8 +325,35 @@ def interval_click_attribution(
     )
 
 
+def sized_state_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events.parquet",
+    target_bytes: int = 256 << 10,
+    floor: int = 8,
+) -> int:
+    """State-store instance count sized to the INPUT, not the session's
+    batch-shuffle width: one partition per ~256 KB of source parquet,
+    clamped to [floor, spark.sql.shuffle.partitions].  Streaming plans
+    never re-plan (no AQE), so this must be chosen before first start —
+    measured best-of-both: the miniature sf0.1 stream drops 4 state
+    stores x 32 partitions of per-batch overhead (q115 5.6 -> 2.1 s),
+    while the sf1 session-window state keeps its parallelism (q102
+    6.7 -> ~3 s at 22+ partitions).  At cluster scale the session cap is
+    the lever: target state volume per partition, constant across
+    restarts of a checkpoint."""
+    import os
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    size = os.path.getsize(os.path.join(sf_dir, table))
+    return max(floor, min(cap, int(size // target_bytes)))
+
+
 def run_to_completion(
-    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a stream with availableNow into an in-memory table and return
     the result as a DataFrame (test/verification harness).
@@ -338,22 +365,41 @@ def run_to_completion(
     it also retains all window state, so the watermark's late-data
     DROPPING is only observable in true append/update runs), ``append``
     for non-aggregation streams (dedup/filter/projection), where complete
-    raises AnalysisException."""
+    raises AnalysisException.
+
+    ``shuffle_partitions`` right-sizes the STATE STORE instance count for
+    this stream (set + restored around the run; a stream's state
+    partitioning is fixed at first start by spark.sql.shuffle.partitions,
+    NOT adapted by AQE — streaming plans don't re-plan).  Per-batch cost
+    scales with the instance count regardless of data volume, so a
+    miniature stream under a wide batch default pays 4 state stores x 32
+    partitions of fixed overhead (measured 5.6 s -> 2.1 s for the q115
+    join at 8).  Size it to expected STATE volume: at 100 TB you raise
+    it, and you must keep it constant across restarts of the same
+    checkpoint.  Results are partition-count independent."""
     if output_mode is None:
         if stream_df.isStreaming:
             analyzed = stream_df._jdf.queryExecution().analyzed().toString()
             output_mode = "complete" if "Aggregate" in analyzed else "append"
         else:
             output_mode = "append"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(query_name)
 
 
 USER_TOTALS_OUTPUT = (
