@@ -1431,3 +1431,121 @@ def q117_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cur").cast("bigint").alias("n_cur"),
         )
     )
+
+# --------------------------------------------------------------------------
+# q120 — MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+# Spark 4): per-event-type user sketches built in one pass, then UNIONED
+# into a global estimate — the shard-then-merge pattern that replaces
+# exact global countDistinct at 100 TB (per-partition sketches persist
+# with the data; refreshing a day re-sketches one shard and re-unions,
+# never rescans the corpus — q40's single-shot HLL can't do that).  The
+# estimates are engine-private, so the oracle pins the CONTRACT (the
+# q100 technique): exact per-type and global distincts hash-verified,
+# plus booleans asserting every estimate lands within the configured
+# rel-error tolerance (lgK=12 -> ~1.6% sigma; 5% ~ 3 sigma).
+# --------------------------------------------------------------------------
+_Q120_TOL = 0.05
+
+
+@query(
+    "q120_hll_sketch_union",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '_all' AS event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events
+    """,
+)
+def q120_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    glob = per_type.agg(
+        F.hll_union_agg("sk").alias("sk"),
+    ).crossJoin(
+        F.broadcast(e.agg(F.countDistinct("user_id").alias("exact_users")))
+    ).select(F.lit("_all").alias("event_type"), "sk", "exact_users")
+    tol = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+        <= _Q120_TOL * F.col("exact_users")
+    ).alias("within_tol")
+    return per_type.select("event_type", "sk", "exact_users").union(
+        glob
+    ).select("event_type", "exact_users", tol)
+
+
+# --------------------------------------------------------------------------
+# q121 — MERGEABLE quantile sketches (DataSketches KLL): per-returnflag
+# price sketches merged into a global sketch whose quantiles must land
+# within KLL's rank-error bound of the exact global percentiles — the
+# distributed-percentile pattern at 100 TB (shards sketch independently;
+# the coordinator merges fixed-size summaries; q100's approx_percentile
+# is one-shot and can't pre-aggregate per shard).  k=200 -> ~1.65% rank
+# error (99% confidence); the contract asserts the sketch quantile sits
+# between the exact quantiles at rank +/- 2*eps, all hash-verified
+# booleans over exact anchors.
+# --------------------------------------------------------------------------
+_Q121_K = 200
+_Q121_EPS = 0.0165 * 2
+
+
+def _q121_probes() -> list[float]:
+    out = []
+    for p in (0.5, 0.95):
+        out += [max(0.0, p - _Q121_EPS), p, min(1.0, p + _Q121_EPS)]
+    return out
+
+
+@query(
+    "q121_kll_quantile_merge",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+           TRUE AS p50_within_rank_err,
+           TRUE AS p95_within_rank_err
+    FROM lineitem
+    """,
+)
+def q121_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    shards = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("price", F.lit(_Q121_K)).alias("sk")
+    )
+    # kll_sketch_merge_double is a binary scalar merge; fold the shard
+    # list with the first sketch as the accumulator seed (shard count =
+    # |returnflag| = 3, a driver-size list)
+    lst = F.collect_list("sk")
+    merged = shards.agg(lst.alias("sks")).select(
+        F.aggregate(
+            F.slice(F.col("sks"), 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+            F.element_at(F.col("sks"), 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk")
+    )
+    probes = _q121_probes()
+    exact = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile("price", F.array(*[F.lit(p) for p in probes])).alias("ex"),
+    )
+    ex = F.col("ex")
+    return merged.crossJoin(F.broadcast(exact)).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(ex[1], 6).alias("exact_p50"),
+        F.round(ex[4], 6).alias("exact_p95"),
+        (
+            (F.kll_sketch_get_quantile_double("sk", F.lit(0.5)) >= ex[0])
+            & (F.kll_sketch_get_quantile_double("sk", F.lit(0.5)) <= ex[2])
+        ).alias("p50_within_rank_err"),
+        (
+            (F.kll_sketch_get_quantile_double("sk", F.lit(0.95)) >= ex[3])
+            & (F.kll_sketch_get_quantile_double("sk", F.lit(0.95)) <= ex[5])
+        ).alias("p95_within_rank_err"),
+    )
