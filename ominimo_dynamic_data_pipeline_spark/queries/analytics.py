@@ -1549,3 +1549,69 @@ def q121_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.kll_sketch_get_quantile_double("sk", F.lit(0.95)) <= ex[5])
         ).alias("p95_within_rank_err"),
     )
+
+# --------------------------------------------------------------------------
+# q122 — count-min frequency sketch contract (the third mergeable-sketch
+# family next to q120's HLL and q121's KLL): one count_min_sketch
+# aggregate over the event stream estimates per-user frequencies in
+# sub-linear space; the top heavy hitters' estimates must satisfy the
+# CM guarantee exact <= est <= exact + eps * N.  The sketch is KB-sized
+# and mergeable (map-side partial sketches combine associatively — the
+# same shard-then-merge shape as q120/q121); only the bounded sketch
+# and the 5 verified ids reach the driver (the IVF-sample precedent).
+# Spark exposes no SQL-side point query, so the driver deserializes the
+# collected sketch via the JVM CountMinSketch class — estimateCount
+# coerces any Number through longValue(), matching the addLong build
+# path.  Oracle: exact anchors + TRUE contract booleans (q100).
+# --------------------------------------------------------------------------
+_Q122_EPS, _Q122_CONF, _Q122_SEED, _Q122_TOP = 0.005, 0.99, 42, 5
+
+
+@query(
+    "q122_countmin_heavy_hitters",
+    f"""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+    )
+    SELECT user_id, exact_n, rank, TRUE AS within_eps FROM (
+        SELECT user_id, exact_n,
+               CAST(ROW_NUMBER() OVER (ORDER BY exact_n DESC, user_id)
+                    AS BIGINT) AS rank
+        FROM counts
+    ) WHERE rank <= {_Q122_TOP}
+    """,
+)
+def q122_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    agg = e.agg(
+        F.count_min_sketch("user_id", _Q122_EPS, _Q122_CONF, _Q122_SEED).alias(
+            "sk"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    cms = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(agg["sk"])
+    )
+    w = Window.orderBy(F.desc("exact_n"), F.asc("user_id"))
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _Q122_TOP)
+        .collect()
+    )
+    bound = _Q122_EPS * agg["n"]
+    rows = [
+        (
+            r["user_id"],
+            r["exact_n"],
+            r["rank"],
+            r["exact_n"] <= cms.estimateCount(int(r["user_id"])) <= r["exact_n"] + bound,
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, schema="user_id bigint, exact_n bigint, rank bigint, within_eps boolean"
+    )
