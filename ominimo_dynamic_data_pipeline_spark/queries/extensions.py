@@ -919,3 +919,168 @@ def q119_spend_decline_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1").cast("double").alias("prev_spend"),
         F.col("s2").cast("double").alias("prev2_spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# q123 — DATASET-level data-quality checks: the reference's rule language
+# (SURVEY.md §2.3) is strictly row-local; production DQ also needs
+# cross-row invariants — key uniqueness, referential integrity, column
+# completeness, freshness.  One aggregate pass over each fact plus ONE
+# anti-join (orphan lineitems) — at 100 TB the orphan check rides a
+# broadcast Bloom prefilter of the key side (q71's operator) before the
+# exact anti-join; counts here are exact.
+# --------------------------------------------------------------------------
+@query(
+    "q123_dataset_quality_checks",
+    """
+    SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+               AS dup_orderkeys,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+               AS orphan_lineitems,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+               AS null_custkeys,
+           (SELECT STRFTIME(MAX(o_orderdate), '%Y-%m-%d') FROM orders)
+               AS max_orderdate
+    """,
+)
+def q123_dataset_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_agg = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "dup_orderkeys"
+        ),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkeys"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+            "max_orderdate"
+        ),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"),
+              li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    return orders_agg.crossJoin(F.broadcast(orphans)).select(
+        "n_orders", "dup_orderkeys", "orphan_lineitems", "null_custkeys",
+        "max_orderdate",
+    )
+
+
+# --------------------------------------------------------------------------
+# q124 — time-series gap-fill with linear interpolation: daily 1998
+# revenue per market segment, missing days rebuilt from the neighboring
+# present days (the resample/interpolate primitive of every time-series
+# feature pipeline).  Scale shape: facts reduce to (segment, day) in one
+# groupBy; the spine is generated per segment from its own min/max (a
+# sequence explode, no calendar table); interpolation is two
+# ignore-nulls window passes over the bounded spine — never the facts.
+# Interpolated values: prev + (next - prev) * (days_since_prev /
+# gap_days), written with the identical expression tree in both engines
+# and rounded(4).
+# --------------------------------------------------------------------------
+@query(
+    "q124_gap_filled_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT c.c_mktsegment AS seg, CAST(o.o_orderdate AS DATE) AS d,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE EXTRACT(year FROM o.o_orderdate) = 1998
+        GROUP BY seg, CAST(o.o_orderdate AS DATE)
+    ),
+    spine AS (
+        SELECT seg, unnest(generate_series(MIN(d), MAX(d),
+                                           INTERVAL 1 DAY))::DATE AS d
+        FROM daily GROUP BY seg
+    ),
+    joined AS (
+        SELECT s.seg, s.d, daily.rev
+        FROM spine s LEFT JOIN daily ON daily.seg = s.seg AND daily.d = s.d
+    ),
+    staged AS (
+        SELECT seg, d, rev,
+               last_value(rev IGNORE NULLS) OVER (
+                   PARTITION BY seg ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rev,
+               last_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER (PARTITION BY seg ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+               first_value(rev IGNORE NULLS) OVER (
+                   PARTITION BY seg ORDER BY d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rev,
+               first_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER (PARTITION BY seg ORDER BY d
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+        FROM joined
+    )
+    SELECT seg, STRFTIME(d, '%Y-%m-%d') AS d,
+           rev IS NULL AS interpolated,
+           ROUND(CASE WHEN rev IS NOT NULL THEN CAST(rev AS DOUBLE)
+                 ELSE CAST(prev_rev AS DOUBLE)
+                      + (CAST(next_rev AS DOUBLE) - CAST(prev_rev AS DOUBLE))
+                        * (CAST(datediff('day', prev_d, d) AS DOUBLE)
+                           / CAST(datediff('day', prev_d, next_d) AS DOUBLE))
+                 END, 4) AS revenue
+    FROM staged
+    """,
+)
+def q124_gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).filter(F.year("o_orderdate") == 1998)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    spine = daily.groupBy("seg").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).select(
+        "seg", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    joined = spine.join(daily, ["seg", "d"], "left")
+    wp = (
+        Window.partitionBy("seg")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("seg")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    present_d = F.when(F.col("rev").isNotNull(), F.col("d"))
+    staged = joined.select(
+        "seg", "d", "rev",
+        F.last("rev", ignorenulls=True).over(wp).alias("prev_rev"),
+        F.last(present_d, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("rev", ignorenulls=True).over(wn).alias("next_rev"),
+        F.first(present_d, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    interp = F.col("prev_rev").cast("double") + (
+        F.col("next_rev").cast("double") - F.col("prev_rev").cast("double")
+    ) * (
+        F.datediff("d", "prev_d").cast("double")
+        / F.datediff("next_d", "prev_d").cast("double")
+    )
+    return staged.select(
+        "seg",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("rev").isNull().alias("interpolated"),
+        F.round(
+            F.when(F.col("rev").isNotNull(), F.col("rev").cast("double"))
+            .otherwise(interp),
+            4,
+        ).alias("revenue"),
+    )
