@@ -36,10 +36,10 @@ _merge(_an)
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
     # Round-4 rotation (round-3 verdict item 2): every query added since
-    # round 3 (q90-q124) gets at least one round of independent driver
+    # round 3 (q90-q125) gets at least one round of independent driver
     # verification, funded by dropping within-family redundancy (q03/q08/
     # q05/q11/q12/q13/q18/q19/q21/q24/q31/q33/q35/q38/q42/q45/q47/q49/q52/q62,
-    # and for the q110-q124 batch q04/q40/q25/q28/q97/q34/q53/q95/q46/q29/q39/q07/q96/q14/q36 — each family keeps
+    # and for the q110-q124 batch q04/q40/q25/q28/q97/q34/q53/q95/q46/q29/q39/q07/q96/q14/q36/q26 — each family keeps
     # >=1 entry, asserted by test_driver_window_covers_every_family;
     # dropped entries stay hash-gated by tests/test_oracle_parity.py and
     # all carry driver-green records from earlier rounds).
@@ -73,7 +73,7 @@ CORRECTNESS_WINDOW = [
     "q92_model_quality_score",
     # dedup family
     "q113_snapshot_diff",
-    "q26_minhash_near_dups",
+    "q125_decile_binning",
     "q111_kmeans_exact",
     "q124_gap_filled_daily_revenue",
     "q57_dedup_clusters",

@@ -1084,3 +1084,57 @@ def q124_gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             4,
         ).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# q125 — equi-depth feature binning: decile boundaries from ONE exact
+# percentile aggregate, then every row binned by counting boundaries
+# <= value with a pure-Catalyst array fold over the broadcast boundary
+# array — dynamic-boundary binning without a range join or a per-bin
+# pass (the feature-engineering primitive behind WOE encoding, hashed
+# feature crosses, and monotonic binning).  At 100 TB the boundary agg
+# becomes q121's mergeable KLL sketch; the binning projection is
+# unchanged.  Interior boundaries only (p10..p90): bin b holds values
+# in (q_b, q_{b+1}], bin ids 0..9, exactly the SQL fold the oracle
+# replicates.  Local-bench note: the driver's sf0.1 lineitem is ONE
+# parquet row group, so the exact-percentile partial agg runs in one
+# task (~3.8 s); the sf1 file (293 row groups) parallelizes it — 2.5 s
+# on 10x data.  A pre-agg repartition would hide that locally but add a
+# real value shuffle at scale, where inputs are always many-row-group.
+# --------------------------------------------------------------------------
+_Q125_BINS = 10
+
+
+@query(
+    "q125_decile_binning",
+    f"""
+    WITH bounds AS (
+        SELECT quantile_cont(l_extendedprice,
+                             [i * 1.0 / {_Q125_BINS} for i in range(1, {_Q125_BINS})])
+                   AS bs
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT l_returnflag,
+               len(list_filter(b.bs, x -> x <= l.l_extendedprice)) AS bin
+        FROM lineitem l CROSS JOIN bounds b
+    )
+    SELECT l_returnflag, CAST(bin AS INT) AS bin, COUNT(*) AS n_rows
+    FROM binned GROUP BY l_returnflag, bin
+    """,
+)
+def q125_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+    )
+    probes = [i / _Q125_BINS for i in range(1, _Q125_BINS)]
+    bounds = li.agg(
+        F.percentile("v", F.array(*[F.lit(p) for p in probes])).alias("bs")
+    )
+    binned = li.join(F.broadcast(bounds)).select(
+        "l_returnflag",
+        F.size(F.filter("bs", lambda x: x <= F.col("v"))).cast("int").alias("bin"),
+    )
+    return binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
