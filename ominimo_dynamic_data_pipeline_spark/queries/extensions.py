@@ -706,18 +706,21 @@ def q107_custom_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffles — the text never leaves its scan (the q106 rule).  The "new"
 # snapshot is derived deterministically from the old one (drops, edits,
 # and re-keyed additions), so both engines build bit-identical inputs.
+# The additions' key offset is DATA-DERIVED (max doc_id + 1): a fixed
+# literal collides with real keys once the corpus outgrows it (at sf10
+# doc_ids reach 9.9M), fanning out the full-outer join and silently
+# corrupting every diff count — in both engines identically, so only a
+# derived offset keeps the re-keyed block disjoint at any scale.
 # --------------------------------------------------------------------------
-_Q113_ADD_OFFSET = 1_000_000
-
-
 def _q113_new_snapshot_sql() -> str:
-    return f"""
+    return """
         SELECT doc_id,
                CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END
                    AS text
         FROM documents WHERE doc_id % 13 <> 5
         UNION ALL
-        SELECT doc_id + {_Q113_ADD_OFFSET} AS doc_id, 'added ' || text AS text
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+               'added ' || text AS text
         FROM documents WHERE doc_id % 17 = 2
     """
 
@@ -764,8 +767,12 @@ def q113_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text"),
         )
         .union(
-            d.filter(F.col("doc_id") % 17 == 2).select(
-                (F.col("doc_id") + _Q113_ADD_OFFSET).alias("doc_id"),
+            d.filter(F.col("doc_id") % 17 == 2)
+            .crossJoin(
+                F.broadcast(d.agg((F.max("doc_id") + 1).alias("_add_off")))
+            )
+            .select(
+                (F.col("doc_id") + F.col("_add_off")).alias("doc_id"),
                 F.concat(F.lit("added "), F.col("text")).alias("text"),
             )
         )

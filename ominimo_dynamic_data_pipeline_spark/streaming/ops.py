@@ -346,7 +346,9 @@ def sized_state_partitions(
 
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     size = os.path.getsize(os.path.join(sf_dir, table))
-    return max(floor, min(cap, int(size // target_bytes)))
+    # cap wins over floor: a session constrained below the floor must
+    # never be exceeded
+    return min(cap, max(floor, int(size // target_bytes)))
 
 
 def run_to_completion(

@@ -969,17 +969,18 @@ def test_kmeans_exact_is_deterministic_and_total(spark, sf_dir):
 
 
 def test_kmeans_exact_empty_cluster_keeps_seed_centroid(spark):
-    # two far blobs, k=3: seed 2 sits inside blob A, loses every vector
-    # to seed 0 (lower id tie-break is irrelevant: distances differ), and
-    # must survive as an empty cluster without crashing the update
+    # seed 2 DUPLICATES seed 0, so every vector near it (including vector
+    # 2 itself) tie-breaks to the lower cluster id: cluster 2 is empty
+    # after every assignment, the update must take the keep-previous-
+    # centroid branch without crashing, and no row may land in cluster 2
     rows = [
         (0, [0.0, 0.0]),
         (1, [0.5, 0.5]),
-        (2, [0.25, 0.25]),
+        (2, [0.0, 0.0]),
         (3, [0.001, 0.0]),
         (4, [0.5, 0.501]),
     ]
     df = spark.createDataFrame(rows, schema="vec_id bigint, embedding array<double>")
     out = S.kmeans_exact_assignments(df, k=3, iters=3)
     got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
-    assert set(got) == {0, 1, 2, 3, 4}
+    assert got == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1}

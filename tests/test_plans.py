@@ -292,9 +292,18 @@ def test_q113_diff_scans_prune_to_key_and_text(q):
 
 
 def test_q114_running_sum_windows_over_aggregated_spine(q):
-    # the global ordered window must consume the date-aggregated frame
-    # (HashAggregate before Window), never the raw fact rows
-    p = plan_of(q("q114_peak_open_orders"))
-    agg_pos = p.find("HashAggregate")
-    win_pos = p.find("Window")
-    assert agg_pos != -1 and win_pos != -1
+    # the global ordered window must consume the date-aggregated frame,
+    # never raw fact rows: in the root-first formatted tree, a
+    # HashAggregate must sit between the LAST (deepest) Window and the
+    # parquet scans below it
+    tree = plan_of(q("q114_peak_open_orders")).split("\n\n")[0]
+    last_win = tree.rfind("Window")
+    assert last_win != -1
+    below = tree[last_win:]
+    agg_below = below.find("HashAggregate")
+    scan_below = below.find("Scan parquet")
+    assert agg_below != -1 and scan_below != -1
+    assert agg_below < scan_below, (
+        "running-sum window consumes raw scans instead of the "
+        "date-aggregated spine"
+    )
