@@ -1615,3 +1615,93 @@ def q122_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="user_id bigint, exact_n bigint, rank bigint, within_eps boolean"
     )
+
+# --------------------------------------------------------------------------
+# q126 — session path analysis: the event-type transition matrix over
+# q34's gap-sessionized streams (which page/action follows which), the
+# product-analytics primitive behind Markov attribution and next-action
+# models.  Scale shape: sessionization is the same lag/cumsum window as
+# q34 (one shuffle on user_id); transitions zip each session's ordered
+# event list against its tail (collect_list bounded by session length,
+# no self-join); counts reduce with map-side combine.  Deterministic
+# event order: (ts, event_id) — ts alone ties at identical timestamps.
+# --------------------------------------------------------------------------
+@query(
+    "q126_session_transitions",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL '5 minutes'
+                      OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               list(event_type ORDER BY ts, event_id) AS path
+        FROM sessioned GROUP BY user_id, session_id
+    ),
+    transitions AS (
+        SELECT unnest(path[1:len(path)-1]) AS from_type,
+               unnest(path[2:len(path)]) AS to_type
+        FROM paths WHERE len(path) >= 2
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM transitions GROUP BY from_type, to_type
+    """,
+)
+def q126_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap compare in exact integer MICROS (unix_micros), matching the
+    # oracle's INTERVAL comparison on sub-second timestamps bit-for-bit
+    # (a seconds-truncating cast would disagree on gaps like 300.2 s)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > 300 * 1_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("ordered")
+        )
+        .select(F.expr("transform(ordered, x -> x.event_type)").alias("path"))
+        .filter(F.size("path") >= 2)
+    )
+    transitions = paths.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("path", 1, F.size("path") - 1).alias("from_type"),
+                F.expr("slice(path, 2, size(path) - 1)").alias("to_type"),
+            )
+        ).alias("t")
+    )
+    return transitions.groupBy(
+        F.col("t.from_type").alias("from_type"),
+        F.col("t.to_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))

@@ -36,10 +36,10 @@ _merge(_an)
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
     # Round-4 rotation (round-3 verdict item 2): every query added since
-    # round 3 (q90-q125) gets at least one round of independent driver
+    # round 3 (q90-q126) gets at least one round of independent driver
     # verification, funded by dropping within-family redundancy (q03/q08/
     # q05/q11/q12/q13/q18/q19/q21/q24/q31/q33/q35/q38/q42/q45/q47/q49/q52/q62,
-    # and for the q110-q124 batch q04/q40/q25/q28/q97/q34/q53/q95/q46/q29/q39/q07/q96/q14/q36/q26 — each family keeps
+    # and for the q110-q124 batch q04/q40/q25/q28/q97/q34/q53/q95/q46/q29/q39/q07/q96/q14/q36/q26/q98 — each family keeps
     # >=1 entry, asserted by test_driver_window_covers_every_family;
     # dropped entries stay hash-gated by tests/test_oracle_parity.py and
     # all carry driver-green records from earlier rounds).
@@ -102,7 +102,7 @@ CORRECTNESS_WINDOW = [
     # analytics additions
     "q117_psi_value_drift",
     "q112_triangle_parts",
-    "q98_cohort_retention",
+    "q126_session_transitions",
     # scale infrastructure, graph, + SQL front end
     "q60_skew_diagnostics",
     "q108_pagerank_parts",
