@@ -35,85 +35,70 @@ _merge(_an)
 # out when the catalog grew past 50).  tests/test_oracle_parity.py covers
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
-    # Round-4 rotation (round-3 verdict item 2): queries added since
-    # round 3 get independent driver verification, funded by dropping
-    # within-family redundancy (q03/q08/q05/q11/q12/q13/q18/q19/q21/q24/
-    # q31/q33/q35/q38/q42/q45/q47/q49/q52/q62, and for the q110-q126
-    # batch q04/q40/q25/q28/q97/q34/q53/q95/q46/q29/q39/q07/q96/q14/q36/
-    # q26/q98 — each family keeps >=1 entry, asserted by
-    # test_driver_window_covers_every_family; dropped entries stay
-    # hash-gated by tests/test_oracle_parity.py on every pytest run).
-    # Most dropped entries carry driver-green records from rounds 1-3;
-    # q95/q96/q97/q98 (round-3 additions) yield their slots to this
-    # round's newer operators before getting a driver round of their own
-    # — the 50-slot window cannot hold all 37 queries added since round
-    # 3, so newest-first wins and the in-suite oracle gate covers the
-    # rest.
+    # Round-5 rotation (round-4 verdict item 1 + ADVICE catalog.py note):
+    # ALL 34 catalog queries that have never had an independent driver
+    # correctness round (judge-computed across CORRECTNESS_r01-r04:
+    # q51/q54/q55/q61/q63-q88/q95-q98) take slots this round, restoring
+    # the "every query gets at least one driver round" invariant.  The
+    # remaining 16 slots hold one driver-green (round-4) representative
+    # per SURVEY.md §2.4 family, asserted by
+    # test_driver_window_covers_every_family; every rotated-out query
+    # stays hash-gated by tests/test_oracle_parity.py on each pytest run.
     #
-    # relational core: scans, filters, joins (broadcast/semi/anti/range/as-of)
-    "q01_pricing_summary",
-    "q103_orc_roundtrip",
-    "q02_top_revenue_orders",
-    "q114_peak_open_orders",
-    "q06_top3_orders_per_customer",
-    "q121_kll_quantile_merge",
-    "q123_dataset_quality_checks",
-    "q15_purchase_click_attribution",
-    # aggregation breadth: rollup/grouping sets/approx/pivot/percentiles
-    "q10_order_status_rollup",
-    "q120_hll_sketch_union",
-    "q110_bm25_retrieval",
-    "q118_fuzzy_part_matches",
-    "q100_approx_percentiles",
-    # set ops
-    "q20_all_account_keys",
-    # scalar function library: JSON/map
-    "q16_events_json_profile",
-    # window frames + history
-    "q99_scd2_priority_history",
-    # validation rule language at scale
-    "q50_validated_lineitem",
-    # text analysis
-    "q22_language_id",
-    "q109_bpe_merge_candidates",
-    "q92_model_quality_score",
-    # dedup family
-    "q113_snapshot_diff",
-    "q125_decile_binning",
-    "q111_kmeans_exact",
-    "q124_gap_filled_daily_revenue",
-    "q57_dedup_clusters",
-    "q90_repeated_spans",
-    "q93_stripped_corpus",
-    "q94_semantic_dedup",
-    "q106_incremental_dedup",
-    # similarity search
-    "q119_spend_decline_pattern",
-    "q30_knn_lsh",
-    "q44_knn_ivf",
-    "q91_knn_ivfpq",
-    "q58_embedding_quantization",
-    # multimodal + custom Python DataSource
-    "q32_multimodal_features",
-    "q107_custom_source_events",
-    # streaming: batch twin + the real readStream paths
-    "q115_streaming_attribution_e2e",
-    "q101_streaming_tumbling_e2e",
-    "q102_streaming_sessions_e2e",
-    # training-data pipeline / curation
-    "q116_streaming_stateful_totals_e2e",
-    "q56_decontamination",
-    "q122_countmin_heavy_hitters",
-    "q105_negative_samples",
-    # analytics additions
-    "q117_psi_value_drift",
-    "q112_triangle_parts",
-    "q126_session_transitions",
-    # scale infrastructure, graph, + SQL front end
-    "q60_skew_diagnostics",
-    "q108_pagerank_parts",
-    "q104_zorder_layout",
-    "q89_product_nation_profit",
+    # q95-q98 lead per the round-4 ADVICE note: they were dropped from
+    # the round-4 window before ever getting a driver round.
+    "q95_event_anomalies",
+    "q96_weighted_sample",
+    "q97_copurchase_pairs",
+    "q98_cohort_retention",
+    # the round-2 batch (q61, q63-q88) + q51/q54/q55, never driver-run
+    "q51_resized_payloads",
+    "q54_pii_scrub",
+    "q55_sequence_packing",
+    "q61_interval_attribution",
+    "q63_boilerplate_ngrams",
+    "q64_compression_ratio",
+    "q65_doc_chunks",
+    "q66_stratified_sample",
+    "q67_repetition_signals",
+    "q68_agg_surface",
+    "q69_balance_distribution",
+    "q70_priority_mix_unpivot",
+    "q71_bloom_semi_revenue",
+    "q72_snapshot_merge",
+    "q73_unigram_logprob",
+    "q74_source_quota",
+    "q75_embedding_centroids",
+    "q76_salted_segment_revenue",
+    "q77_blocklist_score",
+    "q78_status_priority_crosstab",
+    "q79_event_time_rollup",
+    "q80_bigram_logprob",
+    "q81_above_brand_avg",
+    "q82_market_share",
+    "q83_robust_outliers",
+    "q84_source_lang_entropy",
+    "q85_chunk_dedup",
+    "q86_variant_histogram",
+    "q87_pipe_revenue_by_returnflag",
+    "q88_month_spine",
+    # family-coverage representatives (all driver-green in round 4)
+    "q02_top_revenue_orders",            # joins
+    "q10_order_status_rollup",           # aggregations
+    "q06_top3_orders_per_customer",      # windows
+    "q20_all_account_keys",              # set ops
+    "q16_events_json_profile",           # scalar fns
+    "q50_validated_lineitem",            # validation rule language
+    "q22_language_id",                   # text analysis
+    "q57_dedup_clusters",                # dedup
+    "q30_knn_lsh",                       # similarity search
+    "q32_multimodal_features",           # multimodal
+    "q101_streaming_tumbling_e2e",       # streaming (real readStream)
+    "q116_streaming_stateful_totals_e2e",# streaming stateful
+    "q56_decontamination",               # curation
+    "q60_skew_diagnostics",              # scale infrastructure
+    "q89_product_nation_profit",         # SQL front end
+    "q122_countmin_heavy_hitters",       # sketches (post-guard re-verify)
 ]
 
 
