@@ -198,6 +198,7 @@ def expand_member_pairs(
     grouped: DataFrame,
     members_col: str,
     keep_cols: tuple[str, ...] = (),
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """All ordered in-bucket pairs from a grouped frame holding a SORTED
     ``members_col`` array: posexplode each member, pair it with the slice
@@ -208,13 +209,51 @@ def expand_member_pairs(
     transforms materializes all pairs of a bucket in ONE row's array,
     which at a degenerate 10^4-member bucket is a multi-GB single row).
     Emits columns ``a`` and ``b`` (the paired member values) plus any
-    requested ``keep_cols`` carried through from the group row."""
+    requested ``keep_cols`` carried through from the group row.
+
+    ``max_pairs`` is an optional OUTPUT budget (the backpressure twin of
+    the per-bucket ``max_bucket_size`` guards): when the total pair count
+    would exceed it, the largest buckets are shed — smallest first are
+    kept — until the total fits, and the shedding is LOUD (a warning
+    naming the shed bucket sizes and pair counts).  Resolution is one
+    count-only census shuffled as a bucket-SIZE histogram (|distinct
+    sizes| tiny rows, collected once), so the guard itself never touches
+    member lists; the resulting filter is a plain ``size(members) <= s``
+    predicate.  Like the simhash census, the budget job runs when this
+    function is CALLED, not when the returned frame executes."""
     reserved = {"a", "b", "_i", "_members"} & set(keep_cols)
     if reserved:
         raise ValueError(
             "expand_member_pairs keep_cols collide with internal/output "
             f"column names: {sorted(reserved)}"
         )
+    if max_pairs is not None:
+        import warnings
+
+        hist = (
+            grouped.select(F.size(F.col(members_col)).alias("n"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("buckets"))
+            .collect()
+        )
+        total, cutoff = 0, None
+        for row in sorted(hist, key=lambda r: r["n"]):
+            pairs = row["n"] * (row["n"] - 1) // 2 * row["buckets"]
+            if total + pairs > max_pairs:
+                cutoff = row["n"]
+                break
+            total += pairs
+        if cutoff is not None:
+            shed = [
+                (r["n"], r["buckets"]) for r in hist if r["n"] >= cutoff
+            ]
+            warnings.warn(
+                f"expand_member_pairs: pair budget max_pairs={max_pairs} "
+                f"exceeded; shedding buckets of size >= {cutoff} "
+                f"(size, count): {sorted(shed)} — keeping {total} pairs",
+                stacklevel=2,
+            )
+            grouped = grouped.filter(F.size(F.col(members_col)) < cutoff)
     m = F.col(members_col)
     exploded = grouped.select(
         *keep_cols, m.alias("_members"), F.posexplode(m).alias("_i", "a")
@@ -234,6 +273,7 @@ def minhash_band_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become candidate
     pairs.
@@ -271,7 +311,7 @@ def minhash_band_candidates(
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     return (
-        expand_member_pairs(grouped, "ids")
+        expand_member_pairs(grouped, "ids", max_pairs=max_pairs)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
@@ -432,6 +472,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     bands: int = 2,
     max_bucket_size: int | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: multi-band bit-bucket candidates, verified
     by Hamming distance on the full signature.
@@ -465,6 +506,15 @@ def simhash_near_dups(
     ).select(
         id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
     )
+    if max_bucket_size is not None:
+        # The census below is a separate eager job, so ReusedExchange can
+        # never share the signature pipeline with the returned frame —
+        # persist the banded signatures once instead of hashing every
+        # token twice (same lifetime pattern as the minhash shingle
+        # persist: released on session/GC cleanup).
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     pre = banded.groupBy("band", "bits").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col(id_col).alias("id"), "sig"))
@@ -505,7 +555,9 @@ def simhash_near_dups(
     # is the guard's recall story), so a shed lower band never suppresses
     # a pair.  Shed-ness is a literal isin on the bits both sides already
     # carry (see the census above).
-    pairs = expand_member_pairs(grouped, "members", keep_cols=("band",))
+    pairs = expand_member_pairs(
+        grouped, "members", keep_cols=("band",), max_pairs=max_pairs
+    )
 
     def _bits(side: str, b: int):
         return F.shiftright(F.col(f"{side}.sig"), b * width).bitwiseAND(mask)

@@ -498,7 +498,14 @@ def _op_kmeans_cluster(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     Lloyd iterations, driver-literal centroids — assignment is a pure
     projection, so the step adds no shuffle beyond the per-iteration
     (cluster, dim) update aggregates.  Typical use: partition a corpus
-    into semantic shards before per-cluster dedup or quota sampling."""
+    into semantic shards before per-cluster dedup or quota sampling.
+
+    Requires unique non-null ``id_col`` values: assignments re-attach by
+    an equi-join on ``id_col``, so a NULL id would silently drop its row
+    and a duplicate id would fan out.  Checked eagerly (one narrow agg
+    over the id column) — the k-means trainer is already eager (it
+    collects seeds and per-iteration centroids), so this adds no new
+    laziness break."""
     from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
         kmeans_exact_assignments,
     )
@@ -512,6 +519,23 @@ def _op_kmeans_cluster(ctx: CompileContext, step: Mapping[str, Any]) -> None:
         raise ValueError(
             f"kmeans_cluster output column {out_col!r} already exists on "
             f"input '{in_name}'"
+        )
+    idstats = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(id_col).alias("n_nonnull"),
+        F.countDistinct(id_col).alias("n_distinct"),
+    ).first()
+    if idstats["n_nonnull"] < idstats["n_rows"]:
+        raise ValueError(
+            f"kmeans_cluster id_col {id_col!r} has "
+            f"{idstats['n_rows'] - idstats['n_nonnull']} NULL ids on input "
+            f"'{in_name}'; the assignment re-attach join would drop them"
+        )
+    if idstats["n_distinct"] < idstats["n_nonnull"]:
+        raise ValueError(
+            f"kmeans_cluster id_col {id_col!r} has duplicate ids on input "
+            f"'{in_name}' ({idstats['n_nonnull'] - idstats['n_distinct']} "
+            f"extra rows); the assignment re-attach join would fan out"
         )
     assigned = kmeans_exact_assignments(
         df,

@@ -1591,9 +1591,25 @@ def q122_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    cms = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytes(agg["sk"])
-    )
+    # Private Py4J bridge: Spark ships no SQL-side point query for
+    # count_min_sketch bytes, so the ONLY readback is the JVM class.
+    # Validated on Spark 4.1 classic mode; unavailable under Spark
+    # Connect (no _jvm) and the internal path could move — fail with a
+    # clear message instead of an obscure AttributeError.  The
+    # driver-side createDataFrame below is intentional: the collected
+    # payload is one KB-sized sketch + _Q122_TOP verified ids, and the
+    # point of the query is the driver-checked CM error contract.
+    try:
+        jvm = spark.sparkContext._jvm
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(agg["sk"])
+        )
+    except Exception as exc:  # pragma: no cover - depends on Spark build
+        raise RuntimeError(
+            "q122 needs the JVM CountMinSketch.readFrom bridge "
+            "(classic PySpark only, validated on Spark 4.1; not "
+            "available under Spark Connect): " + repr(exc)
+        ) from exc
     w = Window.orderBy(F.desc("exact_n"), F.asc("user_id"))
     top = (
         e.groupBy("user_id")

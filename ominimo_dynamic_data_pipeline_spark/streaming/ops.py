@@ -344,8 +344,25 @@ def sized_state_partitions(
     restarts of a checkpoint."""
     import os
 
-    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    size = os.path.getsize(os.path.join(sf_dir, table))
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # e.g. "auto" under some AQE configs — fall back to the floor so
+        # a miniature stream never explodes its state-store count.
+        cap = floor
+    path = os.path.join(sf_dir, table)
+    if os.path.isdir(path):
+        # Directory-style parquet dataset: getsize on the dirent returns
+        # ~4 KB and would silently collapse sizing to the floor. Sum the
+        # data files instead.
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    else:
+        size = os.path.getsize(path)
     # cap wins over floor: a session constrained below the floor must
     # never be exceeded
     return min(cap, max(floor, int(size // target_bytes)))
@@ -378,7 +395,14 @@ def run_to_completion(
     partitions of fixed overhead (measured 5.6 s -> 2.1 s for the q115
     join at 8).  Size it to expected STATE volume: at 100 TB you raise
     it, and you must keep it constant across restarts of the same
-    checkpoint.  Results are partition-count independent."""
+    checkpoint.  Results are partition-count independent.
+
+    NOT re-entrant when ``shuffle_partitions`` is set: the override
+    mutates the session-global ``spark.sql.shuffle.partitions`` around
+    the stream start, so any query planned concurrently on the shared
+    SparkSession (e.g. parallel test execution) can capture the
+    temporary value.  Callers that need isolation should pass a
+    dedicated ``SparkSession.newSession()`` stream instead."""
     if output_mode is None:
         if stream_df.isStreaming:
             analyzed = stream_df._jdf.queryExecution().analyzed().toString()

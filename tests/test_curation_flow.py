@@ -326,3 +326,40 @@ def test_kmeans_cluster_step_attaches_deterministic_shards(spark):
     )
     with pytest.raises(ValueError, match="cluster_id"):
         apply_transformations(ctx2, clash_flow)
+
+
+def test_kmeans_cluster_step_rejects_null_and_duplicate_ids(spark):
+    """The assignment re-attach is an equi-join on id_col, so NULL ids
+    (silently dropped) and duplicate ids (fan-out) fail fast instead."""
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    flow = {
+        "transformations": [
+            {
+                "name": "sharded",
+                "type": "kmeans_cluster",
+                "params": {"input": "vecs", "k": 2, "iters": 1},
+            }
+        ]
+    }
+    base = [(0, [0.0, 0.0]), (1, [0.4, 0.4]), (2, [0.5, 0.5])]
+    with_null = spark.createDataFrame(
+        base + [(None, [0.1, 0.1])],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL ids"):
+        apply_transformations(
+            CompileContext(spark, frames={"vecs": with_null}), flow
+        )
+
+    with_dup = spark.createDataFrame(
+        base + [(1, [0.3, 0.3])],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        apply_transformations(
+            CompileContext(spark, frames={"vecs": with_dup}), flow
+        )

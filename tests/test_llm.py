@@ -984,3 +984,35 @@ def test_kmeans_exact_empty_cluster_keeps_seed_centroid(spark):
     out = S.kmeans_exact_assignments(df, k=3, iters=3)
     got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1}
+
+
+def test_expand_member_pairs_max_pairs_budget(spark, recwarn):
+    """The pair budget sheds the LARGEST buckets first, loudly: buckets of
+    sizes 2/2/3/5 emit 1+1+3+10 pairs; a budget of 6 keeps the 5 pairs
+    from the small buckets and warns about the shed size-5 bucket."""
+    import warnings
+
+    rows = [
+        ("b0", list(range(0, 2))),
+        ("b1", list(range(10, 12))),
+        ("b2", list(range(20, 23))),
+        ("b3", list(range(30, 35))),
+    ]
+    grouped = spark.createDataFrame(
+        rows, schema="bucket string, members array<bigint>"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = D.expand_member_pairs(grouped, "members", max_pairs=6)
+        got = out.collect()
+    assert len(got) == 5
+    vals = {(r["a"], r["b"]) for r in got}
+    assert (30, 31) not in vals  # the size-5 bucket was shed
+    assert any("max_pairs=6" in str(x.message) for x in w)
+
+    # under budget: nothing shed, no warning
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        full = D.expand_member_pairs(grouped, "members", max_pairs=100)
+        assert full.count() == 15
+    assert not [x for x in w2 if "max_pairs" in str(x.message)]
