@@ -1,0 +1,316 @@
+"""Dataset-level feature & quality operators for the declarative pipeline.
+
+The round-4 catalog proved these shapes as queries (q120-q125); this module
+is the REUSABLE form a metadata-driven pipeline user reaches through
+``operators/registry.py`` steps — the same functions back the catalog
+queries, so oracle parity covers the operator bodies too.
+
+Scale notes (all designed for the 100 TB posture):
+
+* ``sketch_profile`` — mergeable DataSketches aggregates (HLL distinct
+  counts, KLL quantiles): per-partition partial sketches combine
+  associatively, so the shuffle carries KB-sized summaries, never values.
+  ``keep_sketches`` persists the binary sketches themselves alongside the
+  estimates — the shard-then-merge pattern where per-day sketches are
+  stored with the data and re-unioned instead of rescanned.
+* ``gap_fill_linear`` — facts reduce to one row per (partition, tick)
+  BEFORE the spine join; the spine is generated per partition from its own
+  min/max (a sequence explode, no calendar table); interpolation is two
+  ignore-nulls window passes over the bounded spine, never the facts.
+* ``equi_depth_bin`` — ONE exact-percentile aggregate produces the
+  boundary array; binning is a pure-Catalyst fold over the broadcast
+  boundaries (no range join, no per-bin pass).  At 100 TB swap the
+  boundary agg for the KLL sketch (same downstream projection).
+* ``dataset_checks`` — all single-frame invariants (row count, key
+  uniqueness, completeness, freshness) fold into ONE aggregate pass;
+  each referential-integrity check is one anti-join reduced to a count.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sketch_profile(
+    df: DataFrame,
+    group_by: Sequence[str] = (),
+    distinct_cols: Sequence[str] = (),
+    quantile_col: str | None = None,
+    quantiles: Sequence[float] = (0.5,),
+    keep_sketches: bool = False,
+) -> DataFrame:
+    """Per-group mergeable sketch statistics in ONE aggregate pass.
+
+    For every ``distinct_cols`` entry: an HLL distinct-count estimate
+    (``<col>_distinct_est``, bigint) built via ``hll_sketch_agg`` — the
+    q120 shape.  For ``quantile_col``: KLL quantile estimates
+    (``<col>_p<pct>`` doubles) via ``kll_sketch_agg_double`` — the q121
+    shape.  With ``keep_sketches`` the binary sketch columns
+    (``<col>_hll`` / ``<col>_kll``) survive for later ``hll_union_agg`` /
+    ``kll_sketch_merge_double`` re-aggregation across runs."""
+    aggs: list[Column] = []
+    for c in distinct_cols:
+        aggs.append(F.hll_sketch_agg(c).alias(f"{c}_hll"))
+    if quantile_col is not None:
+        aggs.append(
+            F.kll_sketch_agg_double(
+                F.col(quantile_col).cast("double")
+            ).alias(f"{quantile_col}_kll")
+        )
+    if not aggs:
+        raise ValueError(
+            "sketch_profile needs distinct_cols and/or quantile_col"
+        )
+    grouped = df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
+    out_cols: list[Column] = [F.col(c) for c in group_by]
+    for c in distinct_cols:
+        out_cols.append(
+            F.hll_sketch_estimate(f"{c}_hll")
+            .cast("bigint")
+            .alias(f"{c}_distinct_est")
+        )
+    if quantile_col is not None:
+        for q in quantiles:
+            pct = str(q).replace("0.", "").replace(".", "_")
+            out_cols.append(
+                F.kll_sketch_get_quantile_double(
+                    f"{quantile_col}_kll", F.lit(float(q))
+                ).alias(f"{quantile_col}_p{pct}")
+            )
+    if keep_sketches:
+        out_cols += [F.col(f"{c}_hll") for c in distinct_cols]
+        if quantile_col is not None:
+            out_cols.append(F.col(f"{quantile_col}_kll"))
+    return grouped.select(*out_cols)
+
+
+def gap_fill_linear(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-partition daily spine with linear interpolation of missing
+    ticks (the q124 operator body).
+
+    Input must already be reduced to one row per (partition, day); the
+    spine spans each partition's own [min, max].  Output keeps the
+    partition columns plus ``time_col`` (date), ``interpolated``
+    (boolean) and ``value_col`` (double; original value on present days,
+    prev + (next - prev) * elapsed_fraction on gaps — edges before the
+    first / after the last present day cannot occur since the spine is
+    bounded by them)."""
+    parts = list(partition_cols)
+    facts = df.select(
+        *parts,
+        F.col(time_col).cast("date").alias("_gf_d"),
+        F.col(value_col).alias("_gf_v"),
+    )
+    spine = (
+        facts.groupBy(*parts)
+        .agg(F.min("_gf_d").alias("_gf_lo"), F.max("_gf_d").alias("_gf_hi"))
+        .select(*parts, F.explode(F.sequence("_gf_lo", "_gf_hi")).alias("_gf_d"))
+    )
+    joined = spine.join(facts, parts + ["_gf_d"], "left")
+    wp = (
+        Window.partitionBy(*parts)
+        .orderBy("_gf_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(*parts)
+        .orderBy("_gf_d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    present_d = F.when(F.col("_gf_v").isNotNull(), F.col("_gf_d"))
+    staged = joined.select(
+        *parts,
+        "_gf_d",
+        "_gf_v",
+        F.last("_gf_v", ignorenulls=True).over(wp).alias("_gf_prev"),
+        F.last(present_d, ignorenulls=True).over(wp).alias("_gf_prev_d"),
+        F.first("_gf_v", ignorenulls=True).over(wn).alias("_gf_next"),
+        F.first(present_d, ignorenulls=True).over(wn).alias("_gf_next_d"),
+    )
+    interp = F.col("_gf_prev").cast("double") + (
+        F.col("_gf_next").cast("double") - F.col("_gf_prev").cast("double")
+    ) * (
+        F.datediff("_gf_d", "_gf_prev_d").cast("double")
+        / F.datediff("_gf_next_d", "_gf_prev_d").cast("double")
+    )
+    return staged.select(
+        *parts,
+        F.col("_gf_d").alias(time_col),
+        F.col("_gf_v").isNull().alias("interpolated"),
+        F.when(F.col("_gf_v").isNotNull(), F.col("_gf_v").cast("double"))
+        .otherwise(interp)
+        .alias(value_col),
+    )
+
+
+def equi_depth_bin(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    output_col: str = "bin",
+) -> DataFrame:
+    """Attach an equi-depth bin id (0..bins-1) per row (the q125 operator
+    body): interior boundaries p(1/bins)..p((bins-1)/bins) from ONE exact
+    percentile aggregate, then bin = count of boundaries <= value via a
+    pure-Catalyst fold over the broadcast boundary array."""
+    if output_col in df.columns:
+        raise ValueError(
+            f"equi_depth_bin output column {output_col!r} already exists"
+        )
+    if "_edb_bs" in df.columns or "_edb_v" in df.columns:
+        raise ValueError(
+            "equi_depth_bin reserves helper columns _edb_bs/_edb_v; rename "
+            "them first"
+        )
+    probes = [i / bins for i in range(1, bins)]
+    staged = df.withColumn("_edb_v", F.col(value_col).cast("double"))
+    bounds = staged.agg(
+        F.percentile("_edb_v", F.array(*[F.lit(p) for p in probes])).alias(
+            "_edb_bs"
+        )
+    )
+    return (
+        staged.join(F.broadcast(bounds))
+        .withColumn(
+            output_col,
+            F.size(F.filter("_edb_bs", lambda x: x <= F.col("_edb_v")))
+            .cast("int"),
+        )
+        .drop("_edb_bs", "_edb_v")
+    )
+
+
+_SIMPLE_CHECKS = {"row_count", "unique", "not_null", "freshness"}
+
+
+def dataset_checks(
+    df: DataFrame,
+    checks: Sequence[Mapping[str, Any]],
+    references: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Cross-row data-quality invariants (the q123 operator body,
+    generalized): returns one row per check with
+    ``(check, target, metric, passed)``.
+
+    Check types (``type`` key):
+
+    * ``row_count`` — metric = rows; ``min_rows`` optional gate.
+    * ``unique`` — ``cols``: metric = duplicate rows (count - distinct).
+    * ``not_null`` — ``col``: metric = NULL count.
+    * ``freshness`` — ``col``: metric = days since max(col) relative to
+      ``as_of`` (an ISO date string, required so runs are deterministic);
+      ``max_age_days`` optional gate.
+    * ``ref_integrity`` — ``col`` + ``reference`` (a key in
+      ``references``) + ``ref_col``: metric = orphan rows (anti-join).
+
+    All single-frame checks fold into ONE aggregate pass; each
+    ref_integrity check adds one anti-join reduced to a count before the
+    union — at 100 TB front the anti-join with the Bloom prefilter
+    (operators/bloom.py) exactly as q123 documents."""
+    agg_exprs: list[Column] = []
+    rows: list[tuple[str, str, Column, Column]] = []  # built after agg
+    specs: list[tuple[str, str, str, Any]] = []
+    for i, ch in enumerate(checks):
+        ctype = ch.get("type")
+        if ctype == "row_count":
+            agg_exprs.append(F.count(F.lit(1)).alias(f"_c{i}"))
+            specs.append((ctype, "*", f"_c{i}", ch.get("min_rows")))
+        elif ctype == "unique":
+            cols = ch["cols"] if "cols" in ch else [ch["col"]]
+            key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+            agg_exprs.append(
+                (F.count(F.lit(1)) - F.countDistinct(key)).alias(f"_c{i}")
+            )
+            specs.append((ctype, ",".join(cols), f"_c{i}", 0))
+        elif ctype == "not_null":
+            agg_exprs.append(
+                F.count(F.when(F.col(ch["col"]).isNull(), 1)).alias(f"_c{i}")
+            )
+            specs.append((ctype, ch["col"], f"_c{i}", 0))
+        elif ctype == "freshness":
+            if "as_of" not in ch:
+                raise ValueError(
+                    "freshness check requires an explicit 'as_of' ISO date "
+                    "(injectable clock; wall-clock would be nondeterministic)"
+                )
+            agg_exprs.append(
+                F.datediff(
+                    F.to_date(F.lit(ch["as_of"])), F.max(F.col(ch["col"]))
+                )
+                .cast("bigint")
+                .alias(f"_c{i}")
+            )
+            specs.append((ctype, ch["col"], f"_c{i}", ch.get("max_age_days")))
+        elif ctype == "ref_integrity":
+            specs.append((ctype, ch["col"], f"_c{i}", ch))
+        else:
+            raise ValueError(f"unknown dq check type: {ctype!r}")
+    out: DataFrame | None = None
+    if agg_exprs:
+        agg_row = df.agg(*agg_exprs)
+        pieces = []
+        for ctype, target, alias, gate in specs:
+            if ctype == "ref_integrity":
+                continue
+            metric = F.col(alias).cast("bigint")
+            if ctype == "row_count":
+                passed = (
+                    F.lit(True) if gate is None else metric >= F.lit(int(gate))
+                )
+            elif ctype == "freshness":
+                passed = (
+                    F.lit(True) if gate is None else metric <= F.lit(int(gate))
+                )
+            else:
+                passed = metric <= F.lit(int(gate))
+            pieces.append(
+                F.struct(
+                    F.lit(ctype).alias("check"),
+                    F.lit(target).alias("target"),
+                    metric.alias("metric"),
+                    passed.alias("passed"),
+                )
+            )
+        out = agg_row.select(
+            F.explode(F.array(*pieces)).alias("r")
+        ).select("r.check", "r.target", "r.metric", "r.passed")
+    for ctype, target, alias, ch in specs:
+        if ctype != "ref_integrity":
+            continue
+        refs = references or {}
+        if ch["reference"] not in refs:
+            raise ValueError(
+                f"ref_integrity check needs reference frame "
+                f"{ch['reference']!r}"
+            )
+        ref = refs[ch["reference"]]
+        orphans = (
+            df.select(F.col(ch["col"]))
+            .join(
+                ref.select(F.col(ch["ref_col"]).alias(ch["col"])),
+                ch["col"],
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("metric"))
+            .select(
+                F.lit(ctype).alias("check"),
+                F.lit(f"{ch['col']}->{ch['reference']}.{ch['ref_col']}").alias(
+                    "target"
+                ),
+                "metric",
+                (F.col("metric") == 0).alias("passed"),
+            )
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    if out is None:
+        raise ValueError("dataset_checks needs at least one check")
+    return out

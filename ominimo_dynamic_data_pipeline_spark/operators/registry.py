@@ -547,6 +547,115 @@ def _op_kmeans_cluster(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     ctx.put(out_name, df.join(assigned, on=id_col))
 
 
+@register_operator("sketch_stats")
+def _op_sketch_stats(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Mergeable sketch statistics as a dataflow step (the q120/q121
+    operators behind metadata): per-group HLL distinct-count estimates
+    and/or KLL quantiles, one aggregate pass, KB-sized shuffle rows.
+    ``keep_sketches`` keeps the binary sketch columns for cross-run
+    re-aggregation (union a new day's sketches instead of rescanning)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        sketch_profile,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(
+        out_name,
+        sketch_profile(
+            ctx.get(in_name),
+            group_by=params.get("group_by", []),
+            distinct_cols=params.get("distinct_cols", []),
+            quantile_col=params.get("quantile_col"),
+            quantiles=params.get("quantiles", [0.5]),
+            keep_sketches=params.get("keep_sketches", False),
+        ),
+    )
+
+
+@register_operator("gap_fill")
+def _op_gap_fill(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Daily-spine gap fill with linear interpolation (the q124 operator
+    behind metadata).  Input must already be one row per (partition,
+    day) — aggregate first (e.g. an ``aggregate``/``sql`` step)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        gap_fill_linear,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(
+        out_name,
+        gap_fill_linear(
+            ctx.get(in_name),
+            partition_cols=params.get("partition_cols", []),
+            time_col=params["time_col"],
+            value_col=params["value_col"],
+        ),
+    )
+
+
+@register_operator("equi_depth_bin")
+def _op_equi_depth_bin(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Equi-depth feature binning (the q125 operator behind metadata):
+    one exact-percentile aggregate for the boundaries, then a broadcast
+    array fold attaches bin ids 0..bins-1 to every row."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        equi_depth_bin,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(
+        out_name,
+        equi_depth_bin(
+            ctx.get(in_name),
+            value_col=params["value_col"],
+            bins=params.get("bins", 10),
+            output_col=params.get("output_col", "bin"),
+        ),
+    )
+
+
+@register_operator("dq_check")
+def _op_dq_check(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Dataset-level data-quality checks (the q123 operator behind
+    metadata): cross-row invariants — row count, key uniqueness,
+    completeness, freshness, referential integrity — as one result frame
+    ``(check, target, metric, passed)``.  ``ref_integrity`` checks name
+    other dataflow frames via their ``reference`` key.
+
+    ``on_violation: "error"`` (default ``"report"``) collects the result
+    eagerly and raises listing every failed check — the dataset-level
+    KO twin of validate_fields' row-level split."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        dataset_checks,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    checks = params.get("checks") or []
+    if not checks:
+        raise ValueError("dq_check requires params.checks")
+    refs = {
+        ch["reference"]: ctx.get(ch["reference"])
+        for ch in checks
+        if ch.get("type") == "ref_integrity" and "reference" in ch
+    }
+    result = dataset_checks(ctx.get(in_name), checks, references=refs)
+    if params.get("on_violation", "report") == "error":
+        failed = [r for r in result.collect() if not r["passed"]]
+        if failed:
+            detail = "; ".join(
+                f"{r['check']}({r['target']})={r['metric']}" for r in failed
+            )
+            raise ValueError(
+                f"dq_check on '{in_name}' failed {len(failed)} check(s): "
+                f"{detail}"
+            )
+    ctx.put(out_name, result)
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

@@ -1037,6 +1037,8 @@ def q123_dataset_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q124_gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import gap_fill_linear
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     ).filter(F.year("o_orderdate") == 1998)
@@ -1051,45 +1053,12 @@ def q124_gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     )
-    spine = daily.groupBy("seg").agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
-    ).select(
-        "seg", F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    joined = spine.join(daily, ["seg", "d"], "left")
-    wp = (
-        Window.partitionBy("seg")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wn = (
-        Window.partitionBy("seg")
-        .orderBy("d")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    present_d = F.when(F.col("rev").isNotNull(), F.col("d"))
-    staged = joined.select(
-        "seg", "d", "rev",
-        F.last("rev", ignorenulls=True).over(wp).alias("prev_rev"),
-        F.last(present_d, ignorenulls=True).over(wp).alias("prev_d"),
-        F.first("rev", ignorenulls=True).over(wn).alias("next_rev"),
-        F.first(present_d, ignorenulls=True).over(wn).alias("next_d"),
-    )
-    interp = F.col("prev_rev").cast("double") + (
-        F.col("next_rev").cast("double") - F.col("prev_rev").cast("double")
-    ) * (
-        F.datediff("d", "prev_d").cast("double")
-        / F.datediff("next_d", "prev_d").cast("double")
-    )
-    return staged.select(
+    filled = gap_fill_linear(daily, ["seg"], "d", "rev")
+    return filled.select(
         "seg",
         F.date_format("d", "yyyy-MM-dd").alias("d"),
-        F.col("rev").isNull().alias("interpolated"),
-        F.round(
-            F.when(F.col("rev").isNotNull(), F.col("rev").cast("double"))
-            .otherwise(interp),
-            4,
-        ).alias("revenue"),
+        "interpolated",
+        F.round(F.col("rev"), 4).alias("revenue"),
     )
 
 
@@ -1131,17 +1100,12 @@ _Q125_BINS = 10
     """,
 )
 def q125_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import equi_depth_bin
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
     )
-    probes = [i / _Q125_BINS for i in range(1, _Q125_BINS)]
-    bounds = li.agg(
-        F.percentile("v", F.array(*[F.lit(p) for p in probes])).alias("bs")
-    )
-    binned = li.join(F.broadcast(bounds)).select(
-        "l_returnflag",
-        F.size(F.filter("bs", lambda x: x <= F.col("v"))).cast("int").alias("bin"),
-    )
+    binned = equi_depth_bin(li, "v", bins=_Q125_BINS, output_col="bin")
     return binned.groupBy("l_returnflag", "bin").agg(
         F.count(F.lit(1)).alias("n_rows")
     )

@@ -363,3 +363,78 @@ def test_kmeans_cluster_step_rejects_null_and_duplicate_ids(spark):
         apply_transformations(
             CompileContext(spark, frames={"vecs": with_dup}), flow
         )
+
+
+def test_dataset_profiling_flow_golden(spark):
+    """The round-4 dataset operators (q120-q125 shapes) driven through
+    metadata: dq checks, sketch stats, gap fill, and equi-depth binning
+    all compile from the example dataflow and pin to exact/contract
+    values computed from the same inputs."""
+    import json
+    from pathlib import Path
+
+    sf = "/root/testdata/sf0.01"
+    if not Path(sf).is_dir():
+        pytest.skip("sf0.01 testdata missing")
+    meta = json.loads(
+        (Path(__file__).parent.parent / "examples" / "dataset_profiling.json")
+        .read_text()
+    )
+    flow = select_dataflow(meta, "dataset-profiling")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    frames = compiled.frames
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    n_orders = orders.count()
+
+    # dq_check: every orders invariant passes, metrics are the exact values
+    dq = {
+        (r["check"], r["target"]): r
+        for r in frames["orders_dq"].collect()
+    }
+    assert dq[("row_count", "*")]["metric"] == n_orders
+    assert dq[("unique", "o_orderkey")]["metric"] == 0
+    assert dq[("not_null", "o_custkey")]["metric"] == 0
+    assert all(r["passed"] for r in dq.values())
+    ref = frames["lineitem_dq"].collect()
+    assert len(ref) == 1 and ref[0]["metric"] == 0 and ref[0]["passed"]
+
+    # sketch_stats: HLL estimate within 5% of exact per-status distincts;
+    # KLL quantiles within rank error of the exact percentiles
+    exact = {
+        r["o_orderstatus"]: r
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("d"),
+            F.expr("percentile(o_totalprice, array(0.45, 0.55, 0.9, 0.99))").alias("p"),
+        )
+        .collect()
+    }
+    sk = {r["o_orderstatus"]: r for r in frames["order_sketches"].collect()}
+    assert set(sk) == set(exact)
+    for status, row in sk.items():
+        e = exact[status]
+        assert abs(row["o_custkey_distinct_est"] - e["d"]) <= 0.05 * e["d"]
+        assert e["p"][0] <= row["o_totalprice_p5"] <= e["p"][1]
+        assert e["p"][2] <= row["o_totalprice_p95"] <= e["p"][3]
+
+    # gap_fill: the spine is dense per segment and interpolated days sit
+    # strictly between their neighbors' values
+    filled = frames["filled_revenue"]
+    spans = filled.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.datediff(F.max("d"), F.min("d")) + 1).alias("expect"),
+        F.sum(F.col("interpolated").cast("int")).alias("n_interp"),
+    ).collect()
+    assert spans and all(r["n"] == r["expect"] for r in spans)
+    assert sum(r["n_interp"] for r in spans) > 0  # gaps existed and filled
+    assert filled.filter(F.col("revenue").isNull()).count() == 0
+
+    # equi_depth_bin: 4 near-equal bins over a distinct-valued column
+    counts = dict(
+        frames["binned_orders"].groupBy("price_bin").count().collect()
+    )
+    assert set(counts) == {0, 1, 2, 3}
+    lo, hi = min(counts.values()), max(counts.values())
+    assert hi - lo <= 0.02 * n_orders  # equi-depth within percentile ties

@@ -1016,3 +1016,32 @@ def test_expand_member_pairs_max_pairs_budget(spark, recwarn):
         full = D.expand_member_pairs(grouped, "members", max_pairs=100)
         assert full.count() == 15
     assert not [x for x in w2 if "max_pairs" in str(x.message)]
+
+
+def test_q64_compression_golden_sf001(spark):
+    """q64 is the catalog's only rows-only query (zlib has no DuckDB
+    surface), so pin its FULL sf0.01 output against a checked-in golden:
+    any zlib/env/codepath drift fails loudly instead of shipping silently
+    behind the rows-only driver check."""
+    import pandas as pd
+    from pathlib import Path
+
+    sf = "/root/testdata/sf0.01"
+    if not Path(sf).is_dir():
+        pytest.skip("sf0.01 testdata missing")
+    from ominimo_dynamic_data_pipeline_spark.queries import catalog
+
+    got = (
+        catalog.QUERIES["q64_compression_ratio"](spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = pd.read_csv(
+        Path(__file__).parent / "data" / "golden_q64_sf0.01.csv"
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got.astype(want.dtypes.to_dict()), want, check_exact=False, rtol=0,
+        atol=1e-9,
+    )
