@@ -60,16 +60,35 @@ def main() -> None:
         if not only or name in only
     }
 
+    from ominimo_dynamic_data_pipeline_spark.streaming import ops as stream_ops
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    streaming: dict[str, dict] = {}
     for name, fn in selected.items():
         # one failing query must not zero out the whole record — note it
         # loudly in the output instead (stderr + an `errors` field)
         try:
             force(fn(spark, sf_dir))  # warm-up: codegen/JIT compile this plan
+            stream_ops.LAST_RUN_STATS.clear()
             start = time.perf_counter()
             force(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - start, 3)
+            if stream_ops.LAST_RUN_STATS:
+                # micro-batch breakdown for streaming queries: wall time =
+                # batches x fixed overhead + data work; sf-growth gates
+                # should read add_batch_sec (the data term), not wall time
+                agg = {
+                    "batches": 0,
+                    "input_rows": 0,
+                    "trigger_exec_sec": 0.0,
+                    "add_batch_sec": 0.0,
+                    "fixed_overhead_sec": 0.0,
+                }
+                for st in stream_ops.LAST_RUN_STATS.values():
+                    for k in agg:
+                        agg[k] = round(agg[k] + st.get(k, 0), 3)
+                streaming[name] = agg
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
@@ -82,6 +101,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if streaming:
+        record["streaming"] = streaming
     if errors:
         record["errors"] = errors
     print(json.dumps(record))

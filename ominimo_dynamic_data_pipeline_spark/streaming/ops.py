@@ -368,6 +368,14 @@ def sized_state_partitions(
     return min(cap, max(floor, int(size // target_bytes)))
 
 
+# Per-run micro-batch accounting, keyed by query_name: bench.py reads this
+# to separate streaming FIXED overhead (micro-batch planning, offset/WAL
+# commits) from state/data scaling — a stream's wall time is
+# batches x per-batch fixed cost + data work, and only the data term
+# should grow with sf (round-4 verdict item 4).
+LAST_RUN_STATS: dict[str, dict] = {}
+
+
 def run_to_completion(
     stream_df: DataFrame,
     query_name: str,
@@ -422,6 +430,31 @@ def run_to_completion(
             .start()
         )
         q.awaitTermination()
+        try:
+            prog = list(q.recentProgress)
+            ms = lambda p, k: (p["durationMs"] or {}).get(k, 0)  # noqa: E731
+            LAST_RUN_STATS[query_name] = {
+                "batches": len(prog),
+                "input_rows": int(sum(p["numInputRows"] or 0 for p in prog)),
+                "trigger_exec_sec": round(
+                    sum(ms(p, "triggerExecution") for p in prog) / 1000.0, 3
+                ),
+                "add_batch_sec": round(
+                    sum(ms(p, "addBatch") for p in prog) / 1000.0, 3
+                ),
+                # everything that is NOT data work: planning, offset
+                # tracking, WAL/offset commits — the per-batch fixed cost
+                "fixed_overhead_sec": round(
+                    sum(
+                        ms(p, "triggerExecution") - ms(p, "addBatch")
+                        for p in prog
+                    )
+                    / 1000.0,
+                    3,
+                ),
+            }
+        except Exception:  # accounting must never fail the run
+            LAST_RUN_STATS.pop(query_name, None)
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
