@@ -7,6 +7,7 @@ hot relational path runs inside WholeStageCodegen."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ominimo_dynamic_data_pipeline_spark.queries import QUERIES
 
@@ -307,3 +308,54 @@ def test_q114_running_sum_windows_over_aggregated_spine(q):
         "running-sum window consumes raw scans instead of the "
         "date-aggregated spine"
     )
+
+
+def test_q125_binning_is_broadcast_fold_not_range_join(q):
+    # equi_depth_bin (operators/features.py): the boundary array attaches
+    # via a broadcast nested-loop of ONE row; binning is an array fold, so
+    # no sort-merge/range join and no per-bin pass may appear
+    p = plan_of(q("q125_decile_binning"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_gap_fill_windows_run_over_spine_not_facts(spark, sf_dir):
+    # gap_fill_linear: facts reduce to (partition, day) BEFORE the spine
+    # join, so the window functions consume the joined spine — the plan
+    # must aggregate (facts) below the left join, windows above it
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        gap_fill_linear,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum("o_totalprice").alias("v"))
+    p = plan_of(gap_fill_linear(daily, ["k"], "d", "v"))
+    assert "Window" in p
+    # the interpolation windows sit ABOVE the spine left join
+    assert p.index("Window") < p.index("Join LeftOuter")
+
+
+def test_sketch_profile_is_single_aggregate_pass(spark, sf_dir):
+    # sketch_profile: HLL + KLL sketches build in ONE groupBy aggregate
+    # (one exchange), never one pass per statistic
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        sketch_profile,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    out = sketch_profile(
+        o,
+        group_by=["o_orderstatus"],
+        distinct_cols=["o_custkey"],
+        quantile_col="o_totalprice",
+        quantiles=[0.5, 0.95],
+    )
+    assert plan_of(out, "simple").count("Exchange") == 1
+    p = plan_of(out)
+    assert "partial_hll_sketch_agg" in p  # map-side combine fires
+    assert "partial_kll_sketch_agg" in p
