@@ -267,6 +267,58 @@ def expand_member_pairs(
     )
 
 
+def _band_bucket_structs(num_hashes: int, bands: int):
+    """Array of (band, bucket) structs from the mh_* signature columns:
+    bucket = md5 of the '-'-joined band rows (portable; the oracle
+    replicates concat_ws + md5 exactly)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("-", *[p.cast("string") for p in parts])
+                ).alias("bucket"),
+            )
+        )
+    return F.array(*band_cols)
+
+
+def minhash_band_buckets(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id, band, bucket) rows — the LSH band INDEX of a signature frame.
+
+    This is the shape a continuous-ingest pipeline PERSISTS for its
+    curated corpus (a few rows of ~50 bytes per doc): an incoming batch
+    joins its own band rows against this index on (band, bucket) to find
+    cross-corpus candidates without touching reference text.
+    ``max_bucket_size`` sheds oversized buckets via one count window —
+    the same skew guard as minhash_band_candidates, applied per corpus
+    side."""
+    from pyspark.sql.window import Window
+
+    buckets = sigs.select(
+        F.col(id_col), F.explode(_band_bucket_structs(num_hashes, bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    return buckets
+
+
 def minhash_band_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -288,20 +340,8 @@ def minhash_band_candidates(
     boilerplate shingle-set shared by 10^5 docs) is shed instead of
     quadratically dominating the stage — its members' true near-dups are
     still found through their other, discriminating bands."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("-", *[p.cast("string") for p in parts])).alias(
-                    "bucket"
-                ),
-            )
-        )
     buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+        F.col(id_col), F.explode(_band_bucket_structs(num_hashes, bands)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     grouped = (
         buckets.groupBy("band", "bucket")
@@ -324,16 +364,20 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    shingles_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity on shingle sets for given candidate pairs.
-    Pass a precomputed ``shingles`` frame to share the shingle stage."""
+    Pass a precomputed ``shingles`` frame to share the shingle stage.
+    ``shingles_b`` resolves the ``id_b`` side from a DIFFERENT corpus
+    (cross-corpus verification, e.g. incremental_near_dedup's batch vs
+    reference); default is the same frame on both sides."""
     sh = (
         shingles
         if shingles is not None
         else shingle_frame(df, id_col, text_col, shingle_n)
     )
     a = sh.alias("sa")
-    b = sh.alias("sb")
+    b = (sh if shingles_b is None else shingles_b).alias("sb")
     return (
         pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
         .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
@@ -989,3 +1033,85 @@ def incremental_exact_dedup(
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).alias("n_batch_copies"),
     )
+
+
+def incremental_near_dedup(
+    incoming: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """NEAR-dup dedup of an incoming batch against an already-curated
+    corpus — the MinHash-LSH twin of incremental_exact_dedup (q106's
+    operator handles byte-identical re-ingests; this one catches
+    lightly-edited re-ingests the fingerprint index can't see).
+
+    Returns the incoming rows that survive BOTH gates:
+
+    * cross-corpus: an incoming doc whose exact shingle Jaccard with ANY
+      reference doc is >= ``threshold`` is dropped (candidates from the
+      batch's band rows joined against the reference's band index on
+      (band, bucket) — never all pairs);
+    * within-batch: remaining near-dup pairs inside the batch drop their
+      higher id (the q49 keep-lowest-id policy; a doc whose lower partner
+      was itself reference-dropped still drops, since it is transitively
+      near the same reference content).
+
+    100 TB shape: the reference side is represented ONLY by its band
+    index (minhash_band_buckets output, ~50 bytes x bands per doc —
+    persisted parquet in production, recomputed here) plus the shingle
+    arrays of candidate-hit docs; reference text is never shuffled.  The
+    candidate join shuffles (band, bucket, id) rows; verification joins
+    the tiny candidate list back to per-side shingle frames; cost stays
+    sum over buckets of |batch bucket| x |reference bucket|, with
+    ``max_bucket_size`` shedding degenerate buckets per corpus side."""
+    from pyspark import StorageLevel
+
+    sh_inc = shingle_frame(incoming, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_ref = shingle_frame(reference, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig_inc = minhash_signatures(
+        incoming, id_col, text_col, num_hashes, shingle_n, shingles=sh_inc
+    )
+    sig_ref = minhash_signatures(
+        reference, id_col, text_col, num_hashes, shingle_n, shingles=sh_ref
+    )
+    b_inc = minhash_band_buckets(
+        sig_inc, id_col, num_hashes, bands, max_bucket_size
+    )
+    b_ref = minhash_band_buckets(
+        sig_ref, id_col, num_hashes, bands, max_bucket_size
+    )
+    cross = (
+        b_inc.alias("i")
+        .join(b_ref.alias("r"), ["band", "bucket"])
+        .select(
+            F.col(f"i.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    cross_hits = jaccard_pairs(
+        incoming, cross, id_col, text_col, shingle_n,
+        shingles=sh_inc, shingles_b=sh_ref,
+    ).filter(F.col("jaccard") >= threshold)
+    within = minhash_band_candidates(
+        sig_inc, id_col, num_hashes, bands, max_bucket_size
+    )
+    within_hits = jaccard_pairs(
+        incoming, within, id_col, text_col, shingle_n, shingles=sh_inc
+    ).filter(F.col("jaccard") >= threshold)
+    victims = (
+        cross_hits.select(F.col("id_a").alias(id_col))
+        .union(within_hits.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return incoming.join(F.broadcast(victims), on=id_col, how="left_anti")

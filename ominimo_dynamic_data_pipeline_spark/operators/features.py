@@ -226,7 +226,17 @@ def dataset_checks(
             specs.append((ctype, "*", f"_c{i}", ch.get("min_rows")))
         elif ctype == "unique":
             cols = ch["cols"] if "cols" in ch else [ch["col"]]
-            key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+            # NULL-safe composite key: concat_ws silently drops NULLs
+            # (NULL would collide with ''), and countDistinct(*cols)
+            # drops any row with a NULL component; coalesce to a
+            # sentinel keeps NULL a distinct countable value
+            key = F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                    for c in cols
+                ],
+            )
             agg_exprs.append(
                 (F.count(F.lit(1)) - F.countDistinct(key)).alias(f"_c{i}")
             )

@@ -436,6 +436,41 @@ def _op_incremental_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     ctx.put(out_name, out)
 
 
+@register_operator("incremental_near_dedup")
+def _op_incremental_near_dedup(
+    ctx: CompileContext, step: Mapping[str, Any]
+) -> None:
+    """NEAR-dup dedup of the input batch against a curated REFERENCE
+    frame (MinHash-LSH; the fuzzy twin of incremental_dedup for
+    lightly-edited re-ingests).  ``reference`` names another dataflow
+    frame holding the curated corpus (id + text).  Surviving batch rows
+    keep their full schema; see llm/dedup.py:incremental_near_dedup for
+    the band-index join shape and knobs."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        incremental_near_dedup,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ref_name = params.get("reference")
+    if not ref_name:
+        raise ValueError("incremental_near_dedup requires params.reference")
+    ctx.put(
+        out_name,
+        incremental_near_dedup(
+            ctx.get(in_name),
+            ctx.get(ref_name),
+            id_col=params.get("id_col", "doc_id"),
+            text_col=params.get("text_col", "text"),
+            num_hashes=params.get("num_hashes", 16),
+            bands=params.get("bands", 4),
+            threshold=params.get("threshold", 0.5),
+            shingle_n=params.get("shingle_n", 3),
+            max_bucket_size=params.get("max_bucket_size", 1000),
+        ),
+    )
+
+
 @register_operator("near_dedup")
 def _op_near_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     """MinHash-LSH near-duplicate removal: band-bucket candidates, exact

@@ -98,7 +98,7 @@ CORRECTNESS_WINDOW = [
     "q56_decontamination",               # curation
     "q60_skew_diagnostics",              # scale infrastructure
     "q89_product_nation_profit",         # SQL front end
-    "q122_countmin_heavy_hitters",       # sketches (post-guard re-verify)
+    "q127_incremental_near_dedup",       # round-5 addition, never verified
 ]
 
 

@@ -1781,6 +1781,91 @@ def q106_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q127 — incremental NEAR-dup dedup: the MinHash-LSH twin of q106's exact
+# continuous-ingest shape.  Same doc_id%10 split (reference < 8, incoming
+# batch >= 8); the batch's band rows join the reference's band INDEX on
+# (band, bucket) for cross-corpus candidates (reference text never
+# shuffles — see llm/dedup.py:incremental_near_dedup), exact shingle
+# Jaccard >= 0.5 confirms, and surviving batch docs also shed their
+# within-batch near-dups (q49's keep-lowest-id policy).  The oracle
+# replicates the full hash pipeline (q26's machinery) with per-side
+# bucket caps.
+# --------------------------------------------------------------------------
+def _incremental_near_dedup_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int = MINHASH_MAX_BUCKET,
+) -> str:
+    base = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
+    mh_exprs = ", ".join(
+        f"list_min([((h >> 30) + {i + 1} * (h & 1073741823)) % 1073741789"
+        f" for h in hs]) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    rows = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        parts = ", ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('-', {parts})) AS bucket FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    jac = (
+        "LEN(list_intersect(sa.sh, sb.sh)) * 1.0"
+        " / LEN(list_distinct(list_concat(sa.sh, sb.sh)))"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks WHERE len(tk) >= 3),
+    hsrc AS (SELECT doc_id, [{base} for s in sh] AS hs FROM sh),
+    sig AS (SELECT doc_id, {mh_exprs} FROM hsrc WHERE len(hs) > 0),
+    bands0 AS ({bands_sql}),
+    bi AS (SELECT doc_id, band, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+        FROM bands0 WHERE doc_id % 10 >= 8) WHERE bn <= {max_bucket_size}),
+    br AS (SELECT doc_id, band, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+        FROM bands0 WHERE doc_id % 10 < 8) WHERE bn <= {max_bucket_size}),
+    cross_cand AS (
+        SELECT DISTINCT i.doc_id AS id_a, r.doc_id AS id_b
+        FROM bi i JOIN br r ON i.band = r.band AND i.bucket = r.bucket),
+    cross_hits AS (
+        SELECT c.id_a FROM cross_cand c
+        JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE {jac} >= {threshold}),
+    within_cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bi a JOIN bi b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id),
+    within_hits AS (
+        SELECT c.id_b FROM within_cand c
+        JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE {jac} >= {threshold}),
+    victims AS (SELECT id_a AS doc_id FROM cross_hits
+                UNION SELECT id_b FROM within_hits)
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 10 >= 8
+      AND doc_id NOT IN (SELECT doc_id FROM victims)
+    """
+
+
+@query("q127_incremental_near_dedup", _incremental_near_dedup_sql())
+def q127_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    reference = d.filter(F.col("doc_id") % 10 < 8)
+    incoming = d.filter(F.col("doc_id") % 10 >= 8)
+    out = D.incremental_near_dedup(
+        incoming, reference, threshold=0.5,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
+    return out.select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
 # q109 — BPE merge-candidate mining: the first iteration of tokenizer
 # training at corpus scale.  BPE training repeatedly merges the most
 # frequent adjacent symbol pair; iteration one's statistics are exactly

@@ -438,3 +438,29 @@ def test_dataset_profiling_flow_golden(spark):
     assert set(counts) == {0, 1, 2, 3}
     lo, hi = min(counts.values()), max(counts.values())
     assert hi - lo <= 0.02 * n_orders  # equi-depth within percentile ties
+
+
+def test_dataset_checks_unique_is_null_safe(spark):
+    """NULL key components must count as their own distinct value: two
+    NULLs are duplicates of each other, but NULL never collides with the
+    empty string (concat_ws would silently drop it)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        dataset_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), ("",), ("a",)], schema="k string"
+    )
+    out = {
+        r["check"]: r
+        for r in dataset_checks(df, [{"type": "unique", "cols": ["k"]}]).collect()
+    }
+    assert out["unique"]["metric"] == 0 and out["unique"]["passed"]
+
+    dup_nulls = spark.createDataFrame(
+        [(None,), (None,), ("a",)], schema="k string"
+    )
+    out2 = dataset_checks(
+        dup_nulls, [{"type": "unique", "cols": ["k"]}]
+    ).collect()[0]
+    assert out2["metric"] == 1 and not out2["passed"]

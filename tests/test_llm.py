@@ -1045,3 +1045,64 @@ def test_q64_compression_golden_sf001(spark):
         got.astype(want.dtypes.to_dict()), want, check_exact=False, rtol=0,
         atol=1e-9,
     )
+
+
+def test_incremental_near_dedup_planted(spark):
+    """Cross-corpus gate: a lightly-edited copy of a reference doc drops;
+    fresh text survives; within-batch near-dups keep the lowest id; an
+    exact re-ingest drops too (near includes exact)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    ref = spark.createDataFrame(
+        [(0, base), (1, "completely unrelated reference text about spark plans")],
+        schema="doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " ok"),          # near-dup of ref 0 -> drop
+            (11, "a genuinely fresh document with new content entirely"),
+            (12, "twin content shared by two batch docs exactly the same"),
+            (13, "twin content shared by two batch docs exactly the same"),
+            (14, base),                  # exact re-ingest -> drop
+        ],
+        schema="doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]
+        for r in D.incremental_near_dedup(batch, ref, threshold=0.5).collect()
+    }
+    assert out == {11, 12}
+
+
+def test_incremental_near_dedup_registry_step(spark):
+    """The declarative step resolves the reference frame by name and keeps
+    the survivors' full schema."""
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "shared corpus passage repeated almost word for word here", "en")],
+        schema="doc_id bigint, text string, lang string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "shared corpus passage repeated almost word for word here!", "en"),
+            (11, "novel incoming content that matches nothing at all", "de"),
+        ],
+        schema="doc_id bigint, text string, lang string",
+    )
+    flow = {
+        "transformations": [
+            {
+                "name": "fresh",
+                "type": "incremental_near_dedup",
+                "params": {"input": "batch", "reference": "corpus"},
+            }
+        ]
+    }
+    ctx = CompileContext(spark, frames={"batch": batch, "corpus": ref})
+    apply_transformations(ctx, flow)
+    rows = ctx.frames["fresh"].collect()
+    assert [r["doc_id"] for r in rows] == [11]
+    assert set(ctx.frames["fresh"].columns) == {"doc_id", "text", "lang"}
