@@ -460,6 +460,25 @@ def lloyd_centroids(x, k_lists: int, iters: int) -> list[list[float]]:
     return [[float(v) for v in c] for c in cents]
 
 
+def scaled_k_lists(
+    n_vectors: int, k_lists: int, target_cluster_size: int | None
+) -> int:
+    """Size-aware inverted-list count: ceil(n / target), floored at the
+    caller's base ``k_lists``.
+
+    With a FIXED k_lists, mean cluster size grows linearly with the
+    corpus and any in-cluster pair search (semantic_dedup) grows
+    QUADRATICALLY — sum(|cluster|^2) ~ n^2 / k.  Scaling the list count
+    to a target cluster size caps |cluster| so pair work stays ~n x
+    target (measured: q94 at sf10 went 235 s -> linear after switching;
+    the second decade exposed what sf0.1 -> sf1 hid in fixed overhead).
+    The rule is shared by the Spark trainer and the DuckDB oracle
+    builder so both derive identical centroid matrices."""
+    if target_cluster_size is None:
+        return k_lists
+    return max(k_lists, -(-n_vectors // target_cluster_size))
+
+
 @functools.lru_cache(maxsize=16)
 def train_centroids_from_parquet(
     parquet_path: str,
@@ -468,6 +487,7 @@ def train_centroids_from_parquet(
     k_lists: int = 16,
     iters: int = 5,
     train_limit: int = 2048,
+    target_cluster_size: int | None = None,
 ) -> list[list[float]] | None:
     """ivf_train_centroids without a SparkSession: read the table with
     pyarrow, take the same deterministic lowest-id sample, run the same
@@ -489,6 +509,9 @@ def train_centroids_from_parquet(
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    k_lists = scaled_k_lists(tbl.num_rows, k_lists, target_cluster_size)
+    if target_cluster_size is not None:
+        train_limit = max(train_limit, 4 * k_lists)
     pdf = tbl.to_pandas().sort_values(id_col, kind="mergesort").head(train_limit)
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     return lloyd_centroids(x, k_lists, iters)
@@ -650,6 +673,7 @@ def semantic_dedup(
     iters: int = 5,
     train_limit: int = 2048,
     cache_key: str | None = None,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     embeddings with the IVF coarse quantizer, find cosine near-dup pairs
@@ -666,6 +690,12 @@ def semantic_dedup(
     """
     from ominimo_dynamic_data_pipeline_spark.llm.dedup import dedup_corpus
 
+    if target_cluster_size is not None:
+        # one count (the trainer is already eager): cap mean cluster size
+        # so the in-cluster pair search stays ~n x target, never n^2/k —
+        # see scaled_k_lists
+        k_lists = scaled_k_lists(df.count(), k_lists, target_cluster_size)
+        train_limit = max(train_limit, 4 * k_lists)
     cents = ivf_train_centroids(
         df, id_col, vec_col, k_lists=k_lists, iters=iters,
         train_limit=train_limit, cache_key=cache_key,

@@ -601,6 +601,12 @@ def q89_product_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is absent.
 # --------------------------------------------------------------------------
 _SEMDEDUP_THRESHOLD = 0.95
+# Cap mean IVF cluster size so the in-cluster pair search stays ~n x 256:
+# with the former fixed 16 lists, sum(|cluster|^2) grew quadratically and
+# q94 hit 235 s at sf10 (the second-decade measurement that exposed it).
+# At sf0.01 (1600 vectors) the rule floors at the same 16 lists, so the
+# oracle centroids are unchanged there.
+_SEMDEDUP_TARGET = 256
 
 
 def _semantic_dedup_sql(dim: int = 64) -> str | None:
@@ -616,6 +622,7 @@ def _semantic_dedup_sql(dim: int = 64) -> str | None:
     cents = S.train_centroids_from_parquet(
         f"{_ORACLE_SF_DIR}/embeddings.parquet",
         k_lists=_IVF_LISTS, iters=_IVF_ITERS,
+        target_cluster_size=_SEMDEDUP_TARGET,
     )
     if cents is None:
         return None
@@ -640,7 +647,8 @@ def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.semantic_dedup(
-        e, threshold=_SEMDEDUP_THRESHOLD, k_lists=16, cache_key=sf_dir
+        e, threshold=_SEMDEDUP_THRESHOLD, k_lists=16, cache_key=sf_dir,
+        target_cluster_size=_SEMDEDUP_TARGET,
     ).select("vec_id", "label")
 
 

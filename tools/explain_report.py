@@ -131,6 +131,17 @@ SHOWCASE = {
         "per-date deltas; the single-partition running-sum window only "
         "ever sees the ~|distinct dates| aggregated spine."
     ),
+    "q125_decile_binning": (
+        "Equi-depth binning: one exact-percentile aggregate broadcasts a "
+        "single boundary-array row onto the facts (BroadcastNestedLoop of "
+        "1 row, no range join); binning is a pure array fold."
+    ),
+    "q127_incremental_near_dedup": (
+        "Incremental near-dup: the batch's band rows shuffle-join the "
+        "reference band index on (band, bucket); shingle frames persist "
+        "once per side; the victim list broadcasts into the final "
+        "anti-join — reference text never shuffles."
+    ),
 }
 
 
