@@ -62,6 +62,21 @@ def main() -> None:
 
     from ominimo_dynamic_data_pipeline_spark.streaming import ops as stream_ops
 
+    # Session warm-up: touch every table once (footer/schema caches, parquet
+    # reader + codegen scaffolding, buffer pools).  Whichever queries run
+    # FIRST otherwise absorb these one-time costs — the round-5 window
+    # rotation moved different queries to the front and their numbers
+    # jumped 2-3x purely from ordering (q95 0.21 -> 0.74 s).  Per-query
+    # warm-up below still handles per-plan codegen; this handles the
+    # session-global share so timings are order-independent.
+    for t in Path(sf_dir).glob("*.parquet"):
+        try:
+            spark.read.parquet(str(t)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     streaming: dict[str, dict] = {}
