@@ -378,6 +378,33 @@ def repetition_signals(
     )
 
 
+def bpe_encode_col(
+    word: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Symbol sequence of ``word`` under a priority-ordered BPE merge
+    table, as a space-joined string (q128's operator body).
+
+    Each char wraps as ``[c]``; merge (a, b) is one literal global
+    replace of ``[a][b]`` with ``[ab]`` — greedy left-to-right,
+    non-overlapping, and byte-identical in DuckDB's replace() so the
+    oracle can replicate.  Bracket sentinels (not spaces) because
+    adjacent symbols must not share a separator: ``' t h t h '`` merges
+    only once, ``[t][h][t][h]`` merges both pairs.  Callers must ensure
+    symbols cannot contain the sentinels (q128 restricts to alnum
+    words).  A pure literal-replace chain — codegen projection, no
+    shuffle."""
+    enc = F.array_join(
+        F.transform(
+            F.split(word, ""),
+            lambda c: F.concat(F.lit("["), c, F.lit("]")),
+        ),
+        "",
+    )
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    return F.btrim(F.replace(enc, F.lit("]["), F.lit(" ")), F.lit("[]"))
+
+
 def model_quality_score(
     df: DataFrame,
     weights: list[float],

@@ -1925,6 +1925,89 @@ def q109_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q128 — BPE vocabulary encoding: applying a trained merge table (the
+# step AFTER q109's pair mining; together they bracket tokenizer
+# training at corpus scale).  Each distinct word becomes its symbol
+# sequence under a pinned priority-ordered merge list: the word renders
+# as a bracket-wrapped symbol stream ([t][h][e]), then every merge
+# (a, b) -> ab is ONE literal left-to-right global replace of '[a][b]'
+# with '[ab]' — identical greedy non-overlapping semantics in Spark's
+# replace() and DuckDB's replace(), so the oracle is byte-for-byte.
+# Brackets (not spaces) because adjacent symbols must not SHARE a
+# separator: with ' a b ' patterns, ' t h t h ' merges only once (the
+# middle space is consumed by the first match; caught by unit test);
+# '[t][h][t][h]' merges both.  The demo vocabulary is alnum words so
+# the bracket sentinels can never collide with symbol bytes (byte-level
+# BPE in production would escape instead).  Scale shape: encoding runs on the DISTINCT vocabulary
+# (one map-side-combined count shuffle), never per token occurrence; a
+# full-corpus token stream is then encoded by broadcast-joining this
+# (word -> symbols) table onto it.  The merge list ships as expression
+# literals — the nested-replace chain is a pure codegen projection.
+# --------------------------------------------------------------------------
+_Q128_MERGES = [
+    ("t", "h"), ("h", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("th", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("in", "g"), ("an", "d"),
+]
+_Q128_TOP = 30
+
+
+def _bpe_encode_sql() -> str:
+    enc = ("array_to_string([ '[' || c || ']' for c in"
+           " string_split(word, '')], '')")
+    for a, b in _Q128_MERGES:
+        enc = f"replace({enc}, '[{a}][{b}]', '[{a}{b}]')"
+    enc = f"trim(replace({enc}, '][', ' '), '[]')"
+    return f"""
+    WITH words0 AS (
+        SELECT unnest({SQL_TOKS}) AS word FROM documents
+    ),
+    words AS (
+        SELECT word FROM words0 WHERE regexp_matches(word, '^[a-z0-9]+$')
+    ),
+    vocab AS (
+        SELECT word, COUNT(*) AS n_occurrences
+        FROM words GROUP BY word
+    ),
+    top AS (
+        SELECT word, n_occurrences,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, word)
+                    AS BIGINT) AS rank
+        FROM vocab
+    )
+    SELECT word, n_occurrences, rank,
+           {enc} AS symbols,
+           CAST(len(string_split({enc}, ' ')) AS BIGINT) AS n_symbols
+    FROM top WHERE rank <= {_Q128_TOP}
+    """
+
+
+@query("q128_bpe_encode", _bpe_encode_sql())
+def q128_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
+    top = vocab.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= _Q128_TOP)
+    enc = T.bpe_encode_col(F.col("word"), _Q128_MERGES)
+    return top.select(
+        "word",
+        "n_occurrences",
+        "rank",
+        enc.alias("symbols"),
+        F.size(F.split(enc, " ")).cast("bigint").alias("n_symbols"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q110 — BM25 retrieval over an inverted index: the classic sparse
 # counterpart to q29/q30's dense ANN, and the retrieval shape RAG-style
 # corpus tooling actually runs.  The index is the postings table

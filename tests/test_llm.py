@@ -1106,3 +1106,23 @@ def test_incremental_near_dedup_registry_step(spark):
     rows = ctx.frames["fresh"].collect()
     assert [r["doc_id"] for r in rows] == [11]
     assert set(ctx.frames["fresh"].columns) == {"doc_id", "text", "lang"}
+
+
+def test_q128_bpe_encode_greedy_merge_semantics(spark):
+    """Merges apply in priority order with greedy left-to-right
+    non-overlapping replacement — 'the' collapses fully (t h -> th,
+    th e -> the); repeated digraphs consume left-first."""
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        _Q128_MERGES,
+    )
+
+    df = spark.createDataFrame(
+        [("the",), ("ththe",), ("inin",)], schema="word string"
+    )
+    enc = T.bpe_encode_col(F.col("word"), _Q128_MERGES)
+    out = {r["word"]: r["symbols"] for r in df.select("word", enc.alias("symbols")).collect()}
+    assert out["the"] == "the"
+    # 't h t h e': leftmost 't h' merges first -> 'th th e' -> 'th the'
+    assert out["ththe"] == "th the"
+    # 'i n i n': greedy non-overlapping -> 'in in'; then 'in g' absent
+    assert out["inin"] == "in in"
