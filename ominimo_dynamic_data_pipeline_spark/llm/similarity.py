@@ -716,6 +716,65 @@ def semantic_dedup(
     return dedup_corpus(df, pairs, id_col)
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the DENSE complement of
+    the 8-gram overlap check (llm/sampling.py decontaminate / q56): a
+    corpus vector whose cosine against ANY eval-set vector reaches
+    ``threshold`` is flagged as contamination (paraphrased or reformatted
+    benchmark items that share no 8-gram still land next to the original
+    in embedding space).
+
+    Returns every corpus row with ``max_eval_cos`` (rounded 6) and a
+    ``contaminated`` boolean; callers filter.  Zero-norm corpus vectors
+    have no cosine direction: NULL max_eval_cos, contaminated false.
+
+    100 TB shape: eval sets are benchmark-sized (thousands, not corpus-
+    sized), so the eval vectors COLLECT to the driver (the IVF-centroid
+    precedent for bounded driver-side structures) and render as literal
+    arrays — the whole check is then a PURE PROJECTION over the corpus:
+    no join, no shuffle, streams with the scan.  For eval sets too big
+    for literals, fall back to a broadcast join + map-side max."""
+    ev = (
+        norm_frame(eval_df, id_col, vec_col)
+        .filter(F.col("nrm") > 0)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not ev:
+        raise ValueError("semantic_decontaminate: eval set is empty")
+    evlit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in r["vec_d"]]).alias("v"),
+                F.lit(float(r["nrm"])).alias("n"),
+            )
+            for r in ev
+        ]
+    )
+    cn = norm_frame(corpus, id_col, vec_col, extra_cols=list(keep_cols))
+    cos_arr = F.transform(
+        evlit,
+        lambda e: dot_double(F.col("vec_d"), e["v"])
+        / (F.col("nrm") * e["n"]),
+    )
+    mc = F.when(F.col("nrm") > 0, F.array_max(cos_arr))
+    return cn.select(
+        F.col(id_col),
+        *keep_cols,
+        F.round(mc, 6).alias("max_eval_cos"),
+        F.coalesce(mc >= F.lit(threshold), F.lit(False)).alias(
+            "contaminated"
+        ),
+    )
+
+
 def int8_scale_col(vec_d: Column) -> Column:
     """max|v| / 127 — the symmetric int8 quantization scale, the SAME math
     as quantize_int8 (q58's bit-exact oracle covers it)."""

@@ -1322,6 +1322,64 @@ def q56_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q129 — SEMANTIC benchmark decontamination: the dense complement of
+# q56's 8-gram overlap check.  Eval set = the 20 lowest-id embeddings
+# (benchmark-sized, collected and rendered as literal vectors — the IVF
+# centroid precedent), corpus = the rest; every corpus vector gets its
+# max cosine against the eval set as a PURE PROJECTION (no join, no
+# shuffle — the check streams with the scan at any corpus size).  The
+# oracle replicates the exact sequential-fold dot products and norms
+# (the q44 machinery, proven bit-exact), so max/round/compare agree
+# byte-for-byte.  Threshold 0.35 flags the synthetic corpus's top tail;
+# production eval sets use 0.9+.
+# --------------------------------------------------------------------------
+_Q129_EVAL, _Q129_THRESHOLD = 20, 0.35
+
+
+def _semantic_decon_sql(dim: int = 64) -> str:
+    return f"""
+    WITH allv AS (
+        SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+        FROM embeddings
+    ),
+    staged AS (
+        SELECT vec_id, label, v,
+               SQRT(list_reduce([CAST(0.0 AS DOUBLE)] || [x * x for x in v],
+                                {_FOLD})) AS nrm
+        FROM allv
+    ),
+    ev AS (SELECT vec_id, v, nrm FROM staged
+           WHERE vec_id < {_Q129_EVAL} AND nrm > 0),
+    corpus AS (SELECT vec_id, label, v, nrm FROM staged
+               WHERE vec_id >= {_Q129_EVAL}),
+    scored AS (
+        SELECT c.vec_id, c.label, c.nrm,
+               MAX(list_reduce([CAST(0.0 AS DOUBLE)] ||
+                               [c.v[i] * e.v[i]
+                                for i in range(1, {dim} + 1)],
+                               {_FOLD}) / (c.nrm * e.nrm)) AS mc
+        FROM corpus c CROSS JOIN ev e
+        GROUP BY c.vec_id, c.label, c.nrm
+    )
+    SELECT vec_id, label,
+           CASE WHEN nrm > 0 THEN ROUND(mc, 6) END AS max_eval_cos,
+           COALESCE(CASE WHEN nrm > 0 THEN mc >= {_Q129_THRESHOLD} END,
+                    FALSE) AS contaminated
+    FROM scored
+    """
+
+
+@query("q129_semantic_decontamination", _semantic_decon_sql())
+def q129_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") < _Q129_EVAL)
+    corpus = e.filter(F.col("vec_id") >= _Q129_EVAL)
+    return S.semantic_decontaminate(
+        corpus, ev, threshold=_Q129_THRESHOLD, keep_cols=("label",)
+    )
+
+
+# --------------------------------------------------------------------------
 # q65 — sliding-window token chunking (documents -> fixed-budget training
 # sequences).  No shuffle: token staging + sequence + posexplode is a
 # per-row pipeline; the md5 chunk fingerprint makes chunk-level exact

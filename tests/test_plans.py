@@ -359,3 +359,9 @@ def test_sketch_profile_is_single_aggregate_pass(spark, sf_dir):
     p = plan_of(out)
     assert "partial_hll_sketch_agg" in p  # map-side combine fires
     assert "partial_kll_sketch_agg" in p
+
+
+def test_q129_semantic_decon_is_shuffle_free(q):
+    # eval vectors are literals, so the contamination check must be a pure
+    # scan+projection — no Exchange anywhere in the plan
+    assert "Exchange" not in plan_of(q("q129_semantic_decontamination"), "simple")
