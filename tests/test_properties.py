@@ -386,3 +386,93 @@ def test_morton_key_properties(spark, a, b, a2, b2):
         return ra, rb
 
     assert undo(z1) == (a, b)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operator invariants: equi-depth binning, gap fill, BPE encode.
+# One hypothesis example = one small Spark job each, mirroring the
+# validator-suite budget above.
+# ---------------------------------------------------------------------------
+
+_vals = st.lists(
+    st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_equi_depth_bin_invariants(spark, values):
+    """Every row gets a bin in [0, bins); rows are conserved; bins are
+    monotone in the value (sorting by value never decreases the bin)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        equi_depth_bin,
+    )
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               schema="id bigint, v double")
+    out = equi_depth_bin(df, "v", bins=4).collect()
+    assert len(out) == len(values)
+    assert all(0 <= r["bin"] <= 3 for r in out)
+    by_val = sorted(out, key=lambda r: (r["v"], r["id"]))
+    bins = [r["bin"] for r in by_val]
+    assert bins == sorted(bins)
+
+
+_series = st.lists(
+    st.tuples(st.integers(0, 40), st.floats(0, 1e4, allow_nan=False)),
+    min_size=2,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_series)
+def test_gap_fill_linear_invariants(spark, pts):
+    """The spine is dense over [min, max]; present days keep their exact
+    value; interpolated values lie within the neighboring present values."""
+    import datetime
+
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        gap_fill_linear,
+    )
+
+    base = datetime.date(1997, 1, 1)
+    rows = [("k", base + datetime.timedelta(days=d), v) for d, v in pts]
+    df = spark.createDataFrame(rows, schema="k string, d date, v double")
+    out = sorted(
+        gap_fill_linear(df, ["k"], "d", "v").collect(), key=lambda r: r["d"]
+    )
+    days = sorted(d for d, _ in pts)
+    assert len(out) == days[-1] - days[0] + 1
+    present = {base + datetime.timedelta(days=d): v for d, v in pts}
+    for r in out:
+        if r["d"] in present:
+            assert not r["interpolated"]
+            assert abs(r["v"] - present[r["d"]]) < 1e-9
+        else:
+            assert r["interpolated"]
+            before = max(v for d, v in present.items() if d < r["d"])
+            lo_d = max(d for d in present if d < r["d"])
+            hi_d = min(d for d in present if d > r["d"])
+            lo, hi = sorted((present[lo_d], present[hi_d]))
+            assert lo - 1e-6 <= r["v"] <= hi + 1e-6
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abcdefghinorst", min_size=1, max_size=12),
+                min_size=1, max_size=8))
+def test_bpe_encode_roundtrip(spark, words):
+    """Removing the spaces from the symbol sequence reconstructs the word
+    exactly, and merging never increases the symbol count past len(word)."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import bpe_encode_col
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import _Q128_MERGES
+
+    df = spark.createDataFrame([(w,) for w in set(words)],
+                               schema="word string")
+    enc = bpe_encode_col(F.col("word"), _Q128_MERGES)
+    for r in df.select("word", enc.alias("sym")).collect():
+        assert r["sym"].replace(" ", "") == r["word"]
+        assert 1 <= len(r["sym"].split(" ")) <= len(r["word"])
