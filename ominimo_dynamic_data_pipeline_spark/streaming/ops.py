@@ -413,7 +413,20 @@ def run_to_completion(
     dedicated ``SparkSession.newSession()`` stream instead."""
     if output_mode is None:
         if stream_df.isStreaming:
-            analyzed = stream_df._jdf.queryExecution().analyzed().toString()
+            try:
+                # Private Py4J bridge (classic mode only, validated on
+                # Spark 4.1): the analyzed plan tells us whether this is
+                # a streaming aggregation.  Under Spark Connect (_jdf
+                # absent) callers must pass output_mode explicitly.
+                analyzed = (
+                    stream_df._jdf.queryExecution().analyzed().toString()
+                )
+            except Exception as exc:
+                raise RuntimeError(
+                    "run_to_completion could not inspect the analyzed plan "
+                    "to pick an output mode (classic PySpark only); pass "
+                    "output_mode explicitly: " + repr(exc)
+                ) from exc
             output_mode = "complete" if "Aggregate" in analyzed else "append"
         else:
             output_mode = "append"
