@@ -225,3 +225,44 @@ def q116_streaming_stateful_totals_e2e(
         F.col("s.n_events").alias("n_events"),
         F.round("s.value_sum", 2).alias("value_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q130 — streaming INCREMENTAL DEDUP end to end: the continuous-ingest
+# deployment of q106.  readStream over the documents parquet -> per-doc
+# fingerprint -> stream-static LEFT ANTI join against the curated
+# corpus's fingerprint index (static side, broadcast) -> streaming
+# group-min per fingerprint (state = one tiny row per fresh fp) ->
+# availableNow sink.  A replayed file source must reproduce the batch
+# operator exactly, so the oracle IS q106's — the hash comparison
+# verifies the stream-static anti-join path and dedup state, not just
+# the unified batch semantics.  Completes the streaming family's join
+# coverage: stream-static inner (enrichment test), stream-stream
+# interval (q115), and now stream-static ANTI.
+# --------------------------------------------------------------------------
+@query(
+    "q130_streaming_incremental_dedup_e2e",
+    _LLM_ORACLES["q106_incremental_dedup"],
+)
+def q130_streaming_incremental_dedup_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.text import normalize_text
+
+    static = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 < 8
+    )
+    ref_fps = static.select(
+        F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    src = stream_ops.read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    fresh = stream_ops.streaming_incremental_dedup(src, ref_fps)
+    return stream_ops.run_to_completion(
+        fresh,
+        "q130_incremental_dedup_sink",
+        shuffle_partitions=stream_ops.sized_state_partitions(
+            spark, sf_dir, table="documents.parquet"
+        ),
+    )

@@ -325,6 +325,50 @@ def interval_click_attribution(
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (schema from the
+    footer, same pattern as read_events_stream) — the continuous-ingest
+    source for streaming dedup."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def streaming_incremental_dedup(
+    incoming: DataFrame,
+    reference_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """incremental_exact_dedup's semantics on a STREAMING incoming batch:
+    fingerprint each arriving doc, stream-static LEFT ANTI join against
+    the curated corpus's fingerprint index (the static side loads once
+    per micro-batch plan, broadcast when small), then a streaming
+    group-min per fingerprint keeps the lowest id seen across ALL
+    micro-batches (state = one tiny row per distinct fresh fingerprint).
+
+    This is the continuous-ingest deployment shape of q106: the batch
+    operator re-runs per ingest; this keeps the dedup standing as data
+    arrives.  On a static frame it degrades to the batch operator
+    (identical plan semantics), which the oracle equivalence exploits."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import normalize_text
+
+    inc = incoming.withColumn(
+        "fp", F.md5(normalize_text(F.col(text_col)))
+    )
+    fresh = inc.join(
+        reference_fps.select("fp").distinct(), on="fp", how="left_anti"
+    )
+    return fresh.groupBy("fp").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_batch_copies"),
+    )
+
+
 def sized_state_partitions(
     spark: SparkSession,
     sf_dir: str,

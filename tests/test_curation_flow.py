@@ -464,3 +464,40 @@ def test_dataset_checks_unique_is_null_safe(spark):
         dup_nulls, [{"type": "unique", "cols": ["k"]}]
     ).collect()[0]
     assert out2["metric"] == 1 and not out2["passed"]
+
+
+def test_sketch_profile_kept_sketches_merge_across_runs(spark):
+    """keep_sketches is the cross-run story: per-shard sketches persist
+    and re-union instead of rescanning. Merging the kept per-group HLL
+    sketches must reproduce the global estimate the same aggregate would
+    give, and the merged KLL quantile must sit near the exact one."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        sketch_profile,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") % 611).alias("u"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    kept = sketch_profile(
+        df, group_by=["g"], distinct_cols=["u"], quantile_col="v",
+        quantiles=[0.5], keep_sketches=True,
+    )
+    merged = kept.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("u_hll")).cast("bigint").alias("d"),
+        F.kll_sketch_get_quantile_double(
+            F.aggregate(
+                F.slice(
+                    F.collect_list("v_kll"), 2,
+                    F.greatest(F.size(F.collect_list("v_kll")) - 1, F.lit(0)),
+                ),
+                F.element_at(F.collect_list("v_kll"), 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ),
+            F.lit(0.5),
+        ).alias("p50"),
+    ).first()
+    assert abs(merged["d"] - 611) <= 0.05 * 611
+    exact_p50 = df.agg(F.percentile("v", F.lit(0.5))).first()[0]
+    assert abs(merged["p50"] - exact_p50) <= 0.05 * 1000
