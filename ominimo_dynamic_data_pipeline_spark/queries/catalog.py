@@ -46,7 +46,9 @@ CORRECTNESS_WINDOW = [
     # stays hash-gated by tests/test_oracle_parity.py on each pytest run.
     #
     # q95-q98 lead per the round-4 ADVICE note: they were dropped from
-    # the round-4 window before ever getting a driver round.
+    # the round-4 window before ever getting a driver round.  The round-5
+    # additions (q127-q130) also take slots, funded by family reps that
+    # already carry driver-green rounds (q22/q30/q116 -> rounds 1-4).
     "q95_event_anomalies",
     "q96_weighted_sample",
     "q97_copurchase_pairs",
@@ -89,12 +91,12 @@ CORRECTNESS_WINDOW = [
     "q20_all_account_keys",              # set ops
     "q16_events_json_profile",           # scalar fns
     "q50_validated_lineitem",            # validation rule language
-    "q22_language_id",                   # text analysis
+    "q128_bpe_encode",                   # text analysis (round-5, never verified)
     "q57_dedup_clusters",                # dedup
-    "q30_knn_lsh",                       # similarity search
+    "q129_semantic_decontamination",     # similarity (round-5, never verified)
     "q32_multimodal_features",           # multimodal
     "q101_streaming_tumbling_e2e",       # streaming (real readStream)
-    "q116_streaming_stateful_totals_e2e",# streaming stateful
+    "q130_streaming_incremental_dedup_e2e",  # streaming (round-5, never verified)
     "q56_decontamination",               # curation
     "q60_skew_diagnostics",              # scale infrastructure
     "q89_product_nation_profit",         # SQL front end

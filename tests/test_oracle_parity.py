@@ -80,16 +80,19 @@ _FAMILY_REPS = {
     "scalar_fns": {"q16_events_json_profile", "q18_order_date_features",
                    "q42_event_props_map"},
     "validation": {"q50_validated_lineitem"},
-    "text": {"q21_doc_quality", "q22_language_id", "q24_tfidf_top_terms"},
+    "text": {"q21_doc_quality", "q22_language_id", "q24_tfidf_top_terms",
+             "q128_bpe_encode"},
     "dedup": {"q25_exact_dedup", "q26_minhash_near_dups",
               "q36_simhash_near_dups", "q57_dedup_clusters"},
-    "similarity": {"q29_knn_bruteforce", "q30_knn_lsh", "q44_knn_ivf"},
+    "similarity": {"q29_knn_bruteforce", "q30_knn_lsh", "q44_knn_ivf",
+                   "q129_semantic_decontamination"},
     "multimodal": {"q31_payload_stats", "q32_multimodal_features",
                    "q52_frame_samples"},
     "streaming": {"q33_tumbling_event_counts", "q34_user_sessions",
                   "q101_streaming_tumbling_e2e", "q102_streaming_sessions_e2e",
                   "q115_streaming_attribution_e2e",
-                  "q116_streaming_stateful_totals_e2e"},
+                  "q116_streaming_stateful_totals_e2e",
+                  "q130_streaming_incremental_dedup_e2e"},
     "curation": {"q53_train_val_split", "q56_decontamination",
                  "q62_corpus_curation"},
     "scale_infra": {"q60_skew_diagnostics"},
