@@ -89,3 +89,38 @@ def stratified_quota_sample(
     )
     quota = F.ceil(F.col("stratum_docs") * fraction)
     return ranked.filter(F.col("strat_rank") <= quota)
+
+
+def ngram_decontaminate(
+    df,
+    eval_df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    eval_text_col: str | None = None,
+):
+    """Per-doc benchmark-overlap counts (the q56 operator body, reusable):
+    docs sharing at least one token ``n``-gram with the eval corpus come
+    back as (id, n_contaminated_grams); clean docs are absent.
+
+    Scale shape: the eval side is benchmark-sized, so its distinct gram
+    set BROADCASTS onto the corpus gram stream — one corpus-side gram
+    generation (window-lead assembly, no quadratic re-tokenization; see
+    llm/dedup.py gram_frame), one broadcast semi-style join, one keyed
+    count.  Pair with llm/similarity.py semantic_decontaminate for
+    paraphrased contamination that shares no exact n-gram."""
+    from pyspark.sql import functions as F
+
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import gram_frame
+
+    grams = gram_frame(df, id_col, text_col, n)
+    eval_grams = (
+        gram_frame(eval_df, id_col, eval_text_col or text_col, n)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(eval_grams), on="gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )

@@ -471,6 +471,90 @@ def _op_incremental_near_dedup(
     )
 
 
+@register_operator("decontaminate")
+def _op_decontaminate(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Benchmark decontamination as a dataflow step: drop (default) or
+    flag input docs sharing at least one token n-gram with the REFERENCE
+    eval frame (q56's operator; llm/sampling.py ngram_decontaminate).
+    ``mode: "flag"`` keeps all rows and attaches n_contaminated_grams
+    (0 for clean) instead of dropping."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        ngram_decontaminate,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ref_name = params.get("reference")
+    if not ref_name:
+        raise ValueError("decontaminate requires params.reference")
+    id_col = params.get("id_col", "doc_id")
+    df = ctx.get(in_name)
+    hits = ngram_decontaminate(
+        df,
+        ctx.get(ref_name),
+        id_col=id_col,
+        text_col=params.get("text_col", "text"),
+        n=params.get("n", 8),
+        eval_text_col=params.get("reference_text_col"),
+    )
+    if params.get("mode", "drop") == "flag":
+        if "n_contaminated_grams" in df.columns:
+            raise ValueError(
+                "decontaminate flag mode reserves column "
+                "'n_contaminated_grams'; rename it on input "
+                f"'{in_name}' first"
+            )
+        out = df.join(F.broadcast(hits), on=id_col, how="left").fillna(
+            0, subset=["n_contaminated_grams"]
+        )
+    else:
+        out = df.join(
+            F.broadcast(hits.select(id_col)), on=id_col, how="left_anti"
+        )
+    ctx.put(out_name, out)
+
+
+@register_operator("semantic_decontaminate")
+def _op_semantic_decontaminate(
+    ctx: CompileContext, step: Mapping[str, Any]
+) -> None:
+    """Embedding-space decontamination as a dataflow step (q129's
+    operator): drop (default) or flag input rows whose max cosine
+    against the REFERENCE eval embeddings reaches ``threshold``.  The
+    eval set renders as literals, so the check itself is a shuffle-free
+    projection; only the small victim/flag frame joins back."""
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        semantic_decontaminate,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ref_name = params.get("reference")
+    if not ref_name:
+        raise ValueError("semantic_decontaminate requires params.reference")
+    id_col = params.get("id_col", "vec_id")
+    df = ctx.get(in_name)
+    flags = semantic_decontaminate(
+        df,
+        ctx.get(ref_name),
+        id_col=id_col,
+        vec_col=params.get("vec_col", "embedding"),
+        threshold=params.get("threshold", 0.95),
+    )
+    if params.get("mode", "drop") == "flag":
+        clash = {"max_eval_cos", "contaminated"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"semantic_decontaminate flag mode reserves columns "
+                f"{sorted(clash)}; rename them on input '{in_name}' first"
+            )
+        out = df.join(flags, on=id_col, how="left")
+    else:
+        victims = flags.filter(F.col("contaminated")).select(id_col)
+        out = df.join(F.broadcast(victims), on=id_col, how="left_anti")
+    ctx.put(out_name, out)
+
+
 @register_operator("near_dedup")
 def _op_near_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     """MinHash-LSH near-duplicate removal: band-bucket candidates, exact

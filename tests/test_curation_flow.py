@@ -501,3 +501,114 @@ def test_sketch_profile_kept_sketches_merge_across_runs(spark):
     assert abs(merged["d"] - 611) <= 0.05 * 611
     exact_p50 = df.agg(F.percentile("v", F.lit(0.5))).first()[0]
     assert abs(merged["p50"] - exact_p50) <= 0.05 * 1000
+
+
+def test_decontaminate_step_drop_and_flag(spark):
+    """The n-gram decontamination step drops docs sharing an 8-gram with
+    the reference frame; flag mode keeps all rows with counts."""
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    ref = spark.createDataFrame(
+        [(0, shared)], schema="doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "prefix " + shared),                       # contaminated
+            (11, "totally different words with no overlap at all here ok"),
+        ],
+        schema="doc_id bigint, text string",
+    )
+    flow = {
+        "transformations": [
+            {
+                "name": "clean",
+                "type": "decontaminate",
+                "params": {"input": "batch", "reference": "evalset"},
+            }
+        ]
+    }
+    ctx = CompileContext(spark, frames={"batch": batch, "evalset": ref})
+    apply_transformations(ctx, flow)
+    assert [r["doc_id"] for r in ctx.frames["clean"].collect()] == [11]
+
+    flag_flow = {
+        "transformations": [
+            {
+                "name": "flagged",
+                "type": "decontaminate",
+                "params": {
+                    "input": "batch",
+                    "reference": "evalset",
+                    "mode": "flag",
+                },
+            }
+        ]
+    }
+    ctx2 = CompileContext(spark, frames={"batch": batch, "evalset": ref})
+    apply_transformations(ctx2, flag_flow)
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in ctx2.frames["flagged"].collect()
+    }
+    assert got[11] == 0 and got[10] >= 1
+
+
+def test_semantic_decontaminate_step(spark):
+    """The embedding-space step drops corpus vectors near any eval
+    vector; flag mode attaches the cosine + verdict."""
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.99, 0.01, 0.0, 0.0]),   # ~same direction -> drop
+            (11, [0.0, 1.0, 0.0, 0.0]),     # orthogonal -> keep
+        ],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    flow = {
+        "transformations": [
+            {
+                "name": "clean",
+                "type": "semantic_decontaminate",
+                "params": {
+                    "input": "corpus",
+                    "reference": "evalset",
+                    "threshold": 0.9,
+                },
+            }
+        ]
+    }
+    ctx = CompileContext(spark, frames={"corpus": corpus, "evalset": ref})
+    apply_transformations(ctx, flow)
+    assert [r["vec_id"] for r in ctx.frames["clean"].collect()] == [11]
+
+    flag_flow = {
+        "transformations": [
+            {
+                "name": "flagged",
+                "type": "semantic_decontaminate",
+                "params": {
+                    "input": "corpus",
+                    "reference": "evalset",
+                    "threshold": 0.9,
+                    "mode": "flag",
+                },
+            }
+        ]
+    }
+    ctx2 = CompileContext(spark, frames={"corpus": corpus, "evalset": ref})
+    apply_transformations(ctx2, flag_flow)
+    got = {r["vec_id"]: r for r in ctx2.frames["flagged"].collect()}
+    assert got[10]["contaminated"] and not got[11]["contaminated"]
+    assert got[10]["max_eval_cos"] > 0.9
