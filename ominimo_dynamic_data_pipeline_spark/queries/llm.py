@@ -1308,16 +1308,15 @@ def _decontamination_sql(n: int = _Q56_N) -> str:
 
 @query("q56_decontamination", _decontamination_sql())
 def q56_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    grams = D.gram_frame(d, n=_Q56_N)
-    eval_grams = (
-        grams.filter(F.col("doc_id") < 10).select("gram").distinct()
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        ngram_decontaminate,
     )
-    return (
-        grams.filter(F.col("doc_id") >= 10)
-        .join(F.broadcast(eval_grams), on="gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_decontaminate(
+        d.filter(F.col("doc_id") >= 10),
+        d.filter(F.col("doc_id") < 10),
+        n=_Q56_N,
     )
 
 
