@@ -41,6 +41,9 @@ def write_sink(df: DataFrame, sink: Mapping[str, Any]) -> None:
     partition_by = sink.get("partitionBy") or []
     num_files = sink.get("repartition")
 
+    zorder_by = sink.get("zorderBy") or []
+    sort_by = sink.get("sortBy") or []
+
     out = df
     if fmt == "csv":
         out = flatten_arrays_for_csv(out)
@@ -49,8 +52,44 @@ def write_sink(df: DataFrame, sink: Mapping[str, Any]) -> None:
         # Mirror the reader's default element name so a write->read
         # roundtrip needs no extra options.
         options.setdefault("rowTag", "row")
+    if zorder_by:
+        # Z-order layout (the q104 operator as a SINK option): range-
+        # partition + sort by the Morton interleave of the two columns so
+        # every file's parquet min/max footers are tight in BOTH
+        # dimensions — predicates on either column skip most files.
+        # Values pre-scale to the key's bit budget by value RANK
+        # (percent_rank avoids assuming a value range); the rank windows
+        # are global but carry only the two key columns.
+        if len(zorder_by) != 2:
+            raise ValueError(
+                "zorderBy takes exactly two columns (Morton interleave); "
+                f"got {zorder_by!r}"
+            )
+        from pyspark.sql.window import Window
+
+        from ominimo_dynamic_data_pipeline_spark.operators.scale import (
+            morton_key,
+        )
+
+        bits = int(sink.get("zorderBits", 16))
+        scale = F.lit((1 << bits) - 1)
+        a, b = (
+            F.round(
+                F.percent_rank().over(Window.orderBy(F.col(c))) * scale
+            ).cast("bigint")
+            for c in zorder_by
+        )
+        out = (
+            out.withColumn("_zkey", morton_key(a, b, bits=bits))
+            .repartitionByRange(int(num_files or 32), F.col("_zkey"))
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+        num_files = None
     if num_files:
         out = out.repartition(int(num_files))
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
 
     for path in paths:
         writer = out.write.mode(mode).options(**options)

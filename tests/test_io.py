@@ -194,3 +194,61 @@ def test_custom_python_datasource_partitions_and_determinism(spark):
     assert row["event_id"] == 2
     assert row["user_id"] == (2 * 2654435761) % 9973
     assert row["event_type"] == "purchase"
+
+
+def test_sink_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """zorderBy sink option: per-file min/max extents must be tight in
+    BOTH dimensions (the q104 contract) — each output file covers a
+    small fraction of each value range, where a linear sort is tight in
+    one dimension only."""
+    import pyspark.sql.functions as F
+
+    from ominimo_dynamic_data_pipeline_spark.io.writer import write_sink
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+    )
+    path = str(tmp_path / "zordered")
+    write_sink(
+        df,
+        {
+            "paths": [path],
+            "format": "parquet",
+            "zorderBy": ["x", "y"],
+            "repartition": 16,
+        },
+    )
+    back = spark.read.parquet(path).withColumn(
+        "f", F.input_file_name()
+    )
+    ext = back.groupBy("f").agg(
+        (F.max("x") - F.min("x")).alias("dx"),
+        (F.max("y") - F.min("y")).alias("dy"),
+    ).collect()
+    assert len(ext) > 4
+    # average per-file coverage of each 0..63 range well under the whole
+    avg_dx = sum(r["dx"] for r in ext) / len(ext)
+    avg_dy = sum(r["dy"] for r in ext) / len(ext)
+    assert avg_dx < 40 and avg_dy < 40
+    # roundtrip content is intact
+    assert back.count() == n
+
+
+def test_sink_sort_by_option(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ominimo_dynamic_data_pipeline_spark.io.writer import write_sink
+
+    df = spark.range(100).select(
+        F.col("id"), (99 - F.col("id")).alias("rev")
+    )
+    path = str(tmp_path / "sorted")
+    write_sink(
+        df,
+        {"paths": [path], "format": "parquet", "repartition": 1,
+         "sortBy": ["rev"]},
+    )
+    rows = spark.read.parquet(path).collect()
+    assert [r["rev"] for r in rows] == sorted(r["rev"] for r in rows)
