@@ -105,6 +105,12 @@ def gap_fill_linear(
     first / after the last present day cannot occur since the spine is
     bounded by them)."""
     parts = list(partition_cols)
+    clash = {c for c in df.columns if c.startswith("_gf_")}
+    if clash:
+        raise ValueError(
+            f"gap_fill_linear reserves the _gf_ column prefix; rename "
+            f"{sorted(clash)} first"
+        )
     facts = df.select(
         *parts,
         F.col(time_col).cast("date").alias("_gf_d"),
