@@ -612,3 +612,46 @@ def test_semantic_decontaminate_step(spark):
     got = {r["vec_id"]: r for r in ctx2.frames["flagged"].collect()}
     assert got[10]["contaminated"] and not got[11]["contaminated"]
     assert got[10]["max_eval_cos"] > 0.9
+
+
+def test_corpus_refresh_flow_matches_direct_api(spark):
+    """The corpus-refresh dataflow (decontaminate -> incremental near-dup
+    vs the curated corpus) compiles from metadata and matches the direct
+    API composition row for row."""
+    import json
+    from pathlib import Path
+
+    sf = "/root/testdata/sf0.01"
+    if not Path(sf).is_dir():
+        pytest.skip("sf0.01 testdata missing")
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        incremental_near_dedup,
+    )
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        ngram_decontaminate,
+    )
+
+    meta = json.loads(
+        (Path(__file__).parent.parent / "examples" / "corpus_curation.json")
+        .read_text()
+    )
+    flow = select_dataflow(meta, "corpus-refresh")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    got = {r["doc_id"] for r in compiled.frames["fresh_docs"].collect()}
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 10 < 8)
+    evalset = docs.filter(F.col("doc_id") < 10)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    hits = ngram_decontaminate(batch, evalset, n=8)
+    clean = batch.join(
+        F.broadcast(hits.select("doc_id")), on="doc_id", how="left_anti"
+    )
+    want = {
+        r["doc_id"]
+        for r in incremental_near_dedup(
+            clean, ref, threshold=0.5, max_bucket_size=1000
+        ).collect()
+    }
+    assert got == want and len(got) > 0
