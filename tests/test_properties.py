@@ -476,3 +476,50 @@ def test_bpe_encode_roundtrip(spark, words):
     for r in df.select("word", enc.alias("sym")).collect():
         assert r["sym"].replace(" ", "") == r["word"]
         assert 1 <= len(r["sym"].split(" ")) <= len(r["word"])
+
+
+_dq_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5).map(str)),
+        st.integers(0, 3),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_dq_rows)
+def test_dataset_checks_metrics_match_python_truth(spark, rows):
+    """row_count / unique (NULL-safe) / not_null metrics equal a direct
+    Python computation on the same rows, and passed follows the gates."""
+    from collections import Counter
+
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        dataset_checks,
+    )
+
+    df = spark.createDataFrame(rows, schema="k string, v bigint")
+    out = {
+        (r["check"], r["target"]): r
+        for r in dataset_checks(
+            df,
+            [
+                {"type": "row_count", "min_rows": 5},
+                {"type": "unique", "cols": ["k"]},
+                {"type": "unique", "cols": ["k", "v"]},
+                {"type": "not_null", "col": "k"},
+            ],
+        ).collect()
+    }
+    n = len(rows)
+    assert out[("row_count", "*")]["metric"] == n
+    assert out[("row_count", "*")]["passed"] == (n >= 5)
+    dup_k = n - len(Counter(k for k, _ in rows))
+    dup_kv = n - len(Counter(rows))
+    assert out[("unique", "k")]["metric"] == dup_k
+    assert out[("unique", "k")]["passed"] == (dup_k == 0)
+    assert out[("unique", "k,v")]["metric"] == dup_kv
+    nulls = sum(1 for k, _ in rows if k is None)
+    assert out[("not_null", "k")]["metric"] == nulls
+    assert out[("not_null", "k")]["passed"] == (nulls == 0)
