@@ -142,6 +142,11 @@ SHOWCASE = {
         "once per side; the victim list broadcasts into the final "
         "anti-join — reference text never shuffles."
     ),
+    "q129_semantic_decontamination": (
+        "Semantic decontamination: the eval set renders as literal "
+        "vectors, so the max-cosine contamination flag is a pure "
+        "scan+projection — zero Exchange anywhere in the plan."
+    ),
 }
 
 
