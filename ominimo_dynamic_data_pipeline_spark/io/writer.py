@@ -52,38 +52,63 @@ def write_sink(df: DataFrame, sink: Mapping[str, Any]) -> None:
         # Mirror the reader's default element name so a write->read
         # roundtrip needs no extra options.
         options.setdefault("rowTag", "row")
+    if zorder_by and sort_by:
+        # sortWithinPartitions(sort_by) after the zkey sort would silently
+        # destroy the z-order layout (footer min/max no longer tight in
+        # the zorder columns) while the user believes they got both.
+        raise ValueError(
+            "zorderBy and sortBy are mutually exclusive: a later sortBy "
+            "replaces the within-partition Morton ordering"
+        )
     if zorder_by:
         # Z-order layout (the q104 operator as a SINK option): range-
         # partition + sort by the Morton interleave of the two columns so
         # every file's parquet min/max footers are tight in BOTH
         # dimensions — predicates on either column skip most files.
-        # Values pre-scale to the key's bit budget by value RANK
-        # (percent_rank avoids assuming a value range); the rank windows
-        # are global but carry only the two key columns.
+        # Values pre-scale to the key's bit budget by min/max (one
+        # two-row-wide aggregate broadcast back onto the stream — the
+        # q104 scaling, a pure projection).  NOT percent_rank: a global
+        # rank window funnels the full-width frame through ONE partition
+        # (Spark even warns "No Partition Defined for Window"), an
+        # executor-OOM cliff at exactly the scale this layout targets.
+        # Value-skew within the key range is absorbed downstream by
+        # repartitionByRange, whose sampled range bounds give
+        # equal-FREQUENCY output partitions regardless of the key
+        # distribution.
         if len(zorder_by) != 2:
             raise ValueError(
                 "zorderBy takes exactly two columns (Morton interleave); "
                 f"got {zorder_by!r}"
             )
-        from pyspark.sql.window import Window
-
         from ominimo_dynamic_data_pipeline_spark.operators.scale import (
             morton_key,
         )
 
         bits = int(sink.get("zorderBits", 16))
-        scale = F.lit((1 << bits) - 1)
-        a, b = (
-            F.round(
-                F.percent_rank().over(Window.orderBy(F.col(c))) * scale
-            ).cast("bigint")
-            for c in zorder_by
+        scale = F.lit(float((1 << bits) - 1))
+        mm = out.agg(
+            *[
+                agg(F.col(c).cast("double")).alias(f"_z{tag}{i}")
+                for i, c in enumerate(zorder_by)
+                for tag, agg in (("lo", F.min), ("hi", F.max))
+            ]
         )
+        dims = [
+            F.round(
+                (F.col(c).cast("double") - F.col(f"_zlo{i}"))
+                / F.greatest(
+                    F.col(f"_zhi{i}") - F.col(f"_zlo{i}"), F.lit(1e-12)
+                )
+                * scale
+            ).cast("bigint")
+            for i, c in enumerate(zorder_by)
+        ]
         out = (
-            out.withColumn("_zkey", morton_key(a, b, bits=bits))
+            out.join(F.broadcast(mm))
+            .withColumn("_zkey", morton_key(dims[0], dims[1], bits=bits))
             .repartitionByRange(int(num_files or 32), F.col("_zkey"))
             .sortWithinPartitions("_zkey")
-            .drop("_zkey")
+            .drop("_zkey", *mm.columns)
         )
         num_files = None
     if num_files:

@@ -214,9 +214,15 @@ def dataset_checks(
     * ``not_null`` — ``col``: metric = NULL count.
     * ``freshness`` — ``col``: metric = days since max(col) relative to
       ``as_of`` (an ISO date string, required so runs are deterministic);
-      ``max_age_days`` optional gate.
+      ``max_age_days`` optional gate.  An empty frame (or an all-NULL
+      column) has NULL metric and FAILS the gate — no data is the
+      stalest possible dataset, and a three-valued ``passed`` would let
+      it slip past a ``WHERE NOT passed`` consumer.
     * ``ref_integrity`` — ``col`` + ``reference`` (a key in
       ``references``) + ``ref_col``: metric = orphan rows (anti-join).
+      NULL foreign keys are NOT violations (SQL FK semantics — a NULL
+      FK matches vacuously); add a ``not_null`` check on the same
+      column to forbid them.
 
     All single-frame checks fold into ONE aggregate pass; each
     ref_integrity check adds one anti-join reduced to a count before the
@@ -283,8 +289,12 @@ def dataset_checks(
                     F.lit(True) if gate is None else metric >= F.lit(int(gate))
                 )
             elif ctype == "freshness":
+                # coalesce: empty/all-NULL input -> NULL metric must FAIL
+                # the gate, not float through as a three-valued passed
                 passed = (
-                    F.lit(True) if gate is None else metric <= F.lit(int(gate))
+                    F.lit(True)
+                    if gate is None
+                    else F.coalesce(metric <= F.lit(int(gate)), F.lit(False))
                 )
             else:
                 passed = metric <= F.lit(int(gate))
@@ -310,7 +320,11 @@ def dataset_checks(
             )
         ref = refs[ch["reference"]]
         orphans = (
+            # NULL FKs are not orphans (SQL FK semantics); without the
+            # filter the anti-join can never match them and every NULL
+            # row would count as a violation
             df.select(F.col(ch["col"]))
+            .filter(F.col(ch["col"]).isNotNull())
             .join(
                 ref.select(F.col(ch["ref_col"]).alias(ch["col"])),
                 ch["col"],

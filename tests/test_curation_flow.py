@@ -466,6 +466,43 @@ def test_dataset_checks_unique_is_null_safe(spark):
     assert out2["metric"] == 1 and not out2["passed"]
 
 
+def test_dataset_checks_ref_integrity_ignores_null_fks(spark):
+    """SQL FK semantics: NULL foreign keys are not violations — only
+    non-null values absent from the reference count as orphans."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        dataset_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (None,), (99,)], schema="fk int"
+    )
+    ref = spark.createDataFrame([(1,), (2,)], schema="pk int")
+    row = dataset_checks(
+        df,
+        [{"type": "ref_integrity", "col": "fk", "reference": "dim",
+          "ref_col": "pk"}],
+        references={"dim": ref},
+    ).collect()[0]
+    assert row["metric"] == 1 and not row["passed"]  # only fk=99
+
+
+def test_dataset_checks_freshness_fails_on_empty_frame(spark):
+    """An empty (or all-NULL) frame is the stalest possible dataset:
+    passed must be a definite False, never NULL (three-valued logic
+    would hide the row from a WHERE NOT passed consumer)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        dataset_checks,
+    )
+
+    empty = spark.createDataFrame([], schema="d date")
+    row = dataset_checks(
+        empty,
+        [{"type": "freshness", "col": "d", "as_of": "2026-01-01",
+          "max_age_days": 30}],
+    ).collect()[0]
+    assert row["metric"] is None and row["passed"] is False
+
+
 def test_sketch_profile_kept_sketches_merge_across_runs(spark):
     """keep_sketches is the cross-run story: per-shard sketches persist
     and re-union instead of rescanning. Merging the kept per-group HLL

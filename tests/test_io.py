@@ -236,6 +236,49 @@ def test_sink_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     assert back.count() == n
 
 
+def test_sink_zorder_has_no_global_window(spark, tmp_path):
+    """The Morton key scaling must be a broadcast min/max projection —
+    a global rank window would funnel the full-width frame through one
+    partition (the 100 TB OOM cliff the sink exists to avoid)."""
+    import pyspark.sql.functions as F
+
+    from ominimo_dynamic_data_pipeline_spark.io.writer import write_sink
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("bigint").alias("y")
+    )
+    captured = {}
+    orig = type(df).sortWithinPartitions
+
+    def spy(self, *a, **k):
+        captured["plan"] = self._jdf.queryExecution().toString()
+        return orig(self, *a, **k)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(df), "sortWithinPartitions", spy):
+        write_sink(
+            df,
+            {"paths": [str(tmp_path / "z")], "format": "parquet",
+             "zorderBy": ["x", "y"]},
+        )
+    assert "Window" not in captured["plan"]
+
+
+def test_sink_zorder_rejects_conflicting_sort_by(spark, tmp_path):
+    import pytest
+
+    from ominimo_dynamic_data_pipeline_spark.io.writer import write_sink
+
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_sink(
+            df,
+            {"paths": [str(tmp_path / "zs")], "format": "parquet",
+             "zorderBy": ["id", "id"], "sortBy": ["id"]},
+        )
+
+
 def test_sink_sort_by_option(spark, tmp_path):
     import pyspark.sql.functions as F
 
