@@ -194,6 +194,27 @@ def minhash_signatures(
     )
 
 
+def pair_budget_cutoff(
+    hist: list[tuple[int, int]], max_pairs: int
+) -> tuple[int | None, int]:
+    """Resolve a total-pair budget against a bucket-size histogram of
+    ``(size, bucket_count)`` rows: returns ``(cutoff, kept_pairs)`` where
+    buckets of size >= ``cutoff`` must be shed (``None`` = everything
+    fits).  Policy: smallest buckets are kept first; the first size whose
+    pairs overflow the budget sheds itself and every larger size (a
+    bigger bucket never squeezes in after a smaller one overflowed).
+    Shared by expand_member_pairs and simhash_near_dups so the generic
+    budget and the band-aware one shed identically."""
+    total, cutoff = 0, None
+    for n, buckets in sorted(hist):
+        pairs = n * (n - 1) // 2 * buckets
+        if total + pairs > max_pairs:
+            cutoff = n
+            break
+        total += pairs
+    return cutoff, total
+
+
 def expand_member_pairs(
     grouped: DataFrame,
     members_col: str,
@@ -228,25 +249,26 @@ def expand_member_pairs(
             f"column names: {sorted(reserved)}"
         )
     if max_pairs is not None:
-        import warnings
+        from pyspark import StorageLevel
 
-        hist = (
-            grouped.select(F.size(F.col(members_col)).alias("n"))
+        # The census below is a separate EAGER job over the grouped
+        # frame; without a persist the returned frame re-runs the whole
+        # upstream pipeline (tokenize + hash + collect_list) a second
+        # time when it executes.  Same lifetime pattern as the simhash
+        # banded persist: released on session/GC cleanup.
+        grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+        hist = [
+            (r["n"], r["buckets"])
+            for r in grouped.select(F.size(F.col(members_col)).alias("n"))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("buckets"))
             .collect()
-        )
-        total, cutoff = 0, None
-        for row in sorted(hist, key=lambda r: r["n"]):
-            pairs = row["n"] * (row["n"] - 1) // 2 * row["buckets"]
-            if total + pairs > max_pairs:
-                cutoff = row["n"]
-                break
-            total += pairs
+        ]
+        cutoff, total = pair_budget_cutoff(hist, max_pairs)
         if cutoff is not None:
-            shed = [
-                (r["n"], r["buckets"]) for r in hist if r["n"] >= cutoff
-            ]
+            import warnings
+
+            shed = [(n, b) for n, b in hist if n >= cutoff]
             warnings.warn(
                 f"expand_member_pairs: pair budget max_pairs={max_pairs} "
                 f"exceeded; shedding buckets of size >= {cutoff} "
@@ -550,7 +572,8 @@ def simhash_near_dups(
     ).select(
         id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
     )
-    if max_bucket_size is not None:
+    need_census = max_bucket_size is not None or max_pairs is not None
+    if need_census:
         # The census below is a separate eager job, so ReusedExchange can
         # never share the signature pipeline with the returned frame —
         # persist the banded signatures once instead of hashing every
@@ -566,7 +589,7 @@ def simhash_near_dups(
     )
     grouped = pre.filter(F.size("members") > 1)
     shed_bits: dict[int, list[int]] = {}
-    if max_bucket_size is not None:
+    if need_census:
         # Shed-bucket lookup as LITERALS, resolved by one count-only
         # census: map-side partial counts -> a shuffle of at most
         # bands * 2^width tiny rows (the bucket key space is structurally
@@ -582,12 +605,46 @@ def simhash_near_dups(
         # filter back to plain bit equality.  NOTE: the census job runs
         # when this function is CALLED (driver-side literals), not when
         # the returned frame executes.
+        # ``max_pairs`` is resolved HERE, not delegated to
+        # expand_member_pairs: the cross-band suppression filter below
+        # must know which (band, bits) buckets the budget shed, or a pair
+        # whose lowest matching band was budget-shed would be silently
+        # suppressed out of its surviving higher band — the same recall
+        # hole the max_bucket_size census already plugs.  Both guards
+        # share one count-only census and collapse to a single effective
+        # per-bucket size threshold (pair_budget_cutoff keeps smallest
+        # buckets first, exactly the generic budget's policy).
         census = banded.groupBy("band", "bits").agg(
             F.count(F.lit(1)).alias("n")
         )
-        for row in census.filter(F.col("n") > max_bucket_size).collect():
-            shed_bits.setdefault(row["band"], []).append(row["bits"])
-        grouped = grouped.filter(F.size("members") <= max_bucket_size)
+        threshold = max_bucket_size
+        if max_pairs is not None:
+            hist = [
+                (r["n"], r["buckets"])
+                for r in census.filter(F.col("n") > 1)
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).alias("buckets"))
+                .collect()
+                if threshold is None or r["n"] <= threshold
+            ]
+            cutoff, total = pair_budget_cutoff(hist, max_pairs)
+            if cutoff is not None:
+                import warnings
+
+                warnings.warn(
+                    f"simhash_near_dups: pair budget max_pairs={max_pairs}"
+                    f" exceeded; shedding buckets of size >= {cutoff} "
+                    f"— keeping {total} candidate pairs",
+                    stacklevel=2,
+                )
+                threshold = min(
+                    threshold if threshold is not None else cutoff - 1,
+                    cutoff - 1,
+                )
+        if threshold is not None:
+            for row in census.filter(F.col("n") > threshold).collect():
+                shed_bits.setdefault(row["band"], []).append(row["bits"])
+            grouped = grouped.filter(F.size("members") <= threshold)
     # Multi-band dedup WITHOUT a distinct: a pair agreeing on several
     # bands would be emitted once per band, and distinct-ing the pair
     # stream costs a full output-sized shuffle (2.9M rows at sf0.1).
@@ -599,9 +656,7 @@ def simhash_near_dups(
     # is the guard's recall story), so a shed lower band never suppresses
     # a pair.  Shed-ness is a literal isin on the bits both sides already
     # carry (see the census above).
-    pairs = expand_member_pairs(
-        grouped, "members", keep_cols=("band",), max_pairs=max_pairs
-    )
+    pairs = expand_member_pairs(grouped, "members", keep_cols=("band",))
 
     def _bits(side: str, b: int):
         return F.shiftright(F.col(f"{side}.sig"), b * width).bitwiseAND(mask)

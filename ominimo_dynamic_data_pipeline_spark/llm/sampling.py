@@ -98,6 +98,7 @@ def ngram_decontaminate(
     text_col: str = "text",
     n: int = 8,
     eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
 ):
     """Per-doc benchmark-overlap counts (the q56 operator body, reusable):
     docs sharing at least one token ``n``-gram with the eval corpus come
@@ -114,8 +115,11 @@ def ngram_decontaminate(
     from ominimo_dynamic_data_pipeline_spark.llm.dedup import gram_frame
 
     grams = gram_frame(df, id_col, text_col, n)
+    # The eval frame's id is only a gram_frame grouping key and never
+    # surfaces downstream, so it need not share the corpus's column name
+    # (eval sets keyed by e.g. bench_id would otherwise fail analysis).
     eval_grams = (
-        gram_frame(eval_df, id_col, eval_text_col or text_col, n)
+        gram_frame(eval_df, eval_id_col or id_col, eval_text_col or text_col, n)
         .select("gram")
         .distinct()
     )

@@ -25,6 +25,11 @@ from pyspark.sql.window import Window
 
 from ominimo_dynamic_data_pipeline_spark.llm.dedup import dot_double, norm_frame
 
+# Ceiling for size-scaled inverted-list counts (scaled_k_lists): bounds the
+# driver-side Lloyd trainer (sample 4*k rows, O(sample x k) sims matrix)
+# and the rendered centroid-literal plan size.
+MAX_K_LISTS = 2048
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -473,10 +478,30 @@ def scaled_k_lists(
     target (measured: q94 at sf10 went 235 s -> linear after switching;
     the second decade exposed what sf0.1 -> sf1 hid in fixed overhead).
     The rule is shared by the Spark trainer and the DuckDB oracle
-    builder so both derive identical centroid matrices."""
+    builder so both derive identical centroid matrices.
+
+    Capped at ``MAX_K_LISTS``: the centroid trainer is DRIVER-side
+    (train_limit grows 4x with k and Lloyd's sims matrix is
+    O(train_limit x k)), and uncapped k would make the driver cost
+    quadratic in corpus size — at the cap the sample matrix stays
+    ~8 MB/dim-64 and the rendered centroid literals bounded.  Beyond
+    n = MAX_K_LISTS x target (half a billion vectors at target=256)
+    mean cluster size grows past target again; the scale path there is
+    a two-level (coarse-then-fine) quantizer, not more driver lists."""
     if target_cluster_size is None:
         return k_lists
-    return max(k_lists, -(-n_vectors // target_cluster_size))
+    want = max(k_lists, -(-n_vectors // target_cluster_size))
+    if want > MAX_K_LISTS:
+        import warnings
+
+        warnings.warn(
+            f"scaled_k_lists: capping k_lists at {MAX_K_LISTS} (requested "
+            f"{want} for n={n_vectors}, target={target_cluster_size}); "
+            "mean cluster size will exceed the target — consider a "
+            "two-level quantizer at this scale",
+            stacklevel=2,
+        )
+    return min(want, MAX_K_LISTS)
 
 
 @functools.lru_cache(maxsize=16)

@@ -496,6 +496,7 @@ def _op_decontaminate(ctx: CompileContext, step: Mapping[str, Any]) -> None:
         text_col=params.get("text_col", "text"),
         n=params.get("n", 8),
         eval_text_col=params.get("reference_text_col"),
+        eval_id_col=params.get("reference_id_col"),
     )
     if params.get("mode", "drop") == "flag":
         if "n_contaminated_grams" in df.columns:

@@ -692,3 +692,26 @@ def test_corpus_refresh_flow_matches_direct_api(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ngram_decontaminate_eval_frame_own_id_column(spark):
+    """The eval frame's id column need not share the corpus's name — a
+    benchmark keyed by bench_id must work (the eval id is only a
+    gram-assembly grouping key, never surfaced)."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        ngram_decontaminate,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [(1, words), (2, "totally different tokens only here now")],
+        schema="doc_id bigint, text string",
+    )
+    evalset = spark.createDataFrame(
+        [("bench-7", words)], schema="bench_id string, question string"
+    )
+    hits = ngram_decontaminate(
+        corpus, evalset, n=8,
+        eval_id_col="bench_id", eval_text_col="question",
+    ).collect()
+    assert [r["doc_id"] for r in hits] == [1]

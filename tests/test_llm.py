@@ -1018,6 +1018,68 @@ def test_expand_member_pairs_max_pairs_budget(spark, recwarn):
     assert not [x for x in w2 if "max_pairs" in str(x.message)]
 
 
+def test_scaled_k_lists_caps_driver_training_cost():
+    """Uncapped size-scaled list counts make the driver-side Lloyd
+    trainer quadratic in corpus size (train_limit ~ 4k, sims matrix
+    O(4k x k)); the cap bounds it and warns that cluster sizes will
+    exceed the target past the cap."""
+    import warnings
+
+    assert S.scaled_k_lists(10_000, 16, 256) == 40  # ceil(n/target)
+    assert S.scaled_k_lists(10_000, 16, None) == 16
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert S.scaled_k_lists(10**9, 16, 256) == S.MAX_K_LISTS
+    assert any("two-level" in str(x.message) for x in w)
+
+
+def test_expand_member_pairs_budget_census_persists_input(spark):
+    """The max_pairs census is an eager job over the grouped frame; the
+    input must be persisted so the RETURNED frame reuses the materialized
+    buckets instead of re-running the whole upstream pipeline (tokenize +
+    hash + collect_list) a second time."""
+    grouped = spark.createDataFrame(
+        [("b0", [1, 2, 3])], schema="bucket string, members array<bigint>"
+    )
+    assert not grouped.storageLevel.useMemory
+    D.expand_member_pairs(grouped, "members", max_pairs=100)
+    assert grouped.storageLevel.useMemory
+    grouped.unpersist()
+
+
+def test_simhash_max_pairs_shed_band_does_not_suppress_pairs(
+    spark, monkeypatch
+):
+    """Cross-band recovery must survive the PAIR BUDGET, not just the
+    per-bucket cap: a pair whose lowest matching band sits in a
+    budget-shed bucket must still be emitted from its surviving higher
+    band.  Crafted signatures (bits=8, bands=2): docs x/y are identical
+    (sig 0x7A) and share band-0 bucket 0xA with a 6-doc crowd (8 members
+    = 28 pairs, shed by max_pairs=5); their private band-1 bucket 0x7
+    (1 pair) survives.  Before the band-aware budget, the lowest-band
+    suppression filter dropped the (x, y) pair entirely."""
+    sigs = {
+        **{100 + i: (i << 4) | 0xA for i in range(1, 7)},  # crowd
+        1: (7 << 4) | 0xA,  # x
+        2: (7 << 4) | 0xA,  # y
+    }
+    crafted = spark.createDataFrame(
+        sorted(sigs.items()), schema="doc_id bigint, sig bigint"
+    )
+    monkeypatch.setattr(D, "simhash_frame", lambda *a, **k: crafted)
+    out = D.simhash_near_dups(
+        crafted.select("doc_id").withColumn("text", F.lit("unused")),
+        bits=8,
+        bands=2,
+        max_hamming=1,
+        max_pairs=5,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got  # recovered through the surviving band 1
+    # the crowd's band-0 pairs really were shed
+    assert not any(a >= 100 and b >= 100 for a, b in got)
+
+
 def test_q64_compression_golden_sf001(spark):
     """q64 is the catalog's only rows-only query (zlib has no DuckDB
     surface), so pin its FULL sf0.01 output against a checked-in golden:
