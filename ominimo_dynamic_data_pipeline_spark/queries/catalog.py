@@ -95,7 +95,8 @@ CORRECTNESS_WINDOW = [
     "q57_dedup_clusters",                # dedup
     "q129_semantic_decontamination",     # similarity (round-5, never verified)
     "q32_multimodal_features",           # multimodal
-    "q101_streaming_tumbling_e2e",       # streaming (real readStream)
+    "q131_streaming_enrichment_e2e",     # streaming (round-5, never verified;
+                                         # q101 already driver-green in r4)
     "q130_streaming_incremental_dedup_e2e",  # streaming (round-5, never verified)
     "q56_decontamination",               # curation
     "q60_skew_diagnostics",              # scale infrastructure

@@ -266,3 +266,51 @@ def q130_streaming_incremental_dedup_e2e(
             spark, sf_dir, table="documents.parquet"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q131 — stream-STATIC enrichment through the real streaming path: the
+# classic "fact stream x dimension table" shape (events enriched with the
+# customer's market segment, then windowed per-segment rollups).
+# readStream -> broadcast join against the static dim -> watermarked
+# tumbling aggregate -> availableNow sink.  The static side keeps NO
+# state (it is re-read per micro-batch, so slowly-changing dims pick up
+# updates between batches) and broadcasts — the stream never shuffles
+# for the join, only for the windowed aggregate.  Completes the
+# streaming catalog family: windowed agg (q101), merging sessions
+# (q102), stream-stream interval join (q115), arbitrary state (q116),
+# stream-static ANTI join (q130), stream-static INNER join (this).
+# Oracle: the batch join+rollup in DuckDB — exact agreement because a
+# replayed file source has no late data.
+# --------------------------------------------------------------------------
+@query(
+    "q131_streaming_enrichment_e2e",
+    """
+    SELECT STRFTIME(time_bucket(INTERVAL '1 hour', e.ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY window_start, c.c_mktsegment
+    """,
+)
+def q131_streaming_enrichment_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src = stream_ops.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    agg = stream_ops.enriched_segment_counts(src, dim, window="1 hour")
+    out = stream_ops.run_to_completion(
+        agg,
+        "q131_streaming_enrichment_sink",
+        shuffle_partitions=stream_ops.sized_state_partitions(spark, sf_dir),
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "c_mktsegment",
+        "n_events",
+        "value_sum",
+    )

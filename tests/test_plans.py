@@ -365,3 +365,19 @@ def test_q129_semantic_decon_is_shuffle_free(q):
     # eval vectors are literals, so the contamination check must be a pure
     # scan+projection — no Exchange anywhere in the plan
     assert "Exchange" not in plan_of(q("q129_semantic_decontamination"), "simple")
+
+
+def test_enriched_segment_counts_broadcasts_dim(spark, sf_dir):
+    # q131's operator on a static frame: the dimension must broadcast
+    # (the stream side never shuffles for the join), leaving the windowed
+    # aggregate's exchange as the only shuffle
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+    from ominimo_dynamic_data_pipeline_spark.streaming import ops
+
+    out = ops.enriched_segment_counts(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    p = plan_of(out, "simple")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 1
