@@ -128,3 +128,77 @@ def ngram_decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
+
+
+def temperature_mixture_rates(
+    counts: dict[str, int], alpha: float = 0.5, budget: int = 10_000
+) -> dict[str, float]:
+    """Per-group keep rates for temperature-based mixture rebalancing
+    (the multilingual/multi-source alpha-sampling of mT5/LLaMA-style
+    pretraining mixes): group g is sampled with probability proportional
+    to n_g^alpha, flattening the head and boosting the tail as alpha
+    drops below 1 (alpha=1 keeps the natural mix, alpha=0 is uniform).
+    ``budget`` is the expected TOTAL kept rows; rate_g =
+    min(1, budget * w_g / n_g) with w_g = n_g^alpha / sum.
+
+    Pure Python on driver-side group counts (groups are languages or
+    sources — dozens, never data-scaled), summed in sorted-key order so
+    the float total is reproducible.  SHARED with the DuckDB oracle
+    builder, which renders the same rates as SQL literals — so engine
+    and oracle agree bit-for-bit without cross-engine libm pow calls
+    (same discipline as the IVF centroid literals)."""
+    import math
+
+    if not counts:
+        raise ValueError("temperature_mixture_rates: no groups")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    w = {g: math.pow(n, alpha) for g, n in counts.items()}
+    tot = sum(w[g] for g in sorted(w))
+    return {
+        g: min(1.0, budget * (w[g] / tot) / counts[g]) for g in counts
+    }
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    budget: int = 10_000,
+    seed: int = 131,
+    mod: int = 1_048_576,
+) -> DataFrame:
+    """Deterministic temperature-rebalanced Bernoulli sample: keep a row
+    iff its md5-uniform u < its group's temperature rate (see
+    temperature_mixture_rates).  Adds ``keep_p`` (the group rate).
+
+    Scale shape: ONE narrow (group, count) aggregate collected (groups
+    are bounded — languages/sources, not data-scaled), rates rendered as
+    a literal CASE chain, membership a pure projection riding the scan —
+    no join, no second shuffle.  Rows whose group was absent from the
+    census (NULL group) have NULL rate and are dropped."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import md5_long
+
+    counts = {
+        r["_g"]: r["_n"]
+        for r in df.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+        if r["_g"] is not None
+    }
+    rates = temperature_mixture_rates(counts, alpha, budget)
+    rate = None
+    for g in sorted(rates):
+        cond = F.col(group_col) == F.lit(g)
+        rate = (
+            F.when(cond, F.lit(rates[g]))
+            if rate is None
+            else rate.when(cond, F.lit(rates[g]))
+        )
+    u = (
+        (md5_long(F.col(id_col).cast("string"), seed=seed) % mod)
+        * F.lit(1.0)
+        / F.lit(mod)
+    )
+    return df.withColumn("keep_p", rate).filter(u < F.col("keep_p"))

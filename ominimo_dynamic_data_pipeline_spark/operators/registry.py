@@ -776,6 +776,42 @@ def _op_dq_check(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     ctx.put(out_name, result)
 
 
+@register_operator("temperature_sample")
+def _op_temperature_sample(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Temperature-based mixture rebalancing as a dataflow step (the q132
+    operator behind metadata): rows kept with per-group probability
+    proportional to n_group^alpha, flattening over-represented
+    languages/sources toward the tail (llm/sampling.py
+    temperature_mixture_sample).  Params: ``group_col`` (default
+    ``lang``), ``alpha`` (default 0.5), ``budget`` (expected kept rows,
+    required), ``id_col``, ``seed``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        temperature_mixture_sample,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    if "budget" not in params:
+        raise ValueError("temperature_sample requires params.budget")
+    df = ctx.get(in_name)
+    if "keep_p" in df.columns:
+        raise ValueError(
+            "temperature_sample reserves column 'keep_p'; rename it on "
+            f"input '{in_name}' first"
+        )
+    ctx.put(
+        out_name,
+        temperature_mixture_sample(
+            df,
+            id_col=params.get("id_col", "doc_id"),
+            group_col=params.get("group_col", "lang"),
+            alpha=params.get("alpha", 0.5),
+            budget=int(params["budget"]),
+            seed=params.get("seed", 131),
+        ),
+    )
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

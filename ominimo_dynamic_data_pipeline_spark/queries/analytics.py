@@ -775,6 +775,67 @@ def q96_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q132 — temperature-based mixture rebalancing (the multilingual
+# alpha-sampling of mT5/LLaMA pretraining mixes): languages are sampled
+# with probability proportional to n^alpha, flattening the English head
+# and boosting tail languages.  Rates are computed DRIVER-side from one
+# bounded (lang, count) census by llm/sampling.py
+# temperature_mixture_rates — the SAME Python function the oracle
+# builder renders as SQL CASE literals, so engine and oracle agree
+# bit-for-bit without cross-engine pow calls (the IVF-centroid
+# discipline).  Membership is then a pure md5-uniform projection riding
+# the scan: no join, no shuffle (beyond the tiny census).
+# --------------------------------------------------------------------------
+_TM_SEED, _TM_MOD, _TM_ALPHA, _TM_BUDGET = 131, 1_048_576, 0.5, 300
+
+
+def _q132_oracle() -> str:
+    import duckdb
+
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        temperature_mixture_rates,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import _ORACLE_SF_DIR
+
+    counts = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT lang, COUNT(*) FROM "
+            f"'{_ORACLE_SF_DIR}/documents.parquet' GROUP BY lang"
+        )
+        .fetchall()
+    )
+    rates = temperature_mixture_rates(counts, _TM_ALPHA, _TM_BUDGET)
+    case = " ".join(
+        f"WHEN lang = '{g}' THEN {rates[g]!r}" for g in sorted(rates)
+    )
+    return f"""
+    SELECT doc_id, lang, ROUND(keep_p, 6) AS keep_p FROM (
+        SELECT doc_id, lang, CASE {case} END AS keep_p,
+               (CAST(('0x' || substr(md5('{_TM_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % {_TM_MOD}) * 1.0 / {_TM_MOD} AS u
+        FROM documents)
+    WHERE u < keep_p
+    """
+
+
+@query("q132_temperature_mixture", _q132_oracle())
+def q132_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        temperature_mixture_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = temperature_mixture_sample(
+        d, id_col="doc_id", group_col="lang",
+        alpha=_TM_ALPHA, budget=_TM_BUDGET, seed=_TM_SEED, mod=_TM_MOD,
+    )
+    return out.select(
+        "doc_id", "lang", F.round("keep_p", 6).alias("keep_p")
+    )
+
+
+# --------------------------------------------------------------------------
 # q97 — co-purchase pair mining (market-basket shape): parts appearing in
 # the same order become a pair; pairs counted corpus-wide, support >= 3.
 # Reuses expand_member_pairs, so per-order cost is |basket|^2 row by row

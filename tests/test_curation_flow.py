@@ -694,6 +694,53 @@ def test_corpus_refresh_flow_matches_direct_api(spark):
     assert got == want and len(got) > 0
 
 
+def test_temperature_sample_step_compiles_and_guards(spark):
+    """The temperature_sample dataflow step matches the direct operator
+    call and fails fast on a keep_p clash or missing budget."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        temperature_mixture_sample,
+    )
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, lang string")
+    ctx = CompileContext(spark)
+    ctx.put("docs", df)
+    flow = {
+        "transformations": [
+            {"name": "mixed", "type": "temperature_sample",
+             "params": {"input": "docs", "budget": 40, "alpha": 0.5}},
+        ]
+    }
+    frames = apply_transformations(ctx, flow)
+    got = {r["doc_id"] for r in frames["mixed"].collect()}
+    want = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            df, group_col="lang", alpha=0.5, budget=40
+        ).collect()
+    }
+    assert got == want and got
+
+    ctx2 = CompileContext(spark)
+    ctx2.put("docs", df)
+    with pytest.raises(ValueError, match="params.budget"):
+        apply_transformations(ctx2, {"transformations": [
+            {"name": "m", "type": "temperature_sample",
+             "params": {"input": "docs"}},
+        ]})
+    ctx3 = CompileContext(spark)
+    ctx3.put("docs", df.withColumn("keep_p", F.lit(1.0)))
+    with pytest.raises(ValueError, match="keep_p"):
+        apply_transformations(ctx3, {"transformations": [
+            {"name": "m", "type": "temperature_sample",
+             "params": {"input": "docs", "budget": 10}},
+        ]})
+
+
 def test_ngram_decontaminate_eval_frame_own_id_column(spark):
     """The eval frame's id column need not share the corpus's name — a
     benchmark keyed by bench_id must work (the eval id is only a

@@ -1018,6 +1018,52 @@ def test_expand_member_pairs_max_pairs_budget(spark, recwarn):
     assert not [x for x in w2 if "max_pairs" in str(x.message)]
 
 
+def test_temperature_mixture_rates_properties():
+    """alpha=1 keeps the natural mix (all rates equal), alpha=0 gives
+    equal EXPECTED counts per group, alpha in between boosts the tail:
+    rarer groups get strictly higher keep rates."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        temperature_mixture_rates,
+    )
+
+    counts = {"en": 218, "zh": 75, "es": 73, "de": 70, "fr": 64}
+    total = sum(counts.values())
+
+    r1 = temperature_mixture_rates(counts, alpha=1.0, budget=300)
+    assert all(abs(v - 300 / total) < 1e-12 for v in r1.values())
+
+    r0 = temperature_mixture_rates(counts, alpha=0.0, budget=300)
+    expected = {g: r0[g] * n for g, n in counts.items()}
+    assert max(expected.values()) - min(expected.values()) < 1e-9
+
+    rh = temperature_mixture_rates(counts, alpha=0.5, budget=300)
+    assert rh["fr"] > rh["de"] > rh["es"] > rh["zh"] > rh["en"]
+    # expected kept total == budget when nothing clips at 1.0
+    assert abs(sum(rh[g] * n for g, n in counts.items()) - 300) < 1e-9
+    # clipping: a tiny group under a huge budget caps at 1.0
+    rc = temperature_mixture_rates({"a": 2, "b": 1000}, 0.5, 900)
+    assert rc["a"] == 1.0
+
+
+def test_temperature_sample_is_deterministic_and_rebalanced(spark):
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, lang string")
+    out = temperature_mixture_sample(
+        df, group_col="lang", alpha=0.5, budget=400, seed=7
+    )
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b  # rerun-stable (md5-keyed, no rand())
+    kept = out.groupBy("lang").count().collect()
+    frac = {r["lang"]: r["count"] for r in kept}
+    # tail boosted: the small group keeps a far larger fraction
+    assert frac["small"] / 100 > 2 * frac["big"] / 900
+
+
 def test_scaled_k_lists_caps_driver_training_cost():
     """Uncapped size-scaled list counts make the driver-side Lloyd
     trainer quadratic in corpus size (train_limit ~ 4k, sims matrix

@@ -381,3 +381,10 @@ def test_enriched_segment_counts_broadcasts_dim(spark, sf_dir):
     p = plan_of(out, "simple")
     assert "BroadcastHashJoin" in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q132_temperature_sample_is_scan_projection(q):
+    # rates are driver literals, so the returned frame must be a pure
+    # filter+projection riding the documents scan — no Exchange, no join
+    p = plan_of(q("q132_temperature_mixture"), "simple")
+    assert "Exchange" not in p and "Join" not in p
