@@ -694,6 +694,33 @@ def test_corpus_refresh_flow_matches_direct_api(spark):
     assert got == want and len(got) > 0
 
 
+def test_mixture_rebalance_example_dataflow(spark):
+    """The shipped mixture-rebalance dataflow compiles from metadata and
+    boosts tail languages relative to the natural mix."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(
+        (Path(__file__).parent.parent / "examples" / "corpus_curation.json")
+        .read_text()
+    )
+    flow = select_dataflow(meta, "mixture-rebalance")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    before = {
+        r["lang"]: r["count"]
+        for r in compiled.frames["quality_docs"].groupBy("lang").count().collect()
+    }
+    after = {
+        r["lang"]: r["count"]
+        for r in compiled.frames["rebalanced"].groupBy("lang").count().collect()
+    }
+    assert sum(after.values()) > 0
+    # the head language's share must shrink after rebalancing
+    head = max(before, key=before.get)
+    assert after[head] / sum(after.values()) < before[head] / sum(before.values())
+
+
 def test_temperature_sample_step_compiles_and_guards(spark):
     """The temperature_sample dataflow step matches the direct operator
     call and fails fast on a keep_p clash or missing budget."""

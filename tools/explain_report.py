@@ -147,6 +147,12 @@ SHOWCASE = {
         "vectors, so the max-cosine contamination flag is a pure "
         "scan+projection — zero Exchange anywhere in the plan."
     ),
+    "q132_temperature_mixture": (
+        "Temperature mixture rebalancing: per-language keep rates are "
+        "driver literals (bounded census), so membership is a "
+        "scan-riding filter+projection — the only Exchange is the "
+        "final per-language rollup's."
+    ),
 }
 
 
