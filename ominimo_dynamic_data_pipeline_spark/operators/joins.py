@@ -1,0 +1,134 @@
+"""Time-ordered join operators.
+
+``asof_join`` is the point-in-time join every market-data / telemetry /
+feature-store pipeline needs (pandas ``merge_asof``, DuckDB/kdb
+``ASOF JOIN``): for each left row, attach the single right row whose
+timestamp is the latest at-or-before (backward) or earliest at-or-after
+(forward) the left row's, per matching key.
+
+Spark has no native as-of join, and the naive shapes fail at scale: a
+range-predicate join explodes to O(|left| x |right|) pairs per key before
+the per-row max, and a windowed subquery per left row re-sorts the right
+side repeatedly.  The shape here is the q15 catalog pattern generalized
+(queries/relational.py q15): UNION both sides, ONE window over
+(key, time) taking ``last(right_payload, ignorenulls)`` over the
+preceding frame — one exchange + one sort total, O((|L|+|R|) log) per
+key, no pair materialization.  A hot key with 10^5 right rows and 10^4
+left rows costs a sort, not 10^9 pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_HELPERS = ("_asof_kind", "_asof_tb", "_asof_match")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = (),
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance: str | None = None,
+    tiebreak: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """LEFT as-of join: every left row, plus the matched right row's
+    columns (NULL when no right row qualifies — ``merge_asof``
+    semantics).
+
+    * ``on`` — the ordering column, present in BOTH frames (timestamp
+      or any orderable type; intervals/``tolerance`` require a
+      timestamp).
+    * ``by`` — equi-join keys (the window partition).  At 100 TB this
+      is the only shuffle: one exchange on ``by`` for both sides
+      together.
+    * ``direction`` — ``backward`` (latest right at-or-before) or
+      ``forward`` (earliest right at-or-after).
+    * ``strict`` — exclude right rows at exactly the left timestamp
+      (``<`` / ``>`` instead of ``<=`` / ``>=``).
+    * ``tolerance`` — e.g. ``"30 minutes"``: a match farther than this
+      from the left timestamp is discarded (row kept, NULL columns).
+    * ``tiebreak`` — right column ordering equal-``on`` right rows;
+      the LARGEST tiebreak wins for backward, the SMALLEST for forward
+      (DuckDB ASOF's latest-then-max-id pick).  Without it, equal-time
+      right rows tie-break arbitrarily.
+
+    Right columns other than ``on``/``by`` are attached under their own
+    names, ``suffix``-renamed on collision with a left column; the
+    matched right timestamp itself is attached as ``{on}{suffix}``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by)
+    clash = set(_HELPERS) & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserves columns {sorted(clash)}")
+    payload_cols = [c for c in right.columns if c != on and c not in by]
+    out_names = {
+        c: c if c not in left.columns else f"{c}{suffix}" for c in payload_cols
+    }
+    matched_on = f"{on}{suffix}"
+    if matched_on in left.columns or matched_on in out_names.values():
+        raise ValueError(
+            f"asof_join output column {matched_on!r} collides; pick another suffix"
+        )
+
+    # Non-strict: right rows at equal time must be VISIBLE to the left
+    # row's preceding frame, so right sorts first (kind 0).  Strict: left
+    # first, so the frame ending at -1 never sees a same-time right row.
+    kind_right = 1 if strict else 0
+    payload = F.struct(
+        F.col(on).alias("_ts"),
+        *[F.col(c).alias(out_names[c]) for c in payload_cols],
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(on).alias(on),
+        F.lit(kind_right).alias("_asof_kind"),
+        (F.col(tiebreak) if tiebreak else F.lit(None)).alias("_asof_tb"),
+        payload.alias("_asof_match"),
+    )
+    l_tagged = left.select(
+        *left.columns,
+        F.lit(1 - kind_right).alias("_asof_kind"),
+        F.lit(None).cast(r_tagged.schema["_asof_tb"].dataType).alias("_asof_tb"),
+        F.lit(None).cast(r_tagged.schema["_asof_match"].dataType).alias(
+            "_asof_match"
+        ),
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    if direction == "backward":
+        # among equal-time right rows the LAST frame row wins -> sort the
+        # tiebreak ascending so the largest is last
+        order = [F.col(on).asc(), F.col("_asof_kind").asc(), F.col("_asof_tb").asc()]
+    else:
+        # time descending: "preceding" = later times; smallest tiebreak last
+        order = [F.col(on).desc(), F.col("_asof_kind").asc(), F.col("_asof_tb").desc()]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = unioned.withColumn(
+        "_m", F.last("_asof_match", ignorenulls=True).over(w)
+    ).filter(F.col("_asof_kind") == (1 - kind_right))
+    if tolerance is not None:
+        bound = (
+            F.col("_m._ts") >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("_m._ts") <= F.col(on) + F.expr(f"INTERVAL {tolerance}")
+        )
+        matched = matched.withColumn("_m", F.when(bound, F.col("_m")))
+    return matched.select(
+        *left.columns,
+        F.col("_m._ts").alias(matched_on),
+        *[F.col(f"_m.{out_names[c]}").alias(out_names[c]) for c in payload_cols],
+    )

@@ -776,6 +776,36 @@ def _op_dq_check(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     ctx.put(out_name, result)
 
 
+@register_operator("asof_join")
+def _op_asof_join(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Point-in-time join as a dataflow step (operators/joins.py
+    asof_join — pandas merge_asof semantics): every left row plus the
+    latest-before (or earliest-after) right row per key.  Params:
+    ``right`` (frame name, required), ``on`` (default ``ts``), ``by``,
+    ``direction``, ``strict``, ``tolerance``, ``tiebreak``, ``suffix``."""
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import asof_join
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    right_name = params.get("right")
+    if not right_name:
+        raise ValueError("asof_join requires params.right")
+    ctx.put(
+        out_name,
+        asof_join(
+            ctx.get(in_name),
+            ctx.get(right_name),
+            on=params.get("on", "ts"),
+            by=params.get("by", ()),
+            direction=params.get("direction", "backward"),
+            strict=bool(params.get("strict", False)),
+            tolerance=params.get("tolerance"),
+            tiebreak=params.get("tiebreak"),
+            suffix=params.get("suffix", "_right"),
+        ),
+    )
+
+
 @register_operator("temperature_sample")
 def _op_temperature_sample(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     """Temperature-based mixture rebalancing as a dataflow step (the q132

@@ -601,6 +601,56 @@ def q15_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
+# q133 — the GENERIC as-of join operator (operators/joins.py asof_join —
+# pandas merge_asof / DuckDB ASOF semantics as a reusable API, where q15
+# is the hand-built special case): LEFT semantics (every purchase kept,
+# NULL click columns when nothing qualifies) plus a 30-minute tolerance
+# (a click older than that is no attribution).  Same scale shape as q15:
+# union + ONE (user_id) exchange + one sort, no purchase x click pair
+# materialization.  Oracle: native ASOF LEFT JOIN with the tolerance as
+# a match-nullifying CASE.
+# --------------------------------------------------------------------------
+@query(
+    "q133_asof_tolerance_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN c.event_id END AS click_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') END AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id AND c.ts < p.ts
+    """,
+)
+def q133_asof_tolerance_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, on="ts", by=["user_id"], strict=True,
+        tolerance="30 minutes", tiebreak="event_id", suffix="_click",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "user_id",
+        F.col("event_id_click").alias("click_id"),
+        F.date_format("ts_click", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q16 — JSON access on events.props (semi-structured column).
 # --------------------------------------------------------------------------
 @query(

@@ -1,0 +1,137 @@
+"""asof_join unit tests: directions, strictness, tolerance, tie-breaks,
+left semantics — verified against a brute-force per-row pick."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ominimo_dynamic_data_pipeline_spark.operators.joins import asof_join
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "L1"), (1, _ts(20), "L2"), (2, _ts(15), "L3"),
+         (3, _ts(5), "L4")],
+        schema="k bigint, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100, "a"), (1, _ts(10), 101, "b"), (1, _ts(18), 102, "c"),
+         (2, _ts(40), 103, "d"), (9, _ts(1), 104, "e")],
+        schema="k bigint, ts timestamp, rid bigint, val string",
+    )
+    return left, right
+
+
+def brute(left_rows, right_rows, direction, strict, tol_min=None):
+    out = {}
+    for k, lts, lbl in left_rows:
+        cands = []
+        for rk, rts, rid, val in right_rows:
+            if rk != k:
+                continue
+            if direction == "backward":
+                ok = rts < lts if strict else rts <= lts
+                if ok and (tol_min is None or (lts - rts).total_seconds() <= 60 * tol_min):
+                    cands.append((rts, rid, val))
+            else:
+                ok = rts > lts if strict else rts >= lts
+                if ok and (tol_min is None or (rts - lts).total_seconds() <= 60 * tol_min):
+                    cands.append((rts, rid, val))
+        if direction == "backward":
+            pick = max(cands) if cands else None  # latest ts, then max rid
+        else:
+            pick = min(cands) if cands else None  # earliest ts, then min rid
+        out[lbl] = pick and pick[1]
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_matches_bruteforce(spark, frames, direction, strict):
+    left, right = frames
+    lrows = [(r["k"], r["ts"], r["lbl"]) for r in left.collect()]
+    rrows = [(r["k"], r["ts"], r["rid"], r["val"]) for r in right.collect()]
+    got = {
+        r["lbl"]: r["rid"]
+        for r in asof_join(
+            left, right, on="ts", by=["k"], direction=direction,
+            strict=strict, tiebreak="rid",
+        ).collect()
+    }
+    assert got == brute(lrows, rrows, direction, strict)
+    # LEFT semantics: every left row present exactly once
+    assert len(got) == len(lrows)
+
+
+def test_asof_tolerance_nullifies_distant_matches(spark, frames):
+    left, right = frames
+    out = {
+        r["lbl"]: r["rid"]
+        for r in asof_join(
+            left, right, on="ts", by=["k"], tolerance="5 minutes",
+            tiebreak="rid",
+        ).collect()
+    }
+    lrows = [(r["k"], r["ts"], r["lbl"]) for r in left.collect()]
+    rrows = [(r["k"], r["ts"], r["rid"], r["val"]) for r in right.collect()]
+    assert out == brute(lrows, rrows, "backward", False, tol_min=5)
+    # L2 (10:20) is 10 min past rid 102 (10:18)? no — 2 min: kept; L1 at
+    # 10:10 matches the equal-time pair (max rid 101)
+    assert out["L1"] == 101 and out["L2"] == 102
+
+
+def test_asof_attaches_suffixed_columns_and_guards(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="ts", by=["k"], tiebreak="rid")
+    assert set(out.columns) == {"k", "ts", "lbl", "ts_right", "rid", "val"}
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="ts", direction="nearest")
+    with pytest.raises(ValueError, match="reserves"):
+        asof_join(left.withColumn("_asof_kind", F.lit(1)), right, on="ts")
+
+
+def test_asof_join_registry_step(spark, frames):
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    left, right = frames
+    ctx = CompileContext(spark, frames={"trades": left, "quotes": right})
+    out = apply_transformations(ctx, {"transformations": [
+        {"name": "priced", "type": "asof_join",
+         "params": {"input": "trades", "right": "quotes", "on": "ts",
+                    "by": ["k"], "tiebreak": "rid"}},
+    ]})["priced"]
+    direct = asof_join(left, right, on="ts", by=["k"], tiebreak="rid")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    with pytest.raises(ValueError, match="params.right"):
+        apply_transformations(
+            CompileContext(spark, frames={"trades": left}),
+            {"transformations": [
+                {"name": "x", "type": "asof_join",
+                 "params": {"input": "trades"}},
+            ]},
+        )
+
+
+def test_asof_single_exchange_plan(spark, frames):
+    # the whole join must cost ONE hash exchange (the by-key window) —
+    # no join node, no per-side shuffles
+    left, right = frames
+    out = asof_join(left, right, on="ts", by=["k"], tiebreak="rid")
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
