@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _HELPERS = ("_asof_kind", "_asof_tb", "_asof_match")
+_PII_HELPERS = ("_pii_bin",)
 
 
 def asof_join(
@@ -131,4 +132,100 @@ def asof_join(
         *left.columns,
         F.col("_m._ts").alias(matched_on),
         *[F.col(f"_m.{out_names[c]}").alias(out_names[c]) for c in payload_cols],
+    )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    bin_size: int = 30,
+    suffix: str = "_iv",
+) -> DataFrame:
+    """INNER interval-containment join: every (point row, interval row)
+    pair with ``start <= point <= end`` (closed bounds), per ``by`` key.
+
+    Spark compiles a naive non-equi range join to a nested-loop /
+    per-key cross product — O(|P| x |I|) comparisons, the classic
+    open-source-Spark scale gap (Databricks papers over it with a
+    range-join hint).  This operator makes it an EQUI join by binning
+    the domain: each interval explodes to the ``bin_size``-wide bins it
+    covers, each point lands in exactly ONE bin, and the join runs on
+    (by, bin) followed by the exact containment filter.  Cost is
+    O(|P| + |I| x (span/bin_size) + |pairs|): pick ``bin_size`` near
+    the TYPICAL interval span so most intervals explode to ~2 bins —
+    too small explodes the interval side, too large degrades toward a
+    per-key cross product.  Because a point has exactly one bin, no
+    pair is emitted twice (no distinct needed).
+
+    ``bin_size`` is measured in DAYS for date columns, SECONDS for
+    timestamps, and plain units for numerics.  Rows with NULL point or
+    bounds, and intervals with ``end < start``, drop (containment is
+    unsatisfiable).  Interval columns are attached under their own
+    names, ``suffix``-renamed on collision with a point column.
+    """
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    by = list(by)
+    if bin_size <= 0:
+        raise ValueError("bin_size must be positive")
+    clash = set(_PII_HELPERS) & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(f"point_in_interval_join reserves columns {sorted(clash)}")
+
+    dtype = points.schema[point_col].dataType
+    if isinstance(dtype, DateType):
+        def ordinal(c):  # days since epoch — exact integers
+            return F.datediff(c, F.lit("1970-01-01"))
+    elif isinstance(dtype, (TimestampType, TimestampNTZType)):
+        def ordinal(c):
+            return F.unix_timestamp(c)
+    elif isinstance(dtype, NumericType):
+        def ordinal(c):
+            return c
+    else:
+        raise ValueError(
+            f"point_in_interval_join: unsupported {point_col!r} type {dtype}"
+        )
+
+    p_bin = F.floor(ordinal(F.col(point_col)) / bin_size)
+    iv_cols = [c for c in intervals.columns if c not in by]
+    out_names = {
+        c: c if c not in points.columns else f"{c}{suffix}" for c in iv_cols
+    }
+    iv = (
+        intervals.filter(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & (F.col(end_col) >= F.col(start_col))
+        )
+        .select(
+            *by,
+            *[F.col(c).alias(out_names[c]) for c in iv_cols],
+            F.explode(
+                F.sequence(
+                    F.floor(ordinal(F.col(start_col)) / bin_size),
+                    F.floor(ordinal(F.col(end_col)) / bin_size),
+                )
+            ).alias("_pii_bin"),
+        )
+    )
+    pts = points.filter(F.col(point_col).isNotNull()).withColumn(
+        "_pii_bin", p_bin
+    )
+    contained = (F.col(point_col) >= F.col(out_names[start_col])) & (
+        F.col(point_col) <= F.col(out_names[end_col])
+    )
+    return (
+        pts.join(iv, [*by, "_pii_bin"])
+        .filter(contained)
+        .drop("_pii_bin")
     )

@@ -806,6 +806,41 @@ def _op_asof_join(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     )
 
 
+@register_operator("interval_join")
+def _op_interval_join(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Binned interval-containment join as a dataflow step
+    (operators/joins.py point_in_interval_join): every (point, interval)
+    pair with start <= point <= end per key, executed as an equi join on
+    time bins instead of a per-key cross product.  Params: ``intervals``
+    (frame name, required), ``point_col``, ``start_col``, ``end_col``
+    (required), ``by``, ``bin_size``, ``suffix``."""
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import (
+        point_in_interval_join,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [
+        k for k in ("intervals", "point_col", "start_col", "end_col")
+        if not params.get(k)
+    ]
+    if missing:
+        raise ValueError(f"interval_join requires params {missing}")
+    ctx.put(
+        out_name,
+        point_in_interval_join(
+            ctx.get(in_name),
+            ctx.get(params["intervals"]),
+            params["point_col"],
+            params["start_col"],
+            params["end_col"],
+            by=params.get("by", ()),
+            bin_size=int(params.get("bin_size", 30)),
+            suffix=params.get("suffix", "_iv"),
+        ),
+    )
+
+
 @register_operator("temperature_sample")
 def _op_temperature_sample(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     """Temperature-based mixture rebalancing as a dataflow step (the q132

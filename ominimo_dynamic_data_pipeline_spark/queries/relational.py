@@ -651,6 +651,78 @@ def q133_asof_tolerance_attribution(
 
 
 # --------------------------------------------------------------------------
+# q134 — the GENERIC binned interval-containment join
+# (operators/joins.py point_in_interval_join): orders placed while
+# ANOTHER order of the same customer was still open (its span = order
+# date .. last shipment).  Plain Spark compiles the non-equi range
+# predicate to a per-key cross product; the operator bins the time
+# domain (120-day bins ~ the typical span) so the join is EQUI on
+# (custkey, bin) with an exact containment filter — O(|P| + 2|I| +
+# |pairs|), and each pair emitted once because a point owns exactly one
+# bin.  Oracle: DuckDB's native IEJoin on the same predicate.
+# --------------------------------------------------------------------------
+@query(
+    "q134_concurrent_customer_orders",
+    """
+    WITH spans AS (
+        SELECT o.o_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS start_d,
+               CAST(MAX(l.l_shipdate) AS DATE) AS end_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+    )
+    SELECT p.o_custkey AS custkey,
+           p.o_orderkey AS placed_order,
+           STRFTIME(p.o_orderdate, '%Y-%m-%d') AS placed_on,
+           s.o_orderkey AS open_order,
+           STRFTIME(s.start_d, '%Y-%m-%d') AS open_from,
+           STRFTIME(s.end_d, '%Y-%m-%d') AS open_until
+    FROM orders p JOIN spans s
+      ON p.o_custkey = s.o_custkey
+     AND p.o_orderkey <> s.o_orderkey
+     AND CAST(p.o_orderdate AS DATE) BETWEEN s.start_d AND s.end_d
+    """,
+)
+def q134_concurrent_customer_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import (
+        point_in_interval_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("start_d"),
+            F.max(F.col("l_shipdate").cast("date")).alias("end_d"),
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("open_order"),
+            "start_d",
+            "end_d",
+        )
+    )
+    pts = o.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    pairs = point_in_interval_join(
+        pts, spans, "d", "start_d", "end_d", by=["o_custkey"], bin_size=120
+    ).filter(F.col("o_orderkey") != F.col("open_order"))
+    return pairs.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("placed_order"),
+        F.date_format("d", "yyyy-MM-dd").alias("placed_on"),
+        "open_order",
+        F.date_format("start_d", "yyyy-MM-dd").alias("open_from"),
+        F.date_format("end_d", "yyyy-MM-dd").alias("open_until"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q16 — JSON access on events.props (semi-structured column).
 # --------------------------------------------------------------------------
 @query(

@@ -135,3 +135,104 @@ def test_asof_single_exchange_plan(spark, frames):
     )
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+from ominimo_dynamic_data_pipeline_spark.operators.joins import (  # noqa: E402
+    point_in_interval_join,
+)
+
+
+@pytest.fixture(scope="module")
+def iv_frames(spark):
+    pts = spark.createDataFrame(
+        [(1, 5, "P1"), (1, 17, "P2"), (2, 10, "P3"), (1, None, "P4")],
+        schema="k bigint, v bigint, lbl string",
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, "A"), (1, 5, 5, "B"), (1, 16, 40, "C"),
+         (2, 30, 20, "D"), (2, None, 50, "E"), (3, 0, 99, "F")],
+        schema="k bigint, lo bigint, hi bigint, tag string",
+    )
+    return pts, ivs
+
+
+@pytest.mark.parametrize("bin_size", [1, 3, 7, 1000])
+def test_interval_join_matches_bruteforce_any_bin(spark, iv_frames, bin_size):
+    """Pairs are bin-size INDEPENDENT (binning is an execution detail),
+    each emitted exactly once; NULL and inverted intervals drop."""
+    pts, ivs = iv_frames
+    got = sorted(
+        (r["lbl"], r["tag"])
+        for r in point_in_interval_join(
+            pts, ivs, "v", "lo", "hi", by=["k"], bin_size=bin_size
+        ).collect()
+    )
+    want = sorted(
+        (p["lbl"], i["tag"])
+        for p in pts.collect()
+        for i in ivs.collect()
+        if p["k"] == i["k"]
+        and None not in (p["v"], i["lo"], i["hi"])
+        and i["lo"] <= i["hi"]
+        and i["lo"] <= p["v"] <= i["hi"]
+    )
+    assert got == want == [("P1", "A"), ("P1", "B"), ("P2", "C")]
+
+
+def test_interval_join_dates_and_guards(spark):
+    import datetime as dt
+
+    pts = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 15))], schema="k bigint, d date"
+    )
+    ivs = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), dt.date(2024, 1, 31), "jan"),
+         (1, dt.date(2024, 2, 1), dt.date(2024, 2, 28), "feb")],
+        schema="k bigint, lo date, hi date, tag string",
+    )
+    got = point_in_interval_join(
+        pts, ivs, "d", "lo", "hi", by=["k"], bin_size=10
+    ).collect()
+    assert [r["tag"] for r in got] == ["jan"]
+    with pytest.raises(ValueError, match="positive"):
+        point_in_interval_join(pts, ivs, "d", "lo", "hi", bin_size=0)
+    with pytest.raises(ValueError, match="unsupported"):
+        point_in_interval_join(
+            pts.withColumn("d", F.lit("x")), ivs, "d", "lo", "hi"
+        )
+
+
+def test_interval_join_registry_step(spark, iv_frames):
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    pts, ivs = iv_frames
+    ctx = CompileContext(spark, frames={"pts": pts, "ivs": ivs})
+    out = apply_transformations(ctx, {"transformations": [
+        {"name": "hits", "type": "interval_join",
+         "params": {"input": "pts", "intervals": "ivs", "point_col": "v",
+                    "start_col": "lo", "end_col": "hi", "by": ["k"],
+                    "bin_size": 5}},
+    ]})["hits"]
+    assert sorted((r["lbl"], r["tag"]) for r in out.collect()) == [
+        ("P1", "A"), ("P1", "B"), ("P2", "C")
+    ]
+    with pytest.raises(ValueError, match="requires params"):
+        apply_transformations(
+            CompileContext(spark, frames={"pts": pts}),
+            {"transformations": [
+                {"name": "x", "type": "interval_join",
+                 "params": {"input": "pts", "point_col": "v"}},
+            ]},
+        )
+
+
+def test_interval_join_plan_is_equi_not_nested_loop(spark, iv_frames):
+    pts, ivs = iv_frames
+    out = point_in_interval_join(pts, ivs, "v", "lo", "hi", by=["k"])
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "NestedLoop" not in p and "Cartesian" not in p
