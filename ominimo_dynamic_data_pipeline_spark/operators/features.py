@@ -344,3 +344,40 @@ def dataset_checks(
     if out is None:
         raise ValueError("dataset_checks needs at least one check")
     return out
+
+
+def fs_weights(m: float, u: float) -> tuple[float, float]:
+    """Fellegi-Sunter log2 likelihood-ratio weights for one comparison
+    field: (agreement_weight, disagreement_weight) from the field's
+    m-probability (P(agree | true match)) and u-probability
+    (P(agree | non-match)).  Pure Python — the SAME values are rendered
+    into the DuckDB oracle as literals, so both engines sum identical
+    doubles (the temperature-rate / IVF-centroid discipline)."""
+    import math
+
+    if not (0.0 < u < 1.0 and 0.0 < m < 1.0):
+        raise ValueError(f"m and u must be in (0, 1); got m={m}, u={u}")
+    if m <= u:
+        raise ValueError(f"m must exceed u for an informative field (m={m}, u={u})")
+    return math.log2(m / u), math.log2((1 - m) / (1 - u))
+
+
+def fellegi_sunter_score(
+    fields: Sequence[tuple[Column, float, float]],
+) -> Column:
+    """Record-linkage match score (Fellegi & Sunter 1969): the sum over
+    comparison fields of log2(m/u) when the field AGREES and
+    log2((1-m)/(1-u)) when it disagrees; a NULL agreement (field missing
+    on either side) contributes 0 — the unknown-field convention.
+
+    Each element of ``fields`` is (agreement_boolean_column, m, u).
+    Returns a double Column to attach to a BLOCKED candidate-pair frame
+    (q118's shape) — scoring is a pure projection, so the expensive part
+    stays the blocking, never the scorer."""
+    total = F.lit(0.0)
+    for agree, m, u in fields:
+        wa, wd = fs_weights(m, u)
+        total = total + (
+            F.when(agree.isNull(), 0.0).when(agree, wa).otherwise(wd)
+        )
+    return total

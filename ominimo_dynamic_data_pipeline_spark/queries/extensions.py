@@ -867,6 +867,111 @@ def q118_fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q135 — Fellegi-Sunter record-linkage scoring (the MATCH step after
+# q118's blocking): blocked customer x supplier candidate pairs scored
+# by summed log2 likelihood ratios — each comparison field contributes
+# log2(m/u) on agreement and log2((1-m)/(1-u)) on disagreement, with
+# pinned (m, u) probabilities (operators/features.py
+# fellegi_sunter_score).  The weights are computed ONCE in Python
+# (fs_weights) and rendered into the oracle as literals, so both engines
+# sum identical doubles in identical order.  Scoring is a pure
+# projection over the blocked pairs — the expensive part stays the
+# blocking join, whose (nationkey, name-digit) key bounds pairs to
+# sum(|block|^2), never |C| x |S|.
+# --------------------------------------------------------------------------
+_Q135_FIELDS = {  # field -> (m, u): P(agree | match), P(agree | non-match)
+    "balance_band": (0.6, 0.08),
+    "balance_close": (0.5, 0.005),
+    "name_digit": (0.85, 0.1),
+}
+_Q135_MATCH, _Q135_POSSIBLE = 4.0, 0.0
+
+
+def _q135_oracle() -> str:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        fs_weights,
+    )
+
+    cases = []
+    for agree_sql, key in [
+        ("FLOOR(c.c_acctbal / 1000) = FLOOR(s.s_acctbal / 1000)", "balance_band"),
+        ("ABS(c.c_acctbal - s.s_acctbal) < 50", "balance_close"),
+        (
+            "substr(c.c_name, LENGTH(c.c_name) - 2, 1) = "
+            "substr(s.s_name, LENGTH(s.s_name) - 2, 1)",
+            "name_digit",
+        ),
+    ]:
+        wa, wd = fs_weights(*_Q135_FIELDS[key])
+        cases.append(f"CASE WHEN {agree_sql} THEN {wa!r} ELSE {wd!r} END")
+    score = "0.0 + " + " + ".join(cases)
+    return f"""
+    SELECT c_custkey, s_suppkey, ROUND(score, 4) AS score,
+           CASE WHEN score >= {_Q135_MATCH} THEN 'match'
+                WHEN score >= {_Q135_POSSIBLE} THEN 'possible'
+                ELSE 'non_match' END AS tier
+    FROM (
+        SELECT c.c_custkey, s.s_suppkey, {score} AS score
+        FROM customer c JOIN supplier s
+          ON c.c_nationkey = s.s_nationkey
+         AND substr(c.c_name, LENGTH(c.c_name) - 1, 2) =
+             substr(s.s_name, LENGTH(s.s_name) - 1, 2)
+    )
+    """
+
+
+@query("q135_record_linkage_scores", _q135_oracle())
+def q135_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        fellegi_sunter_score,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.substring("c_name", -2, 2).alias("blk"),
+        F.substring("c_name", -3, 1).alias("c_digit"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.substring("s_name", -2, 2).alias("blk"),
+        F.substring("s_name", -3, 1).alias("s_digit"),
+    )
+    pairs = c.join(
+        s, (c.c_nationkey == s.s_nationkey) & (c.blk == s.blk)
+    )
+    score = fellegi_sunter_score(
+        [
+            (
+                F.floor(F.col("c_acctbal") / 1000)
+                == F.floor(F.col("s_acctbal") / 1000),
+                *_Q135_FIELDS["balance_band"],
+            ),
+            (
+                F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < 50,
+                *_Q135_FIELDS["balance_close"],
+            ),
+            (F.col("c_digit") == F.col("s_digit"), *_Q135_FIELDS["name_digit"]),
+        ]
+    )
+    scored = pairs.select("c_custkey", "s_suppkey", score.alias("score"))
+    tier = (
+        F.when(F.col("score") >= _Q135_MATCH, "match")
+        .when(F.col("score") >= _Q135_POSSIBLE, "possible")
+        .otherwise("non_match")
+    )
+    return scored.select(
+        "c_custkey",
+        "s_suppkey",
+        F.round("score", 4).alias("score"),
+        tier.alias("tier"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q119 — sequential pattern detection: customers with three consecutive
 # calendar months of strictly declining spend (the churn-risk signal).
 # The facts reduce to (customer, month) in one groupBy; the lag chain

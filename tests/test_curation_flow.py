@@ -789,3 +789,35 @@ def test_ngram_decontaminate_eval_frame_own_id_column(spark):
         eval_id_col="bench_id", eval_text_col="question",
     ).collect()
     assert [r["doc_id"] for r in hits] == [1]
+
+
+def test_fellegi_sunter_score_conventions(spark):
+    """Agreement adds log2(m/u), disagreement log2((1-m)/(1-u)), NULL
+    (missing field) adds 0; invalid probabilities fail fast."""
+    import math
+
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        fellegi_sunter_score,
+        fs_weights,
+    )
+
+    wa, wd = fs_weights(0.8, 0.1)
+    assert abs(wa - 3.0) < 1e-12 and abs(wd - math.log2(0.2 / 0.9)) < 1e-12
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        fs_weights(1.0, 0.1)
+    with pytest.raises(ValueError, match="must exceed"):
+        fs_weights(0.1, 0.5)
+
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (None, True)],
+        schema="a boolean, b boolean",
+    )
+    out = df.select(
+        fellegi_sunter_score(
+            [(F.col("a"), 0.8, 0.1), (F.col("b"), 0.5, 0.005)]
+        ).alias("s")
+    ).collect()
+    wa2, wd2 = fs_weights(0.5, 0.005)
+    assert abs(out[0]["s"] - (wa + wa2)) < 1e-12
+    assert abs(out[1]["s"] - (wa + wd2)) < 1e-12
+    assert abs(out[2]["s"] - (0.0 + wa2)) < 1e-12  # NULL field -> 0
