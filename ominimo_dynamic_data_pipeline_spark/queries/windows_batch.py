@@ -56,6 +56,49 @@ def q33_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q136 — SLIDING (hopping) windows, the overlap shape between q33's
+# tumbling buckets and q34's sessions: every event lands in exactly
+# window/slide = 2 overlapping windows.  The oracle replicates Spark's
+# epoch-aligned window assignment by exploding each event to
+# [bucket(slide), bucket(slide) - slide]: with window = 2 x slide an
+# event at t always belongs to both (t in [tb, tb+10) and
+# [tb-5, tb+5)), so no containment filter is needed and the count is a
+# pure 2x fan-out + group — the same cost shape as the streaming state.
+# --------------------------------------------------------------------------
+@query(
+    "q136_sliding_event_counts",
+    """
+    WITH ev AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS tb, event_type
+        FROM events
+    )
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           STRFTIME(ws + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S')
+               AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT event_type,
+               unnest([tb, tb - INTERVAL '5 minutes']) AS ws
+        FROM ev
+    )
+    GROUP BY ws, event_type
+    """,
+)
+def q136_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = stream_ops.sliding_counts(e, window="10 minutes", slide="5 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
 @query(
     "q34_user_sessions",
     """
