@@ -144,6 +144,7 @@ def point_in_interval_join(
     by: Sequence[str] = (),
     bin_size: int = 30,
     suffix: str = "_iv",
+    max_bins_per_interval: int = 100_000,
 ) -> DataFrame:
     """INNER interval-containment join: every (point row, interval row)
     pair with ``start <= point <= end`` (closed bounds), per ``by`` key.
@@ -166,6 +167,13 @@ def point_in_interval_join(
     bounds, and intervals with ``end < start``, drop (containment is
     unsatisfiable).  Interval columns are attached under their own
     names, ``suffix``-renamed on collision with a point column.
+
+    ``max_bins_per_interval`` is the backpressure guard: a single
+    pathological interval (a sentinel end date like 9999-12-31 against
+    a 1-second bin) would otherwise explode to billions of rows inside
+    one task and OOM it.  Exceeding the budget raises AT EXECUTION with
+    a message naming the knob — loud failure over a silent drop or a
+    silent cross-product cliff.
     """
     from pyspark.sql.types import (
         DateType,
@@ -213,7 +221,29 @@ def point_in_interval_join(
             F.explode(
                 F.sequence(
                     F.floor(ordinal(F.col(start_col)) / bin_size),
-                    F.floor(ordinal(F.col(end_col)) / bin_size),
+                    # raise_error sits INSIDE the sequence bound so it
+                    # cannot be pruned away and fires before the explode
+                    # allocates anything
+                    F.when(
+                        F.floor(ordinal(F.col(end_col)) / bin_size)
+                        - F.floor(ordinal(F.col(start_col)) / bin_size)
+                        >= F.lit(int(max_bins_per_interval)),
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "point_in_interval_join: interval "
+                                    "spans >= "
+                                    f"{int(max_bins_per_interval)} bins "
+                                    f"(bin_size={bin_size}); raise "
+                                    "bin_size or max_bins_per_interval "
+                                    "— offending start="
+                                ),
+                                F.col(start_col).cast("string"),
+                                F.lit(" end="),
+                                F.col(end_col).cast("string"),
+                            )
+                        ).cast("bigint"),
+                    ).otherwise(F.floor(ordinal(F.col(end_col)) / bin_size)),
                 )
             ).alias("_pii_bin"),
         )

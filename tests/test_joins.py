@@ -202,6 +202,28 @@ def test_interval_join_dates_and_guards(spark):
         )
 
 
+def test_interval_join_bin_budget_raises_loudly(spark, iv_frames):
+    """A pathological interval (sentinel end value vs a tiny bin) must
+    fail with the named knob, not OOM a task on a billion-row explode."""
+    pts, _ = iv_frames
+    ivs = spark.createDataFrame(
+        [(1, 0, 10_000_000, "sentinel")],
+        schema="k bigint, lo bigint, hi bigint, tag string",
+    )
+    out = point_in_interval_join(
+        pts, ivs, "v", "lo", "hi", by=["k"], bin_size=1,
+        max_bins_per_interval=1000,
+    )
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        out.collect()
+    # same data under a sane bin size passes
+    ok = point_in_interval_join(
+        pts, ivs, "v", "lo", "hi", by=["k"], bin_size=100_000,
+        max_bins_per_interval=1000,
+    )
+    assert sorted(r["lbl"] for r in ok.collect()) == ["P1", "P2"]  # P3 is k=2
+
+
 def test_interval_join_registry_step(spark, iv_frames):
     from ominimo_dynamic_data_pipeline_spark.operators.registry import (
         CompileContext,
