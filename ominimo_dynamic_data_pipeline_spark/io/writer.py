@@ -80,22 +80,45 @@ def write_sink(df: DataFrame, sink: Mapping[str, Any]) -> None:
                 "zorderBy takes exactly two columns (Morton interleave); "
                 f"got {zorder_by!r}"
             )
+        from pyspark.sql.types import (
+            DateType,
+            NumericType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
         from ominimo_dynamic_data_pipeline_spark.operators.scale import (
             morton_key,
         )
+
+        def ordinal(c: str):
+            # numeric/temporal only: a silent cast-to-double of a string
+            # column would NULL every Morton key and collapse the range
+            # partitioner to one partition — fail fast instead
+            dtype = out.schema[c].dataType
+            if isinstance(dtype, NumericType):
+                return F.col(c).cast("double")
+            if isinstance(dtype, DateType):
+                return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+            if isinstance(dtype, (TimestampType, TimestampNTZType)):
+                return F.unix_timestamp(F.col(c)).cast("double")
+            raise ValueError(
+                f"zorderBy column {c!r} has non-orderable-numeric type "
+                f"{dtype}; z-order keys must be numeric, date, or timestamp"
+            )
 
         bits = int(sink.get("zorderBits", 16))
         scale = F.lit(float((1 << bits) - 1))
         mm = out.agg(
             *[
-                agg(F.col(c).cast("double")).alias(f"_z{tag}{i}")
+                agg(ordinal(c)).alias(f"_z{tag}{i}")
                 for i, c in enumerate(zorder_by)
                 for tag, agg in (("lo", F.min), ("hi", F.max))
             ]
         )
         dims = [
             F.round(
-                (F.col(c).cast("double") - F.col(f"_zlo{i}"))
+                (ordinal(c) - F.col(f"_zlo{i}"))
                 / F.greatest(
                     F.col(f"_zhi{i}") - F.col(f"_zlo{i}"), F.lit(1e-12)
                 )

@@ -187,6 +187,13 @@ def temperature_mixture_sample(
         .collect()
         if r["_g"] is not None
     }
+    if not counts:
+        # empty input (or all-NULL groups) propagates as an empty frame
+        # — an upstream filter dropping every row must not crash the
+        # dataflow
+        return df.withColumn("keep_p", F.lit(None).cast("double")).filter(
+            F.lit(False)
+        )
     rates = temperature_mixture_rates(counts, alpha, budget)
     rate = None
     for g in sorted(rates):

@@ -68,6 +68,18 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by)
+    if not by:
+        import warnings
+
+        # Window.partitionBy() with no keys funnels the whole unioned
+        # frame through ONE partition — fine for dimension-sized frames,
+        # an OOM cliff at scale.  Loud, not fatal: keyless as-of joins
+        # are legitimate on small reference tables.
+        warnings.warn(
+            "asof_join with empty `by` runs a single-partition global "
+            "window; pass partition keys for large frames",
+            stacklevel=2,
+        )
     clash = set(_HELPERS) & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"asof_join reserves columns {sorted(clash)}")
@@ -89,7 +101,11 @@ def asof_join(
         F.col(on).alias("_ts"),
         *[F.col(c).alias(out_names[c]) for c in payload_cols],
     )
-    r_tagged = right.select(
+    # A right row with NULL `on` can never satisfy an at-or-before /
+    # at-or-after bound, but NULLS-FIRST asc ordering would otherwise
+    # place its (non-null) payload struct at the frame start where
+    # last(ignorenulls) picks it as a phantom match.
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
         *by,
         F.col(on).alias(on),
         F.lit(kind_right).alias("_asof_kind"),
@@ -121,6 +137,12 @@ def asof_join(
     matched = unioned.withColumn(
         "_m", F.last("_asof_match", ignorenulls=True).over(w)
     ).filter(F.col("_asof_kind") == (1 - kind_right))
+    # A left row with NULL `on` has no defined ordering position (under
+    # forward's desc sort it would see EVERY right row as preceding):
+    # keep the row, NULL the match — merge_asof semantics.
+    matched = matched.withColumn(
+        "_m", F.when(F.col(on).isNotNull(), F.col("_m"))
+    )
     if tolerance is not None:
         bound = (
             F.col("_m._ts") >= F.col(on) - F.expr(f"INTERVAL {tolerance}")

@@ -813,7 +813,8 @@ def _op_interval_join(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     pair with start <= point <= end per key, executed as an equi join on
     time bins instead of a per-key cross product.  Params: ``intervals``
     (frame name, required), ``point_col``, ``start_col``, ``end_col``
-    (required), ``by``, ``bin_size``, ``suffix``."""
+    (required), ``by``, ``bin_size``, ``suffix``,
+    ``max_bins_per_interval`` (the loud per-interval explode budget)."""
     from ominimo_dynamic_data_pipeline_spark.operators.joins import (
         point_in_interval_join,
     )
@@ -837,6 +838,9 @@ def _op_interval_join(ctx: CompileContext, step: Mapping[str, Any]) -> None:
             by=params.get("by", ()),
             bin_size=int(params.get("bin_size", 30)),
             suffix=params.get("suffix", "_iv"),
+            max_bins_per_interval=int(
+                params.get("max_bins_per_interval", 100_000)
+            ),
         ),
     )
 

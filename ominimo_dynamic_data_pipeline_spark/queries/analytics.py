@@ -789,7 +789,7 @@ def q96_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TM_SEED, _TM_MOD, _TM_ALPHA, _TM_BUDGET = 131, 1_048_576, 0.5, 300
 
 
-def _q132_oracle() -> str:
+def _q132_oracle() -> str | None:
     import duckdb
 
     from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
@@ -797,14 +797,21 @@ def _q132_oracle() -> str:
     )
     from ominimo_dynamic_data_pipeline_spark.queries.llm import _ORACLE_SF_DIR
 
-    counts = dict(
-        duckdb.connect()
-        .execute(
-            "SELECT lang, COUNT(*) FROM "
-            f"'{_ORACLE_SF_DIR}/documents.parquet' GROUP BY lang"
+    try:
+        # Import-time data dependence must degrade, not detonate: an
+        # environment without the oracle fixtures (fresh clone, other
+        # SF dir) gets a rows-only q132 instead of a broken catalog —
+        # the train_centroids_from_parquet pattern.
+        counts = dict(
+            duckdb.connect()
+            .execute(
+                "SELECT lang, COUNT(*) FROM "
+                f"'{_ORACLE_SF_DIR}/documents.parquet' GROUP BY lang"
+            )
+            .fetchall()
         )
-        .fetchall()
-    )
+    except Exception:
+        return None
     rates = temperature_mixture_rates(counts, _TM_ALPHA, _TM_BUDGET)
     case = " ".join(
         f"WHEN lang = '{g}' THEN {rates[g]!r}" for g in sorted(rates)

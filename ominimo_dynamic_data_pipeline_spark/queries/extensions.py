@@ -903,7 +903,15 @@ def _q135_oracle() -> str:
         ),
     ]:
         wa, wd = fs_weights(*_Q135_FIELDS[key])
-        cases.append(f"CASE WHEN {agree_sql} THEN {wa!r} ELSE {wd!r} END")
+        # explicit NULL arm: the engine's fellegi_sunter_score gives a
+        # NULL agreement 0, but a bare CASE WHEN ... ELSE would fall to
+        # the disagreement weight on NULL (latent here — these TPC-H
+        # fields are non-null — but the oracle must mirror semantics,
+        # not luck)
+        cases.append(
+            f"CASE WHEN ({agree_sql}) IS NULL THEN 0.0 "
+            f"WHEN {agree_sql} THEN {wa!r} ELSE {wd!r} END"
+        )
     score = "0.0 + " + " + ".join(cases)
     return f"""
     SELECT c_custkey, s_suppkey, ROUND(score, 4) AS score,

@@ -265,6 +265,33 @@ def test_sink_zorder_has_no_global_window(spark, tmp_path):
     assert "Window" not in captured["plan"]
 
 
+def test_sink_zorder_supports_dates_rejects_strings(spark, tmp_path):
+    """Temporal z-order keys scale via their epoch ordinal; a string key
+    must FAIL FAST (a silent cast-to-double would NULL every Morton key
+    and collapse the range partitioner to one partition)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from ominimo_dynamic_data_pipeline_spark.io.writer import write_sink
+
+    df = spark.range(256).select(
+        F.date_add(F.lit("2024-01-01"), (F.col("id") % 64).cast("int")).alias("d"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    path = str(tmp_path / "zdate")
+    write_sink(
+        df, {"paths": [path], "format": "parquet", "zorderBy": ["d", "y"]}
+    )
+    assert spark.read.parquet(path).count() == 256
+    with pytest.raises(ValueError, match="numeric, date, or timestamp"):
+        write_sink(
+            df,
+            {"paths": [str(tmp_path / "zs2")], "format": "parquet",
+             "zorderBy": ["s", "y"]},
+        )
+
+
 def test_sink_zorder_rejects_conflicting_sort_by(spark, tmp_path):
     import pytest
 

@@ -88,6 +88,44 @@ def test_asof_tolerance_nullifies_distant_matches(spark, frames):
     assert out["L1"] == 101 and out["L2"] == 102
 
 
+def test_asof_null_timestamps_never_match(spark):
+    """A right row with NULL ts must not become a phantom match (NULLS
+    FIRST would put its payload at the frame start), and a left row with
+    NULL ts keeps its row with a NULL match in BOTH directions."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "L1"), (1, None, "Lnull")],
+        schema="k bigint, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 900, "phantom"), (1, _ts(5), 901, "real")],
+        schema="k bigint, ts timestamp, rid bigint, val string",
+    )
+    for direction, want_l1 in (("backward", 901), ("forward", None)):
+        got = {
+            r["lbl"]: r["rid"]
+            for r in asof_join(
+                left, right, on="ts", by=["k"], direction=direction,
+                tiebreak="rid",
+            ).collect()
+        }
+        assert got == {"L1": want_l1, "Lnull": None}, (direction, got)
+    # only-NULL right rows: no match at all, never the phantom
+    got = asof_join(
+        left, right.filter(F.col("rid") == 900), on="ts", by=["k"],
+    ).collect()
+    assert all(r["rid"] is None for r in got) and len(got) == 2
+
+
+def test_asof_empty_by_warns_about_global_window(spark, frames):
+    import warnings
+
+    left, right = frames
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        asof_join(left, right, on="ts", tiebreak="rid")
+    assert any("single-partition" in str(x.message) for x in w)
+
+
 def test_asof_attaches_suffixed_columns_and_guards(spark, frames):
     left, right = frames
     out = asof_join(left, right, on="ts", by=["k"], tiebreak="rid")

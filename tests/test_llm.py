@@ -1064,6 +1064,19 @@ def test_temperature_sample_is_deterministic_and_rebalanced(spark):
     assert frac["small"] / 100 > 2 * frac["big"] / 900
 
 
+def test_temperature_sample_empty_input_returns_empty(spark):
+    """An upstream filter dropping every row must propagate an empty
+    frame through temperature_sample, not crash the dataflow."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        temperature_mixture_sample,
+    )
+
+    empty = spark.createDataFrame([], schema="doc_id bigint, lang string")
+    out = temperature_mixture_sample(empty, budget=100)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang", "keep_p"]
+
+
 def test_scaled_k_lists_caps_driver_training_cost():
     """Uncapped size-scaled list counts make the driver-side Lloyd
     trainer quadratic in corpus size (train_limit ~ 4k, sims matrix
