@@ -723,6 +723,94 @@ def q134_concurrent_customer_orders(
 
 
 # --------------------------------------------------------------------------
+# q137 — POINT-IN-TIME-correct feature retrieval (the feature-store
+# pattern behind every training-set build): each purchase (the label
+# event) is joined to the user's rolling 7-day click features AS OF the
+# latest COMPLETED day strictly before the purchase day — the strict
+# as-of bound is the leakage guard (same-day features would leak the
+# label's own session).  Features: one narrow daily (user, day) rollup,
+# a 7-day RANGE window over the bounded daily frame (never the raw
+# events), then operators/joins.py asof_join (one exchange, no pair
+# blow-up).  Sums ride DECIMAL so the rolling window is order-exact in
+# both engines.  LEFT semantics: first-ever-day purchases keep NULL
+# features.
+# --------------------------------------------------------------------------
+@query(
+    "q137_pit_features_for_labels",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n_clicks,
+               SUM(CAST(value AS DECIMAL(18,2))) AS click_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    rolling AS (
+        SELECT user_id, day,
+               CAST(SUM(n_clicks) OVER w AS BIGINT) AS clicks_7d,
+               CAST(SUM(click_value) OVER w AS DOUBLE) AS value_7d
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    ),
+    labels AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.purchase_id, l.user_id,
+           STRFTIME(l.day, '%Y-%m-%d') AS label_day,
+           STRFTIME(r.day, '%Y-%m-%d') AS feature_day,
+           r.clicks_7d, ROUND(r.value_7d, 2) AS value_7d
+    FROM labels l
+    ASOF LEFT JOIN rolling r
+      ON r.user_id = l.user_id AND r.day < l.day
+    """,
+)
+def q137_pit_features_for_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("click_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    rolling = daily.select(
+        "user_id",
+        "day",
+        F.sum("n_clicks").over(w).cast("bigint").alias("clicks_7d"),
+        F.sum("click_value").over(w).cast("double").alias("value_7d"),
+    )
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+    )
+    joined = asof_join(
+        labels, rolling, on="day", by=["user_id"], strict=True,
+        suffix="_feat",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("label_day"),
+        F.date_format("day_feat", "yyyy-MM-dd").alias("feature_day"),
+        "clicks_7d",
+        F.round("value_7d", 2).alias("value_7d"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q16 — JSON access on events.props (semi-structured column).
 # --------------------------------------------------------------------------
 @query(
