@@ -289,6 +289,31 @@ def test_interval_join_registry_step(spark, iv_frames):
         )
 
 
+def test_pit_feature_example_dataflow(spark):
+    """The shipped pit-feature-retrieval dataflow compiles and its
+    strict as-of bound never attaches a same-day (leaky) feature row."""
+    import json
+    from pathlib import Path
+
+    from ominimo_dynamic_data_pipeline_spark.config import select_dataflow
+    from ominimo_dynamic_data_pipeline_spark.pipeline import (
+        compile_dataflow,
+        run_dataflow,
+    )
+
+    meta = json.loads(
+        (Path(__file__).parent.parent / "examples" / "feature_retrieval.json")
+        .read_text()
+    )
+    flow = select_dataflow(meta, "pit-feature-retrieval")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    rows = compiled.frames["training_rows"]
+    assert rows.count() > 0
+    leaks = rows.filter(F.col("day_feat") >= F.col("day")).count()
+    assert leaks == 0
+
+
 def test_interval_join_plan_is_equi_not_nested_loop(spark, iv_frames):
     pts, ivs = iv_frames
     out = point_in_interval_join(pts, ivs, "v", "lo", "hi", by=["k"])

@@ -153,6 +153,23 @@ SHOWCASE = {
         "scan-riding filter+projection — the only Exchange is the "
         "final per-language rollup's."
     ),
+    "q133_asof_tolerance_attribution": (
+        "Generic as-of join: union + ONE (user_id) window — no Join "
+        "node anywhere; the tolerance is a post-pick projection, so a "
+        "hot user costs a sort, never a click x purchase pair set."
+    ),
+    "q134_concurrent_customer_orders": (
+        "Binned interval join: the non-equi containment predicate "
+        "executes as an EQUI join on (custkey, 120-day bin) — "
+        "SortMergeJoin in the plan, no BroadcastNestedLoopJoin, with "
+        "the exact containment as a post-join filter."
+    ),
+    "q137_pit_features_for_labels": (
+        "Point-in-time features: the rolling window runs over the "
+        "bounded DAILY frame (one narrow rollup of the events scan), "
+        "and the leakage-guarded as-of attach is the q133 union+window "
+        "— one exchange end to end beyond the rollup's."
+    ),
 }
 
 
