@@ -445,3 +445,26 @@ def model_quality_score(
         n_tok.cast("bigint").alias("n_tokens"),
         F.round(F.when(n_tok > 0, prob), 6).alias("quality_score"),
     )
+
+
+def unicode_normalize(col: Column, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NFC/NFKC/NFD/NFKD) — the
+    multilingual-corpus cleanup step that folds decomposed accents,
+    compatibility ligatures, and width variants so downstream hashing /
+    dedup / tokenization see one canonical byte form.
+
+    Catalyst has no normalization builtin, so this is the sanctioned
+    Arrow escape hatch (SURVEY §2.4 rule: pandas_udf, never row-at-a-time
+    F.udf): pandas' vectorized ``Series.str.normalize`` over Arrow
+    batches.  The DuckDB twin for NFC is ``nfc_normalize`` (q138)."""
+    import pandas as pd  # noqa: F401  (typing of the udf signature)
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        return s.str.normalize(form)
+
+    return _norm(col)

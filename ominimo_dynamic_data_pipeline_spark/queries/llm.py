@@ -2276,3 +2276,51 @@ def q111_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qv")[0]).cast("bigint").alias("sum_d0"),
         F.sum(F.col("qv")[1]).cast("bigint").alias("sum_d1"),
     )
+
+
+# --------------------------------------------------------------------------
+# q138 — Unicode NFC normalization (llm/text.py unicode_normalize): the
+# multilingual cleanup step run before hashing/dedup/tokenization.  The
+# corpus text is pure ASCII (NFC-invariant), so BOTH engines append the
+# same decomposed suffix ('cafe' + combining acute U+0301) to force real
+# composition work — the oracle check then verifies the Arrow
+# pandas_udf batch path end to end (nfc_normalize is the DuckDB twin),
+# not an identity pass.  Catalyst has no normalization builtin; this is
+# the sanctioned vectorized-UDF escape hatch, a pure per-row projection
+# riding the scan (no shuffle).
+# --------------------------------------------------------------------------
+@query(
+    "q138_unicode_nfc_normalize",
+    """
+    WITH staged AS (
+        SELECT doc_id, text || ' cafe' || chr(769) AS raw FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(raw) AS n_before,
+           LENGTH(nfc_normalize(raw)) AS n_after,
+           raw <> nfc_normalize(raw) AS changed,
+           substr(nfc_normalize(raw), LENGTH(nfc_normalize(raw)) - 3, 4)
+               AS tail
+    FROM staged
+    """,
+)
+def q138_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.text import unicode_normalize
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # explicit escape, not a pasted accent: the suffix MUST stay the
+        # DECOMPOSED form ('e' + U+0301, matching the oracle's chr(769))
+        # and an editor could silently re-compose a literal char
+        F.concat(F.col("text"), F.lit(" cafe"), F.lit("\u0301")).alias(
+            "raw"
+        ),
+    )
+    norm = unicode_normalize(F.col("raw"))
+    return d.select(
+        "doc_id",
+        F.length("raw").alias("n_before"),
+        F.length(norm).alias("n_after"),
+        (F.col("raw") != norm).alias("changed"),
+        F.substring(norm, -4, 4).alias("tail"),
+    )

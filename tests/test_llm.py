@@ -1064,6 +1064,31 @@ def test_temperature_sample_is_deterministic_and_rebalanced(spark):
     assert frac["small"] / 100 > 2 * frac["big"] / 900
 
 
+def test_unicode_normalize_forms_and_nulls(spark):
+    """NFC composes decomposed accents, NFKC additionally folds
+    compatibility forms (ligatures, fullwidth); NULLs pass through;
+    unknown forms fail fast."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import unicode_normalize
+
+    decomposed = "café"      # e + combining acute
+    composed = "café"
+    ligature = "ﬁle"          # ﬁ ligature + le
+    df = spark.createDataFrame(
+        [(decomposed,), (ligature,), (None,)], schema="t string"
+    )
+    nfc = [r["n"] for r in df.select(unicode_normalize(F.col("t")).alias("n")).collect()]
+    assert nfc == [composed, ligature, None]  # NFC keeps ligatures
+    nfkc = [
+        r["n"]
+        for r in df.select(
+            unicode_normalize(F.col("t"), "NFKC").alias("n")
+        ).collect()
+    ]
+    assert nfkc == [composed, "file", None]   # NFKC folds them
+    with pytest.raises(ValueError, match="unknown normalization form"):
+        unicode_normalize(F.col("t"), "NFX")
+
+
 def test_temperature_sample_empty_input_returns_empty(spark):
     """An upstream filter dropping every row must propagate an empty
     frame through temperature_sample, not crash the dataflow."""
