@@ -80,32 +80,21 @@ def write_sink(df: DataFrame, sink: Mapping[str, Any]) -> None:
                 "zorderBy takes exactly two columns (Morton interleave); "
                 f"got {zorder_by!r}"
             )
-        from pyspark.sql.types import (
-            DateType,
-            NumericType,
-            TimestampNTZType,
-            TimestampType,
-        )
-
         from ominimo_dynamic_data_pipeline_spark.operators.scale import (
+            epoch_ordinal,
             morton_key,
         )
 
         def ordinal(c: str):
             # numeric/temporal only: a silent cast-to-double of a string
             # column would NULL every Morton key and collapse the range
-            # partitioner to one partition — fail fast instead
-            dtype = out.schema[c].dataType
-            if isinstance(dtype, NumericType):
-                return F.col(c).cast("double")
-            if isinstance(dtype, DateType):
-                return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
-            if isinstance(dtype, (TimestampType, TimestampNTZType)):
-                return F.unix_timestamp(F.col(c)).cast("double")
-            raise ValueError(
-                f"zorderBy column {c!r} has non-orderable-numeric type "
-                f"{dtype}; z-order keys must be numeric, date, or timestamp"
-            )
+            # partitioner to one partition — epoch_ordinal fails fast
+            try:
+                return epoch_ordinal(
+                    F.col(c), out.schema[c].dataType
+                ).cast("double")
+            except ValueError as exc:
+                raise ValueError(f"zorderBy column {c!r}: {exc}") from None
 
         bits = int(sink.get("zorderBits", 16))
         scale = F.lit(float((1 << bits) - 1))

@@ -457,14 +457,17 @@ def unicode_normalize(col: Column, form: str = "NFC") -> Column:
     Arrow escape hatch (SURVEY §2.4 rule: pandas_udf, never row-at-a-time
     F.udf): pandas' vectorized ``Series.str.normalize`` over Arrow
     batches.  The DuckDB twin for NFC is ``nfc_normalize`` (q138)."""
-    import pandas as pd  # noqa: F401  (typing of the udf signature)
     from pyspark.sql.functions import pandas_udf
 
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
 
+    # no pd.Series annotations: this module has `from __future__ import
+    # annotations`, which stringifies hints — PySpark's typehint
+    # inspection then fails with UNSUPPORTED_SIGNATURE; the
+    # annotation-free form rides the SQL_SCALAR_PANDAS eval path
     @pandas_udf("string")
-    def _norm(s):  # type: ignore[no-untyped-def]
+    def _norm(s):
         return s.str.normalize(form)
 
     return _norm(col)

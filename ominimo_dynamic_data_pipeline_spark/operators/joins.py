@@ -197,11 +197,8 @@ def point_in_interval_join(
     a message naming the knob — loud failure over a silent drop or a
     silent cross-product cliff.
     """
-    from pyspark.sql.types import (
-        DateType,
-        NumericType,
-        TimestampNTZType,
-        TimestampType,
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import (
+        epoch_ordinal,
     )
 
     by = list(by)
@@ -212,19 +209,13 @@ def point_in_interval_join(
         raise ValueError(f"point_in_interval_join reserves columns {sorted(clash)}")
 
     dtype = points.schema[point_col].dataType
-    if isinstance(dtype, DateType):
-        def ordinal(c):  # days since epoch — exact integers
-            return F.datediff(c, F.lit("1970-01-01"))
-    elif isinstance(dtype, (TimestampType, TimestampNTZType)):
+    try:
         def ordinal(c):
-            return F.unix_timestamp(c)
-    elif isinstance(dtype, NumericType):
-        def ordinal(c):
-            return c
-    else:
-        raise ValueError(
-            f"point_in_interval_join: unsupported {point_col!r} type {dtype}"
-        )
+            return epoch_ordinal(c, dtype)
+
+        ordinal(F.col(point_col))  # validate the type eagerly
+    except ValueError as exc:
+        raise ValueError(f"point_in_interval_join: {exc}") from None
 
     p_bin = F.floor(ordinal(F.col(point_col)) / bin_size)
     iv_cols = [c for c in intervals.columns if c not in by]

@@ -90,6 +90,32 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
 
 
+def epoch_ordinal(col, dtype):
+    """Integer-comparable ordinal of an orderable column, for binning and
+    range scaling: DAYS since epoch for dates (exact integers, immune to
+    the session timezone), unix SECONDS for timestamps, identity for
+    numerics; anything else raises.  Shared by the zorder sink scaling
+    (io/writer.py) and the binned interval join (operators/joins.py) so
+    the per-type dispatch evolves in one place."""
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(dtype, NumericType):
+        return col
+    if isinstance(dtype, DateType):
+        return F.datediff(col, F.lit("1970-01-01"))
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return F.unix_timestamp(col)
+    raise ValueError(
+        f"epoch_ordinal: unsupported type {dtype}; "
+        "must be numeric, date, or timestamp"
+    )
+
+
 def morton_key(a, b, bits: int = 16):
     """Z-order (Morton) interleave of two non-negative dimension values:
     bit i of ``a`` lands at position 2i+1 and bit i of ``b`` at 2i, so

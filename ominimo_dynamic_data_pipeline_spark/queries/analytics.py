@@ -800,19 +800,22 @@ def _q132_oracle() -> str | None:
     try:
         # Import-time data dependence must degrade, not detonate: an
         # environment without the oracle fixtures (fresh clone, other
-        # SF dir) gets a rows-only q132 instead of a broken catalog —
-        # the train_centroids_from_parquet pattern.
+        # SF dir, empty/all-NULL table) gets a rows-only q132 instead
+        # of a broken catalog — the train_centroids_from_parquet
+        # pattern.  The rates call sits INSIDE the try because an
+        # empty counts dict raises too.
         counts = dict(
             duckdb.connect()
             .execute(
                 "SELECT lang, COUNT(*) FROM "
-                f"'{_ORACLE_SF_DIR}/documents.parquet' GROUP BY lang"
+                f"'{_ORACLE_SF_DIR}/documents.parquet' "
+                "WHERE lang IS NOT NULL GROUP BY lang"
             )
             .fetchall()
         )
+        rates = temperature_mixture_rates(counts, _TM_ALPHA, _TM_BUDGET)
     except Exception:
         return None
-    rates = temperature_mixture_rates(counts, _TM_ALPHA, _TM_BUDGET)
     case = " ".join(
         f"WHEN lang = '{g}' THEN {rates[g]!r}" for g in sorted(rates)
     )

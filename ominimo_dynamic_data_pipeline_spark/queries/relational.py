@@ -780,10 +780,14 @@ def q137_pit_features_for_labels(
             F.sum(F.col("value").cast("decimal(18,2)")).alias("click_value"),
         )
     )
+    # days-since-epoch ordinal, NOT a timestamp cast: the cast routes
+    # through the session timezone, and a DST fall-back day would sit
+    # 6d+1h back — outside a seconds-based range frame — silently
+    # dropping it from the rolling sum
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("day").cast("timestamp").cast("long"))
-        .rangeBetween(-6 * 86400, 0)
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
     )
     rolling = daily.select(
         "user_id",
