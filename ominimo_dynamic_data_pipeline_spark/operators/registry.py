@@ -776,6 +776,29 @@ def _op_dq_check(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     ctx.put(out_name, result)
 
 
+@register_operator("normalize_unicode")
+def _op_normalize_unicode(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Unicode-normalize text columns as a dataflow step (llm/text.py
+    unicode_normalize — the multilingual cleanup run before
+    hashing/dedup/tokenization).  Params: ``columns`` (list, required),
+    ``form`` (NFC default)."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import unicode_normalize
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    cols = params.get("columns")
+    if not cols:
+        raise ValueError("normalize_unicode requires params.columns")
+    df = ctx.get(in_name)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"normalize_unicode: unknown columns {missing}")
+    form = params.get("form", "NFC")
+    for c in cols:
+        df = df.withColumn(c, unicode_normalize(F.col(c), form))
+    ctx.put(out_name, df)
+
+
 @register_operator("asof_join")
 def _op_asof_join(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     """Point-in-time join as a dataflow step (operators/joins.py

@@ -289,6 +289,29 @@ def test_interval_join_registry_step(spark, iv_frames):
         )
 
 
+def test_normalize_unicode_registry_step(spark):
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    df = spark.createDataFrame([("café",)], schema="t string")
+    ctx = CompileContext(spark, frames={"docs": df})
+    out = apply_transformations(ctx, {"transformations": [
+        {"name": "clean", "type": "normalize_unicode",
+         "params": {"input": "docs", "columns": ["t"]}},
+    ]})["clean"]
+    assert out.collect()[0]["t"] == "café"
+    with pytest.raises(ValueError, match="unknown columns"):
+        apply_transformations(
+            CompileContext(spark, frames={"docs": df}),
+            {"transformations": [
+                {"name": "x", "type": "normalize_unicode",
+                 "params": {"input": "docs", "columns": ["nope"]}},
+            ]},
+        )
+
+
 def test_pit_feature_example_dataflow(spark):
     """The shipped pit-feature-retrieval dataflow compiles and its
     strict as-of bound never attaches a same-day (leaky) feature row."""

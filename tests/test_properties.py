@@ -523,3 +523,108 @@ def test_dataset_checks_metrics_match_python_truth(spark, rows):
     nulls = sum(1 for k, _ in rows if k is None)
     assert out[("not_null", "k")]["metric"] == nulls
     assert out[("not_null", "k")]["passed"] == (nulls == 0)
+
+
+# ---------------------------------------------------------------------------
+# asof_join / point_in_interval_join vs brute force on arbitrary frames
+# ---------------------------------------------------------------------------
+_key = st.integers(0, 3)
+_tval = st.integers(0, 50)
+_left_row = st.tuples(_key, st.one_of(st.none(), _tval))
+_right_row = st.tuples(_key, st.one_of(st.none(), _tval), st.integers(0, 999))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_left_row, min_size=1, max_size=15),
+    st.lists(_right_row, min_size=0, max_size=15),
+    st.sampled_from(["backward", "forward"]),
+    st.booleans(),
+)
+def test_asof_join_matches_bruteforce_property(spark, lrows, rrows, direction, strict):
+    """For arbitrary (key, time) frames — NULL times, duplicate times,
+    keys on one side only — asof_join must equal the per-row brute-force
+    pick (latest-then-max-rid backward, earliest-then-min-rid forward),
+    with LEFT semantics and NULL-time rows never matching."""
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        schema="k bigint, t bigint, lid bigint",
+    )
+    right = spark.createDataFrame(
+        rrows, schema="k bigint, t bigint, rid bigint"
+    ) if rrows else spark.createDataFrame([], schema="k bigint, t bigint, rid bigint")
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on="t", by=["k"], direction=direction,
+            strict=strict, tiebreak="rid",
+        ).collect()
+    }
+    want = {}
+    for lid, (k, t) in enumerate(lrows):
+        cands = []
+        for rk, rt, rid in rrows:
+            if rk != k or rt is None or t is None:
+                continue
+            if direction == "backward":
+                ok = rt < t if strict else rt <= t
+            else:
+                ok = rt > t if strict else rt >= t
+            if ok:
+                cands.append((rt, rid))
+        if not cands:
+            want[lid] = None
+        elif direction == "backward":
+            want[lid] = max(cands)[1]
+        else:
+            want[lid] = min(cands, key=lambda c: (c[0], -c[1]))[1]
+    assert got == want
+
+
+_iv_row = st.tuples(_key, _tval, st.integers(-5, 60), st.integers(0, 999))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.tuples(_key, _tval), min_size=1, max_size=12),
+    st.lists(_iv_row, min_size=0, max_size=12),
+    st.sampled_from([1, 3, 17, 100]),
+)
+def test_interval_join_matches_bruteforce_property(spark, pts, ivs, bin_size):
+    """For arbitrary points and (possibly inverted) intervals, the binned
+    join equals the brute-force containment set at EVERY bin size."""
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import (
+        point_in_interval_join,
+    )
+
+    pdf = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(pts)],
+        schema="k bigint, v bigint, pid bigint",
+    )
+    idf = spark.createDataFrame(
+        [(k, lo, lo + span, rid) for k, lo, span, rid in ivs],
+        schema="k bigint, lo bigint, hi bigint, rid bigint",
+    ) if ivs else spark.createDataFrame([], schema="k bigint, lo bigint, hi bigint, rid bigint")
+    got = sorted(
+        (r["pid"], r["rid"])
+        for r in point_in_interval_join(
+            pdf, idf, "v", "lo", "hi", by=["k"], bin_size=bin_size
+        ).collect()
+    )
+    want = sorted(
+        (pid, rid)
+        for pid, (k, v) in enumerate(pts)
+        for ik, lo, span, rid in ivs
+        if ik == k and span >= 0 and lo <= v <= lo + span
+    )
+    assert got == want
