@@ -272,3 +272,110 @@ def point_in_interval_join(
         .filter(contained)
         .drop("_pii_bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: Sequence[str] = (),
+    bin_size: int = 30,
+    suffix: str = "_right",
+    max_bins_per_interval: int = 100_000,
+) -> DataFrame:
+    """INNER interval-OVERLAP join: every (left, right) row pair whose
+    closed intervals intersect (``l.start <= r.end AND r.start <=
+    l.end``), per ``by`` key — the interval x interval sibling of
+    :func:`point_in_interval_join`, same binning strategy.
+
+    Dedup-free multiplicity trick: two overlapping intervals share every
+    bin their intersection covers, so a naive bin join emits the pair
+    once PER shared bin.  Instead each pair is kept only in the
+    intersection's FIRST bin — ``bin == max(first_bin(l),
+    first_bin(r))`` — which both sides are guaranteed to cover exactly
+    when they overlap (the lowest-surviving-band idea from the simhash
+    dedup, as a pure predicate: no distinct, no output-sized shuffle).
+
+    ``bin_size`` units and the per-interval explode budget behave as in
+    point_in_interval_join.  Right columns attach under their own names,
+    ``suffix``-renamed on collision.
+    """
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import (
+        epoch_ordinal,
+    )
+
+    by = list(by)
+    if bin_size <= 0:
+        raise ValueError("bin_size must be positive")
+    clash = {*_PII_HELPERS, "_pii_first", "_pii_lfirst"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if clash:
+        raise ValueError(f"interval_overlap_join reserves columns {sorted(clash)}")
+    dtype = left.schema[left_start].dataType
+    try:
+        def ordinal(c):
+            return epoch_ordinal(c, dtype)
+
+        ordinal(F.col(left_start))
+    except ValueError as exc:
+        raise ValueError(f"interval_overlap_join: {exc}") from None
+
+    def binned(df, start, end, names=None):
+        first = F.floor(ordinal(F.col(start)) / bin_size)
+        last_raw = F.floor(ordinal(F.col(end)) / bin_size)
+        last = F.when(
+            last_raw - first >= F.lit(int(max_bins_per_interval)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_overlap_join: interval spans >= "
+                        f"{int(max_bins_per_interval)} bins "
+                        f"(bin_size={bin_size}); raise bin_size or "
+                        "max_bins_per_interval — offending start="
+                    ),
+                    F.col(start).cast("string"),
+                    F.lit(" end="),
+                    F.col(end).cast("string"),
+                )
+            ).cast("bigint"),
+        ).otherwise(last_raw)
+        cols = (
+            [F.col(c).alias(names[c]) for c in names]
+            if names is not None
+            else [F.col(c) for c in df.columns if c not in by]
+        )
+        return df.filter(
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (F.col(end) >= F.col(start))
+        ).select(
+            *by,
+            *cols,
+            first.alias("_pii_first"),
+            F.explode(F.sequence(first, last)).alias("_pii_bin"),
+        )
+
+    r_cols = [c for c in right.columns if c not in by]
+    out_names = {
+        c: c if c not in left.columns else f"{c}{suffix}" for c in r_cols
+    }
+    l_binned = binned(left, left_start, left_end).withColumnRenamed(
+        "_pii_first", "_pii_lfirst"
+    )
+    r_binned = binned(right, right_start, right_end, names=out_names)
+    rs, re_ = out_names[right_start], out_names[right_end]
+    overlap = (F.col(left_start) <= F.col(re_)) & (
+        F.col(rs) <= F.col(left_end)
+    )
+    first_shared = F.col("_pii_bin") == F.greatest(
+        F.col("_pii_lfirst"), F.col("_pii_first")
+    )
+    return (
+        l_binned.join(r_binned, [*by, "_pii_bin"])
+        .filter(overlap & first_shared)
+        .drop("_pii_bin", "_pii_lfirst", "_pii_first")
+    )

@@ -868,6 +868,49 @@ def _op_interval_join(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     )
 
 
+@register_operator("interval_overlap_join")
+def _op_interval_overlap_join(
+    ctx: CompileContext, step: Mapping[str, Any]
+) -> None:
+    """Binned interval-overlap join as a dataflow step
+    (operators/joins.py interval_overlap_join): every (left, right) pair
+    whose closed intervals intersect, per key — pairs emitted once via
+    the first-shared-bin predicate, never a distinct.  Params: ``right``
+    (frame name), ``left_start``/``left_end``/``right_start``/
+    ``right_end`` (all required), ``by``, ``bin_size``, ``suffix``,
+    ``max_bins_per_interval``."""
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [
+        k
+        for k in ("right", "left_start", "left_end", "right_start", "right_end")
+        if not params.get(k)
+    ]
+    if missing:
+        raise ValueError(f"interval_overlap_join requires params {missing}")
+    ctx.put(
+        out_name,
+        interval_overlap_join(
+            ctx.get(in_name),
+            ctx.get(params["right"]),
+            params["left_start"],
+            params["left_end"],
+            params["right_start"],
+            params["right_end"],
+            by=params.get("by", ()),
+            bin_size=int(params.get("bin_size", 30)),
+            suffix=params.get("suffix", "_right"),
+            max_bins_per_interval=int(
+                params.get("max_bins_per_interval", 100_000)
+            ),
+        ),
+    )
+
+
 @register_operator("temperature_sample")
 def _op_temperature_sample(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     """Temperature-based mixture rebalancing as a dataflow step (the q132

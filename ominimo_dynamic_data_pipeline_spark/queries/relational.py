@@ -815,6 +815,86 @@ def q137_pit_features_for_labels(
 
 
 # --------------------------------------------------------------------------
+# q139 — interval-OVERLAP join (operators/joins.py interval_overlap_join,
+# the interval x interval sibling of q134's containment): unordered
+# pairs of orders of the SAME customer whose active spans intersect —
+# concurrency structure, not just point membership.  Same binned equi
+# strategy; multiplicity handled WITHOUT a distinct: a pair is kept only
+# in its intersection's first bin (max of the two start bins), which
+# overlap guarantees both sides cover.  Self-join ordering a < b halves
+# the symmetric pairs.  Oracle: DuckDB IEJoin on the raw predicate.
+# --------------------------------------------------------------------------
+@query(
+    "q139_overlapping_order_spans",
+    """
+    WITH spans AS (
+        SELECT o.o_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS start_d,
+               CAST(MAX(l.l_shipdate) AS DATE) AS end_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(datediff('day',
+                GREATEST(a.start_d, b.start_d),
+                LEAST(a.end_d, b.end_d)) + 1 AS BIGINT) AS overlap_days
+    FROM spans a JOIN spans b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.start_d <= b.end_d AND b.start_d <= a.end_d
+     -- mirror the operator: inverted spans (this synthetic data has
+     -- orders whose last shipment predates the order date) are
+     -- malformed intervals and drop; the raw overlap predicate would
+     -- otherwise still fire on some of them
+     AND a.end_d >= a.start_d AND b.end_d >= b.start_d
+    """,
+)
+def q139_overlapping_order_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("start_d"),
+            F.max(F.col("l_shipdate").cast("date")).alias("end_d"),
+        )
+    )
+    pairs = interval_overlap_join(
+        spans,
+        spans.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("order_b"),
+            F.col("start_d").alias("b_start"),
+            F.col("end_d").alias("b_end"),
+        ),
+        "start_d", "end_d", "b_start", "b_end",
+        by=["o_custkey"], bin_size=120,
+    ).filter(F.col("o_orderkey") < F.col("order_b"))
+    return pairs.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_a"),
+        "order_b",
+        (
+            F.datediff(
+                F.least("end_d", "b_end"),
+                F.greatest("start_d", "b_start"),
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("overlap_days"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q16 — JSON access on events.props (semi-structured column).
 # --------------------------------------------------------------------------
 @query(

@@ -628,3 +628,49 @@ def test_interval_join_matches_bruteforce_property(spark, pts, ivs, bin_size):
         if ik == k and span >= 0 and lo <= v <= lo + span
     )
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_iv_row, min_size=1, max_size=10),
+    st.lists(_iv_row, min_size=0, max_size=10),
+    st.sampled_from([1, 7, 23, 100]),
+)
+def test_interval_overlap_join_matches_bruteforce_property(
+    spark, livs, rivs, bin_size
+):
+    """Overlap pairs equal brute force at every bin size, each emitted
+    exactly ONCE (the first-shared-bin dedup trick), with inverted
+    intervals dropped on either side."""
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ldf = spark.createDataFrame(
+        [(k, lo, lo + span, rid) for k, lo, span, rid in livs],
+        schema="k bigint, lo bigint, hi bigint, lid bigint",
+    )
+    rdf = spark.createDataFrame(
+        [(k, lo, lo + span, rid) for k, lo, span, rid in rivs],
+        schema="k bigint, rlo bigint, rhi bigint, rid bigint",
+    ) if rivs else spark.createDataFrame(
+        [], schema="k bigint, rlo bigint, rhi bigint, rid bigint"
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "lo", "hi", "rlo", "rhi", by=["k"], bin_size=bin_size
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lk, llo, lspan, lid in livs
+        for rk, rlo, rspan, rid in rivs
+        if lk == rk and lspan >= 0 and rspan >= 0
+        and llo <= rlo + rspan and rlo <= llo + lspan
+    )
+    assert got == want
