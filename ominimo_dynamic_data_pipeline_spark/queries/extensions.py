@@ -980,6 +980,63 @@ def q135_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q140 — LEAKAGE-SAFE (out-of-fold) target encoding, the categorical
+# feature-engineering twin of q137's point-in-time guard: each order's
+# market segment is encoded by the mean order value of the OTHER orders
+# in that segment — (sum - own) / (n - 1) — so a row never sees its own
+# target (plain mean-encoding leaks the label and inflates validation
+# scores).  One window exchange on the category; sums ride DECIMAL so
+# the subtraction is exact and only the final division is double.
+# Singleton categories (n = 1) have no out-of-fold signal: NULL, for
+# the caller's global-prior fallback.
+# --------------------------------------------------------------------------
+@query(
+    "q140_loo_target_encoding",
+    """
+    SELECT o_orderkey, c_mktsegment,
+           CASE WHEN cnt > 1 THEN ROUND(
+               CAST(seg_sum - t AS DOUBLE) / (cnt - 1), 4) END AS segment_loo_mean
+    FROM (
+        SELECT o.o_orderkey, c.c_mktsegment,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS t,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY c.c_mktsegment) AS seg_sum,
+               COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS cnt
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def q140_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    t = F.col("o_totalprice").cast("decimal(18,2)")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        "c_mktsegment",
+        t.alias("t"),
+    )
+    staged = joined.select(
+        "o_orderkey",
+        "c_mktsegment",
+        "t",
+        F.sum("t").over(w).alias("seg_sum"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    loo = F.when(
+        F.col("cnt") > 1,
+        F.round(
+            (F.col("seg_sum") - F.col("t")).cast("double")
+            / (F.col("cnt") - 1),
+            4,
+        ),
+    )
+    return staged.select(
+        "o_orderkey", "c_mktsegment", loo.alias("segment_loo_mean")
+    )
+
+
+# --------------------------------------------------------------------------
 # q119 — sequential pattern detection: customers with three consecutive
 # calendar months of strictly declining spend (the churn-risk signal).
 # The facts reduce to (customer, month) in one groupBy; the lag chain

@@ -357,3 +357,40 @@ def q131_streaming_enrichment_e2e(
         "n_events",
         "value_sum",
     )
+
+
+# --------------------------------------------------------------------------
+# q141 — streaming EXACT DEDUP e2e (dropDuplicatesWithinWatermark, the
+# last stock stateful operator without its own driver-verified entry):
+# the event stream is unioned with ITSELF — every row arrives twice in
+# the same micro-batch — and stream_dedup must collapse the duplicates
+# back out within the watermark horizon before a batch-side rollup.
+# Without the dedup state every count would be exactly 2x the oracle's,
+# so the hash comparison verifies the state store did the work, not the
+# aggregation.  Oracle: the plain batch rollup over the original table.
+# --------------------------------------------------------------------------
+@query(
+    "q141_streaming_dedup_e2e",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q141_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = stream_ops.read_events_stream(spark, sf_dir)
+    doubled = src.union(src)
+    fresh = stream_ops.stream_dedup(doubled, keys=("event_id",))
+    out = stream_ops.run_to_completion(
+        fresh,
+        "q141_streaming_dedup_sink",
+        shuffle_partitions=stream_ops.sized_state_partitions(spark, sf_dir),
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
