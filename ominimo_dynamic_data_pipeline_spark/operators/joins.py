@@ -29,6 +29,60 @@ _HELPERS = ("_asof_kind", "_asof_tb", "_asof_match")
 _PII_HELPERS = ("_pii_bin",)
 
 
+def _suffixed_names(
+    op_name: str,
+    attach_cols: Sequence[str],
+    other_cols: Sequence[str],
+    suffix: str,
+) -> dict[str, str]:
+    """Output-name map for columns attached from a joined side:
+    ``suffix``-renamed on collision with ``other_cols``, failing fast
+    when a renamed name STILL collides (with the other side or with a
+    sibling) instead of emitting ambiguous duplicate columns."""
+    out = {
+        c: c if c not in other_cols else f"{c}{suffix}" for c in attach_cols
+    }
+    vals = list(out.values())
+    bad = sorted(
+        {v for c, v in out.items() if v != c and v in other_cols}
+        | {v for v in vals if vals.count(v) > 1}
+    )
+    if bad:
+        raise ValueError(
+            f"{op_name}: output column(s) {bad} collide; pick another suffix"
+        )
+    return out
+
+
+def _bounded_bin_explode(
+    op_name: str, ordinal, start_col: str, end_col: str,
+    bin_size: int, max_bins: int,
+):
+    """(first_bin, exploded-bin column) for an interval frame, with the
+    per-interval explode budget enforced AT EXECUTION: the raise_error
+    sits inside the sequence bound so it cannot be pruned away and fires
+    before the explode allocates anything (shared by the containment and
+    overlap joins)."""
+    first = F.floor(ordinal(F.col(start_col)) / bin_size)
+    last_raw = F.floor(ordinal(F.col(end_col)) / bin_size)
+    last = F.when(
+        last_raw - first >= F.lit(int(max_bins)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{op_name}: interval spans >= {int(max_bins)} bins "
+                    f"(bin_size={bin_size}); raise bin_size or "
+                    "max_bins_per_interval — offending start="
+                ),
+                F.col(start_col).cast("string"),
+                F.lit(" end="),
+                F.col(end_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(last_raw)
+    return first, F.explode(F.sequence(first, last)).alias("_pii_bin")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -219,9 +273,13 @@ def point_in_interval_join(
 
     p_bin = F.floor(ordinal(F.col(point_col)) / bin_size)
     iv_cols = [c for c in intervals.columns if c not in by]
-    out_names = {
-        c: c if c not in points.columns else f"{c}{suffix}" for c in iv_cols
-    }
+    out_names = _suffixed_names(
+        "point_in_interval_join", iv_cols, points.columns, suffix
+    )
+    _, bin_col = _bounded_bin_explode(
+        "point_in_interval_join", ordinal, start_col, end_col,
+        bin_size, max_bins_per_interval,
+    )
     iv = (
         intervals.filter(
             F.col(start_col).isNotNull()
@@ -231,34 +289,7 @@ def point_in_interval_join(
         .select(
             *by,
             *[F.col(c).alias(out_names[c]) for c in iv_cols],
-            F.explode(
-                F.sequence(
-                    F.floor(ordinal(F.col(start_col)) / bin_size),
-                    # raise_error sits INSIDE the sequence bound so it
-                    # cannot be pruned away and fires before the explode
-                    # allocates anything
-                    F.when(
-                        F.floor(ordinal(F.col(end_col)) / bin_size)
-                        - F.floor(ordinal(F.col(start_col)) / bin_size)
-                        >= F.lit(int(max_bins_per_interval)),
-                        F.raise_error(
-                            F.concat(
-                                F.lit(
-                                    "point_in_interval_join: interval "
-                                    "spans >= "
-                                    f"{int(max_bins_per_interval)} bins "
-                                    f"(bin_size={bin_size}); raise "
-                                    "bin_size or max_bins_per_interval "
-                                    "— offending start="
-                                ),
-                                F.col(start_col).cast("string"),
-                                F.lit(" end="),
-                                F.col(end_col).cast("string"),
-                            )
-                        ).cast("bigint"),
-                    ).otherwise(F.floor(ordinal(F.col(end_col)) / bin_size)),
-                )
-            ).alias("_pii_bin"),
+            bin_col,
         )
     )
     pts = points.filter(F.col(point_col).isNotNull()).withColumn(
@@ -325,24 +356,10 @@ def interval_overlap_join(
         raise ValueError(f"interval_overlap_join: {exc}") from None
 
     def binned(df, start, end, names=None):
-        first = F.floor(ordinal(F.col(start)) / bin_size)
-        last_raw = F.floor(ordinal(F.col(end)) / bin_size)
-        last = F.when(
-            last_raw - first >= F.lit(int(max_bins_per_interval)),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "interval_overlap_join: interval spans >= "
-                        f"{int(max_bins_per_interval)} bins "
-                        f"(bin_size={bin_size}); raise bin_size or "
-                        "max_bins_per_interval — offending start="
-                    ),
-                    F.col(start).cast("string"),
-                    F.lit(" end="),
-                    F.col(end).cast("string"),
-                )
-            ).cast("bigint"),
-        ).otherwise(last_raw)
+        first, bin_col = _bounded_bin_explode(
+            "interval_overlap_join", ordinal, start, end,
+            bin_size, max_bins_per_interval,
+        )
         cols = (
             [F.col(c).alias(names[c]) for c in names]
             if names is not None
@@ -356,13 +373,13 @@ def interval_overlap_join(
             *by,
             *cols,
             first.alias("_pii_first"),
-            F.explode(F.sequence(first, last)).alias("_pii_bin"),
+            bin_col,
         )
 
     r_cols = [c for c in right.columns if c not in by]
-    out_names = {
-        c: c if c not in left.columns else f"{c}{suffix}" for c in r_cols
-    }
+    out_names = _suffixed_names(
+        "interval_overlap_join", r_cols, left.columns, suffix
+    )
     l_binned = binned(left, left_start, left_end).withColumnRenamed(
         "_pii_first", "_pii_lfirst"
     )

@@ -344,3 +344,22 @@ def test_interval_join_plan_is_equi_not_nested_loop(spark, iv_frames):
         out._jdf.queryExecution(), "simple"
     )
     assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_interval_joins_reject_unresolvable_suffix_collisions(spark):
+    """A suffixed right-column rename that still collides with a left
+    column must fail fast with the suffix knob named, not emit ambiguous
+    duplicate output columns."""
+    left = spark.createDataFrame(
+        [(1, 5, "L")], schema="k bigint, v bigint, lbl string"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, 7)], schema="k bigint, lo bigint, hi bigint, v bigint"
+    )  # interval side's 'v' collides with the point column -> v_iv
+    ok = point_in_interval_join(left, ivs, "v", "lo", "hi", by=["k"], bin_size=5)
+    assert "v_iv" in ok.columns  # plain rename works
+    with pytest.raises(ValueError, match="pick another suffix"):
+        point_in_interval_join(
+            left.withColumn("v_iv", F.lit(1)),  # the rename target is taken
+            ivs, "v", "lo", "hi", by=["k"], bin_size=5,
+        )

@@ -581,9 +581,9 @@ def test_asof_join_matches_bruteforce_property(spark, lrows, rrows, direction, s
         if not cands:
             want[lid] = None
         elif direction == "backward":
-            want[lid] = max(cands)[1]
+            want[lid] = max(cands)[1]  # latest ts, then max rid
         else:
-            want[lid] = min(cands, key=lambda c: (c[0], -c[1]))[1]
+            want[lid] = min(cands)[1]  # earliest ts, then MIN rid
     assert got == want
 
 
