@@ -60,7 +60,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     agg AS (
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               count_if(o_totalprice > 250000) AS big_cnt,
+               CAST(count_if(o_totalprice > 250000) AS BIGINT) AS big_cnt,
                bool_and(o_totalprice > 0) AS all_positive,
                bool_or(o_totalprice > 400000) AS any_giant,
                ROUND(median(o_totalprice), 2) AS med_price
@@ -134,7 +134,7 @@ _PRIORITIES = [
 
 def _q70_sql() -> str:
     wide = ", ".join(
-        f"count_if(o_orderpriority = '{val}') AS {alias}"
+        f"CAST(count_if(o_orderpriority = '{val}') AS BIGINT) AS {alias}"
         for val, alias in _PRIORITIES
     )
     arms = " UNION ALL ".join(
@@ -435,7 +435,7 @@ def q77_blocklist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _q78_sql() -> str:
     cols = ", ".join(
-        f"""count_if(o_orderpriority = '{val}') AS "{val}" """
+        f"""CAST(count_if(o_orderpriority = '{val}') AS BIGINT) AS "{val}" """
         for val, _ in _PRIORITIES
     )
     return f"SELECT o_orderstatus, {cols} FROM orders GROUP BY o_orderstatus"

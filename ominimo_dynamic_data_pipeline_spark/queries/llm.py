@@ -1243,10 +1243,10 @@ _Q55_BUDGET = 2048
         SELECT doc_id, lang, LEN({SQL_TOKS}) AS n_tokens FROM documents
     )
     SELECT doc_id, lang, n_tokens,
-           SUM(n_tokens) OVER (
+           CAST(SUM(n_tokens) OVER (
                PARTITION BY lang ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_tokens,
+           ) AS BIGINT) AS cum_tokens,
            CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY lang ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING

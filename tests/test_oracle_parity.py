@@ -59,6 +59,29 @@ def test_oracle_parity(name: str, spark, duck) -> None:
     assert not problems, f"{name} lost oracle parity: " + "; ".join(problems)
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_no_hugeint_oracle_output(name: str, duck) -> None:
+    """No oracle may emit a HUGEINT/UHUGEINT column.
+
+    DuckDB's ``count_if`` and windowed ``SUM(BIGINT)`` return HUGEINT, which
+    pandas materializes as float64 — so the driver's value hash renders
+    ``912.0`` against Spark's ``912`` and flags a red even though the values
+    are numerically identical (round-5 verdict: q55/q68/q70/q78).  Casting
+    to BIGINT in the oracle SQL is the fix; this lint makes the class
+    unshippable again.
+    """
+    desc = duck.execute(f"DESCRIBE {ORACLES[name]}").df()
+    huge = [
+        (r["column_name"], r["column_type"])
+        for _, r in desc.iterrows()
+        if "HUGEINT" in str(r["column_type"]).upper()
+    ]
+    assert not huge, (
+        f"{name} oracle emits HUGEINT column(s) {huge}: wrap in "
+        f"CAST(... AS BIGINT) so the driver's pandas rendering matches Spark"
+    )
+
+
 def test_every_oracle_has_a_query() -> None:
     orphans = sorted(set(ORACLES) - set(QUERIES))
     assert not orphans, f"oracle_sql() entries without queries(): {orphans}"

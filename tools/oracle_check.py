@@ -40,14 +40,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cell(v) -> str:
+    # Dtype-faithful renderer, matching the driver's value hash: an integral
+    # float64 (e.g. a DuckDB HUGEINT materialized by pandas as 912.0) must
+    # NOT hash equal to Spark's int64 912 — the driver treats them as
+    # different values, so the local gate must too.
     if v is None or (isinstance(v, float) and pd.isna(v)):
         return "<null>"
     if pd.isna(v) if not isinstance(v, (list, tuple, set, dict)) else False:
         return "<null>"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):  # np.float64 subclasses float; strip the numpy repr
+        return repr(float(v))
+    if isinstance(v, int):  # np.int* via int() below
+        return str(int(v))
+    try:
+        import numpy as np
+
+        if isinstance(v, np.integer):
             return str(int(v))
-        return repr(v)
+        if isinstance(v, np.floating):
+            return repr(float(v))
+    except ImportError:  # pragma: no cover
+        pass
     return str(v)
 
 
