@@ -168,6 +168,7 @@ def temperature_mixture_sample(
     budget: int = 10_000,
     seed: int = 131,
     mod: int = 1_048_576,
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """Deterministic temperature-rebalanced Bernoulli sample: keep a row
     iff its md5-uniform u < its group's temperature rate (see
@@ -177,16 +178,31 @@ def temperature_mixture_sample(
     are bounded — languages/sources, not data-scaled), rates rendered as
     a literal CASE chain, membership a pure projection riding the scan —
     no join, no second shuffle.  Rows whose group was absent from the
-    census (NULL group) have NULL rate and are dropped."""
+    census (NULL group) have NULL rate and are dropped.
+
+    ``max_groups`` guards the census collect against a high-cardinality
+    misuse (``group_col=user_id`` would collect millions of rows to the
+    driver): the census reads at most ``max_groups + 1`` group rows and
+    raises loudly past the cap — the same loud-failure posture as the
+    interval joins' ``max_bins_per_interval``."""
     from ominimo_dynamic_data_pipeline_spark.llm.dedup import md5_long
 
-    counts = {
-        r["_g"]: r["_n"]
-        for r in df.groupBy(F.col(group_col).alias("_g"))
+    if max_groups <= 0:
+        raise ValueError("temperature_mixture_sample: max_groups must be positive")
+    census = (
+        df.groupBy(F.col(group_col).alias("_g"))
         .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(int(max_groups) + 1)
         .collect()
-        if r["_g"] is not None
-    }
+    )
+    if len(census) > max_groups:
+        raise ValueError(
+            f"temperature_mixture_sample: group_col={group_col!r} has more "
+            f"than max_groups={max_groups} distinct values; temperature "
+            "mixing is for bounded mixtures (languages/sources) — pick a "
+            "coarser group_col or raise max_groups explicitly"
+        )
+    counts = {r["_g"]: r["_n"] for r in census if r["_g"] is not None}
     if not counts:
         # empty input (or all-NULL groups) propagates as an empty frame
         # — an upstream filter dropping every row must not crash the

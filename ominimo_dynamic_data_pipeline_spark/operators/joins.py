@@ -54,6 +54,45 @@ def _suffixed_names(
     return out
 
 
+def _require_same_ordinal_family(
+    op_name: str, anchor_col: str, anchor_dtype, others: Sequence[tuple]
+) -> None:
+    """Fail fast when the bound/point columns of an interval join mix
+    epoch_ordinal dispatch families (numeric vs date vs timestamp).
+
+    epoch_ordinal dispatches on ONE side's dtype and the same dispatch is
+    applied to the other frame's columns; a numeric left against timestamp
+    right bounds would otherwise surface as a raw Catalyst
+    DATATYPE_MISMATCH at analysis instead of the operator's own error."""
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    def family(dtype) -> str | None:
+        if isinstance(dtype, NumericType):
+            return "numeric"
+        if isinstance(dtype, DateType):
+            return "date"
+        if isinstance(dtype, (TimestampType, TimestampNTZType)):
+            return "timestamp"
+        return None
+
+    want = family(anchor_dtype)
+    for name, dtype in others:
+        got = family(dtype)
+        if got != want:
+            raise ValueError(
+                f"{op_name}: column {name!r} is {dtype.simpleString()} "
+                f"({got or 'unsupported'}) but {anchor_col!r} is "
+                f"{anchor_dtype.simpleString()} ({want}); all point/bound "
+                "columns must share one type family "
+                "(numeric | date | timestamp)"
+            )
+
+
 def _bounded_bin_explode(
     op_name: str, ordinal, start_col: str, end_col: str,
     bin_size: int, max_bins: int,
@@ -138,9 +177,7 @@ def asof_join(
     if clash:
         raise ValueError(f"asof_join reserves columns {sorted(clash)}")
     payload_cols = [c for c in right.columns if c != on and c not in by]
-    out_names = {
-        c: c if c not in left.columns else f"{c}{suffix}" for c in payload_cols
-    }
+    out_names = _suffixed_names("asof_join", payload_cols, left.columns, suffix)
     matched_on = f"{on}{suffix}"
     if matched_on in left.columns or matched_on in out_names.values():
         raise ValueError(
@@ -270,6 +307,15 @@ def point_in_interval_join(
         ordinal(F.col(point_col))  # validate the type eagerly
     except ValueError as exc:
         raise ValueError(f"point_in_interval_join: {exc}") from None
+    _require_same_ordinal_family(
+        "point_in_interval_join",
+        point_col,
+        dtype,
+        [
+            (start_col, intervals.schema[start_col].dataType),
+            (end_col, intervals.schema[end_col].dataType),
+        ],
+    )
 
     p_bin = F.floor(ordinal(F.col(point_col)) / bin_size)
     iv_cols = [c for c in intervals.columns if c not in by]
@@ -354,6 +400,16 @@ def interval_overlap_join(
         ordinal(F.col(left_start))
     except ValueError as exc:
         raise ValueError(f"interval_overlap_join: {exc}") from None
+    _require_same_ordinal_family(
+        "interval_overlap_join",
+        left_start,
+        dtype,
+        [
+            (left_end, left.schema[left_end].dataType),
+            (right_start, right.schema[right_start].dataType),
+            (right_end, right.schema[right_end].dataType),
+        ],
+    )
 
     def binned(df, start, end, names=None):
         first, bin_col = _bounded_bin_explode(

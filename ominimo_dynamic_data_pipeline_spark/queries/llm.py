@@ -2282,18 +2282,40 @@ def q111_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q138 — Unicode NFC normalization (llm/text.py unicode_normalize): the
 # multilingual cleanup step run before hashing/dedup/tokenization.  The
 # corpus text is pure ASCII (NFC-invariant), so BOTH engines append the
-# same decomposed suffix ('cafe' + combining acute U+0301) to force real
-# composition work — the oracle check then verifies the Arrow
+# same HOSTILE decomposed suffix to force real composition work across
+# every edge family (round-5 verdict item 5): combining acute, stacked
+# combining marks (ogonek+acute), an fi ligature (NFC-invariant — must
+# NOT fold under NFC), decomposed Hangul jamo (compose to one
+# syllable), an astral-plane math letter (4-byte UTF-8, NFC-invariant),
+# a fullwidth A (NFC-invariant), and A + combining ring (composes to
+# Angstrom's letter) — the oracle check then verifies the Arrow
 # pandas_udf batch path end to end (nfc_normalize is the DuckDB twin),
-# not an identity pass.  Catalyst has no normalization builtin; this is
+# not an identity pass; code-point length parity across Spark / DuckDB
+# / Python was verified empirically (all three count code points, not
+# UTF-16 units).  Catalyst has no normalization builtin; this is
 # the sanctioned vectorized-UDF escape hatch, a pure per-row projection
 # riding the scan (no shuffle).
 # --------------------------------------------------------------------------
+# the decomposed suffix, written as explicit escapes in BOTH engines (an
+# editor could silently re-compose a pasted literal): U+0301 combining
+# acute, U+0328 ogonek, U+FB01 fi-ligature, U+1100/U+1161/U+11A8 Hangul
+# jamo, U+1D49C math script A, U+FF21 fullwidth A, U+030A combining ring
+_Q138_SUFFIX = (
+    " cafe\u0301 a\u0328\u0301 \ufb01le"
+    " \u1100\u1161\u11a8 \U0001d49c \uff21 A\u030a"
+)
+_Q138_SUFFIX_SQL = (
+    "' cafe' || chr(769) || ' a' || chr(808) || chr(769) || ' ' || "
+    "chr(64257) || 'le ' || chr(4352) || chr(4449) || chr(4520) || ' ' || "
+    "chr(119964) || ' ' || chr(65313) || ' A' || chr(778)"
+)
+
+
 @query(
     "q138_unicode_nfc_normalize",
-    """
+    f"""
     WITH staged AS (
-        SELECT doc_id, text || ' cafe' || chr(769) AS raw FROM documents
+        SELECT doc_id, text || {_Q138_SUFFIX_SQL} AS raw FROM documents
     )
     SELECT doc_id,
            LENGTH(raw) AS n_before,
@@ -2309,12 +2331,7 @@ def q138_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        # explicit escape, not a pasted accent: the suffix MUST stay the
-        # DECOMPOSED form ('e' + U+0301, matching the oracle's chr(769))
-        # and an editor could silently re-compose a literal char
-        F.concat(F.col("text"), F.lit(" cafe"), F.lit("\u0301")).alias(
-            "raw"
-        ),
+        F.concat(F.col("text"), F.lit(_Q138_SUFFIX)).alias("raw"),
     )
     norm = unicode_normalize(F.col("raw"))
     return d.select(

@@ -176,6 +176,7 @@ def test_asof_single_exchange_plan(spark, frames):
 
 
 from ominimo_dynamic_data_pipeline_spark.operators.joins import (  # noqa: E402
+    interval_overlap_join,
     point_in_interval_join,
 )
 
@@ -363,3 +364,49 @@ def test_interval_joins_reject_unresolvable_suffix_collisions(spark):
             left.withColumn("v_iv", F.lit(1)),  # the rename target is taken
             ivs, "v", "lo", "hi", by=["k"], bin_size=5,
         )
+
+
+def test_asof_suffix_collision_fails_fast_with_clear_error(spark):
+    """Right side carrying BOTH `v` and `v_right` against a left `v`:
+    the rename of right `v` -> `v_right` collides with the sibling right
+    column, which previously surfaced as an opaque Catalyst
+    AMBIGUOUS_REFERENCE AnalysisException; now the shared _suffixed_names
+    helper raises the same clear ValueError the interval joins use."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), 5)], schema="k bigint, ts timestamp, v bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 7, 8)],
+        schema="k bigint, ts timestamp, v bigint, v_right bigint",
+    )
+    with pytest.raises(ValueError, match="pick another suffix"):
+        asof_join(left, right, on="ts", by=["k"])
+    ok = asof_join(left, right, on="ts", by=["k"], suffix="_q")
+    assert {"v_q", "v_right", "ts_q"} <= set(ok.columns)
+
+
+def test_interval_joins_reject_mixed_type_families(spark):
+    """Numeric points against timestamp interval bounds (and numeric
+    left intervals against date right intervals) must raise the
+    operator's own ValueError naming both columns, not a raw Catalyst
+    DATATYPE_MISMATCH at analysis."""
+    pts = spark.createDataFrame([(1, 5)], schema="k bigint, v bigint")
+    ivs_ts = spark.createDataFrame(
+        [(1, _ts(0), _ts(10))], schema="k bigint, lo timestamp, hi timestamp"
+    )
+    with pytest.raises(ValueError, match="point_in_interval_join.*'lo'"):
+        point_in_interval_join(pts, ivs_ts, "v", "lo", "hi", by=["k"])
+
+    num_iv = spark.createDataFrame(
+        [(1, 0, 10)], schema="k bigint, s bigint, e bigint"
+    )
+    date_iv = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), dt.date(2024, 1, 9))],
+        schema="k bigint, s2 date, e2 date",
+    )
+    with pytest.raises(ValueError, match="interval_overlap_join.*'s2'"):
+        interval_overlap_join(num_iv, date_iv, "s", "e", "s2", "e2", by=["k"])
+    # mixed WITHIN a side fails too (numeric start, date end)
+    bad_end = num_iv.withColumn("e", F.lit(dt.date(2024, 1, 9)))
+    with pytest.raises(ValueError, match="point_in_interval_join.*'e'"):
+        point_in_interval_join(pts, bad_end, "v", "s", "e", by=["k"])

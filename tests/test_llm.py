@@ -1272,3 +1272,118 @@ def test_q128_bpe_encode_greedy_merge_semantics(spark):
     assert out["ththe"] == "th the"
     # 'i n i n': greedy non-overlapping -> 'in in'; then 'in g' absent
     assert out["inin"] == "in in"
+
+
+def test_temperature_sample_max_groups_guard(spark):
+    """group_col=user_id-style misuse must raise loudly BEFORE collecting
+    a data-scaled census to the driver (round-5 verdict item 8); the
+    census reads at most max_groups+1 rows."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, f"u{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, lang string")
+    with pytest.raises(ValueError, match="max_groups=10"):
+        temperature_mixture_sample(df, group_col="lang", max_groups=10)
+    with pytest.raises(ValueError, match="max_groups must be positive"):
+        temperature_mixture_sample(df, group_col="lang", max_groups=0)
+    # at exactly the cap it runs
+    ok = temperature_mixture_sample(df, group_col="lang", max_groups=50)
+    assert ok.count() > 0
+
+
+def test_dedup_persist_registry_bounds_cache(spark):
+    """Repeated dedup-operator calls in a long-lived session must not
+    accumulate cached partitions: each operator keeps ONE generation of
+    persisted intermediates, and release_persisted() drops them all
+    (round-5 advice)."""
+    from ominimo_dynamic_data_pipeline_spark.llm import dedup as D
+
+    rows = [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(30)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    D.release_persisted()
+    out1 = D.incremental_near_dedup(df, df, max_bucket_size=50)
+    gen1 = list(D._PERSISTED.get("incremental_near_dedup", []))
+    assert len(gen1) == 2  # sh_inc + sh_ref, one generation
+    out1.count()
+    # a DIFFERENT input frame: storageLevel is looked up by logical plan,
+    # so a same-plan second call would mask the release of generation 1
+    df2 = df.filter(F.col("doc_id") < 20)
+    out2 = D.incremental_near_dedup(df2, df2, max_bucket_size=50)
+    gen2 = list(D._PERSISTED.get("incremental_near_dedup", []))
+    assert len(gen2) == 2  # still one generation, not four
+    assert all(g1 is not g2 for g1 in gen1 for g2 in gen2)
+    for g in gen1:  # previous generation was released
+        assert g.storageLevel.useMemory is False
+    out2.count()
+    released = D.release_persisted("incremental_near_dedup")
+    assert released == 2
+    assert "incremental_near_dedup" not in D._PERSISTED
+    # release-all path sweeps any other operator slots too
+    D.release_persisted()
+
+
+def test_incremental_near_dedup_no_forced_broadcast(spark):
+    """The victims anti-join must not carry a user-forced broadcast hint:
+    victims scale with the incoming batch (a fully-duplicate re-ingest is
+    batch-sized), so sizing is AQE's call (round-5 advice)."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        incremental_near_dedup,
+        release_persisted,
+    )
+
+    rows = [(i, f"one two three four five {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    out = incremental_near_dedup(df, df)
+    plan = out._jdf.queryExecution().logical().toString()
+    hints = [ln for ln in plan.splitlines() if "UnresolvedHint" in ln or "ResolvedHint" in ln]
+    # the only remaining broadcast hints are the shingle-frame internals'
+    # (none today); the victims join itself must carry no hint
+    assert not any("broadcast" in h.lower() for h in hints), hints
+    release_persisted()
+
+
+def test_unicode_normalize_hostile_fixture_all_forms(spark):
+    """Hostile fixture through the Arrow UDF, pinned per form against
+    Python unicodedata (NFD/NFKD have no DuckDB twin; NFC additionally
+    has the q138 oracle): stacked combining marks, an fi ligature
+    (NFC-invariant, NFKC-folded), decomposed Hangul jamo (NFC-composed),
+    astral-plane math script A (NFKC-folded to 'A'), fullwidth A
+    (NFKC-folded), and A+combining-ring (NFC-composed to U+00C5)."""
+    import unicodedata
+
+    hostile = [
+        "café",
+        "ą́",                 # stacked combining marks
+        "ﬁle",                      # fi ligature
+        "각",            # Hangul jamo -> U+AC01
+        "\U0001d49c str",                # astral plane
+        "Ａwide",                    # fullwidth A
+        "Å",                       # -> U+00C5
+        "",                              # empty survives
+    ]
+    from ominimo_dynamic_data_pipeline_spark.llm.text import unicode_normalize
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(hostile)],
+                               schema="i bigint, t string")
+    for form in ("NFC", "NFKC", "NFD", "NFKD"):
+        got = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", unicode_normalize(F.col("t"), form).alias("n")
+            ).collect()
+        }
+        want = {i: unicodedata.normalize(form, t) for i, t in enumerate(hostile)}
+        assert got == want, form
+    # spot-pin the semantic facts the fixture encodes
+    nfc = {r["i"]: r["n"] for r in df.select(
+        "i", unicode_normalize(F.col("t")).alias("n")).collect()}
+    assert nfc[2] == "ﬁle"          # ligature NOT folded by NFC
+    assert nfc[3] == "각"            # jamo composed to one syllable
+    assert nfc[6] == "Å"
+    nfkc = {r["i"]: r["n"] for r in df.select(
+        "i", unicode_normalize(F.col("t"), "NFKC").alias("n")).collect()}
+    assert nfkc[2] == "file"             # ligature folded by NFKC
+    assert nfkc[4] == "A str"            # astral math letter folded
+    assert nfkc[5] == "Awide"            # fullwidth folded
