@@ -1540,3 +1540,67 @@ def q50_validated_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_valid",
         F.concat_ws(",", "validation_errors").alias("errors"),
     )
+
+
+# --------------------------------------------------------------------------
+# q142 — the as-of join's FULL generalized matrix in one call (round-5
+# verdict item 6: q133 drives backward+strict+tolerance+tiebreak; this
+# drives FORWARD+strict+tolerance+tiebreak on the orders volume table):
+# for every order, the customer's NEXT order strictly after it within 90
+# days — earliest date wins, smallest orderkey breaks same-date ties
+# (forward's tiebreak polarity).  Scale shape unchanged from q133: union
+# + ONE (custkey) exchange + one sort, no per-customer pair blowup.
+# Oracle: DuckDB has no FORWARD ASOF, so the twin resolves the minimal
+# qualifying date per order, then the minimal orderkey at that date —
+# exactly the operator's documented forward tiebreak.
+# --------------------------------------------------------------------------
+@query(
+    "q142_next_order_forward_asof",
+    """
+    WITH nxt AS (
+        SELECT a.o_orderkey, MIN(b.o_orderdate) AS next_date
+        FROM orders a
+        JOIN orders b
+          ON b.o_custkey = a.o_custkey
+         AND b.o_orderdate > a.o_orderdate
+         AND b.o_orderdate <= a.o_orderdate + INTERVAL 90 DAY
+        GROUP BY a.o_orderkey
+    ),
+    pick AS (
+        SELECT a.o_orderkey, n.next_date, MIN(b.o_orderkey) AS next_order
+        FROM orders a
+        JOIN nxt n USING (o_orderkey)
+        JOIN orders b
+          ON b.o_custkey = a.o_custkey AND b.o_orderdate = n.next_date
+        GROUP BY a.o_orderkey, n.next_date
+    )
+    SELECT o.o_custkey AS custkey,
+           o.o_orderkey AS orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS placed_on,
+           p.next_order,
+           STRFTIME(p.next_date, '%Y-%m-%d') AS next_on
+    FROM orders o LEFT JOIN pick p USING (o_orderkey)
+    """,
+)
+def q142_next_order_forward_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import asof_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        # tolerance arithmetic needs a timestamp `on` column
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    right = o.select("custkey", F.col("orderkey").alias("r_orderkey"), "ts")
+    out = asof_join(
+        o, right, on="ts", by=["custkey"], direction="forward",
+        strict=True, tolerance="90 days", tiebreak="r_orderkey",
+        suffix="_next",
+    )
+    return out.select(
+        "custkey",
+        "orderkey",
+        F.date_format("ts", "yyyy-MM-dd").alias("placed_on"),
+        F.col("r_orderkey").alias("next_order"),
+        F.date_format("ts_next", "yyyy-MM-dd").alias("next_on"),
+    )

@@ -410,3 +410,31 @@ def test_interval_joins_reject_mixed_type_families(spark):
     bad_end = num_iv.withColumn("e", F.lit(dt.date(2024, 1, 9)))
     with pytest.raises(ValueError, match="point_in_interval_join.*'e'"):
         point_in_interval_join(pts, bad_end, "v", "s", "e", by=["k"])
+
+
+def test_concurrent_orders_example_dataflow(spark):
+    """The shipped concurrent-order-spans dataflow (round-5 verdict item
+    7: interval_overlap_join reachable from an example) compiles, runs,
+    and every emitted pair genuinely overlaps with a < b dedup order."""
+    import json
+    from pathlib import Path
+
+    from ominimo_dynamic_data_pipeline_spark.config import select_dataflow
+    from ominimo_dynamic_data_pipeline_spark.pipeline import (
+        compile_dataflow,
+        run_dataflow,
+    )
+
+    meta = json.loads(
+        (Path(__file__).parent.parent / "examples" / "concurrent_orders.json")
+        .read_text()
+    )
+    flow = select_dataflow(meta, "concurrent-order-spans")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    pairs = compiled.frames["concurrent_pairs"]
+    sample = pairs.limit(200).collect()
+    assert len(sample) > 0
+    for r in sample:
+        assert r["orderkey"] < r["orderkey_b"]
+        assert r["start_d"] <= r["end_d_b"] and r["start_d_b"] <= r["end_d"]
