@@ -91,6 +91,96 @@ def stratified_quota_sample(
     return ranked.filter(F.col("strat_rank") <= quota)
 
 
+def group_quota_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    cap: int = 100,
+    seed: int = 143,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by the seeded md5
+    ordering — the ABSOLUTE-quota twin of stratified_quota_sample and
+    the C4/RefinedWeb-style per-domain cap: no single crawl domain may
+    dominate the training mix, however large its crawl footprint.
+
+    Adds ``group_rank`` (1-based seeded rank within the group) and
+    ``group_docs`` (group size before capping).  Same scale shape as the
+    stratified sampler: ONE window exchange on ``group_col``, narrow
+    projection through the window, deterministic across reruns/retries
+    (md5 key, no rand()).  For monster groups, pre-bin by a hash prefix
+    and cap per bin — the rank only needs to be exact up to ``cap``.
+    """
+    if cap <= 0:
+        raise ValueError("group_quota_cap: cap must be positive")
+    from pyspark.sql.window import Window
+
+    key = sample_key(F.col(id_col), seed)
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    w_all = Window.partitionBy(group_col)
+    ranked = df.select(
+        "*",
+        F.row_number().over(w).cast("bigint").alias("group_rank"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("group_docs"),
+    )
+    return ranked.filter(F.col("group_rank") <= cap)
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: int = 144,
+    mod: int = 1_048_576,
+) -> DataFrame:
+    """Train/val/test assignment with NEAR-DUP CLUSTER integrity: every
+    document in one near-dup cluster lands in the SAME split, so a
+    lightly-edited twin of a validation document can never leak into
+    train (the split-level decontamination guarantee; hash-splitting raw
+    doc ids does NOT give it).
+
+    ``pairs`` is a near-dup pair frame (``id_a``/``id_b``, e.g.
+    minhash_near_dups output).  Connected components give each doc its
+    cluster's min id as a group key (singletons key on their own id);
+    the split is an exact-integer md5 bucket of the GROUP key —
+    bucket < test_frac*mod -> test, < (test+val)*mod -> val, else train
+    — so membership depends only on the group, never the individual doc.
+
+    Scale shape: components via the iterative min-label loop
+    (dedup_clusters — edges localCheckpointed, rounds bounded by
+    diameter); the label attach is a key-only join whose right side
+    scales with the DUPLICATED doc count, not the corpus (AQE
+    broadcast-decides); the bucket math is a pure projection.  Adds
+    ``cluster_id`` (the group key) and ``split``."""
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError(
+            "cluster_safe_split: need val_frac, test_frac >= 0 and "
+            "val_frac + test_frac < 1"
+        )
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        dedup_clusters,
+        md5_long,
+    )
+
+    clusters = dedup_clusters(pairs, id_col=id_col)
+    labeled = df.join(
+        clusters.withColumnRenamed(id_col, "_csp_id"),
+        df[id_col] == F.col("_csp_id"),
+        "left",
+    ).drop("_csp_id")
+    group = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    bucket = md5_long(group.cast("string"), seed=seed) % mod
+    t_test = int(mod * test_frac)
+    t_val = int(mod * (test_frac + val_frac))
+    split = (
+        F.when(bucket < t_test, F.lit("test"))
+        .when(bucket < t_val, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return labeled.withColumn("cluster_id", group).withColumn("split", split)
+
+
 def ngram_decontaminate(
     df,
     eval_df,

@@ -2341,3 +2341,106 @@ def q138_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("raw") != norm).alias("changed"),
         F.substring(norm, -4, 4).alias("tail"),
     )
+
+
+# --------------------------------------------------------------------------
+# q143 — ABSOLUTE per-source quota cap (llm/sampling.py group_quota_cap):
+# the C4/RefinedWeb-style per-domain cap — no crawl source may contribute
+# more than N documents to the mix, chosen by a seeded md5 order so the
+# cap is reproducible across reruns and recomputable by the oracle.  The
+# fraction-quota sibling is q66; this is the absolute-cap twin the
+# crawl-curation recipes actually use.  ONE window exchange on source.
+# --------------------------------------------------------------------------
+_Q143_CAP, _Q143_SEED = 40, 143
+
+
+@query(
+    "q143_per_source_quota_cap",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_Q143_SEED}:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS group_rank,
+               COUNT(*) OVER (PARTITION BY source) AS group_docs
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, group_rank, group_docs
+    FROM ranked WHERE group_rank <= {_Q143_CAP}
+    """,
+)
+def q143_per_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import group_quota_cap
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return group_quota_cap(
+        d, group_col="source", cap=_Q143_CAP, seed=_Q143_SEED
+    )
+
+
+# --------------------------------------------------------------------------
+# q144 — cluster-safe train/val/test split (llm/sampling.py
+# cluster_safe_split): every near-dup CLUSTER (q26's pair graph, q57's
+# components) lands wholly in one split, so a lightly-edited twin of a
+# val/test document can never leak into train — the guarantee raw
+# id-hash splitting does not give.  Split = exact-integer md5 bucket of
+# the cluster's min id (singletons: own id), thresholds computed as
+# integers so both engines compare exactly.  Oracle: the q57 recursive-
+# CTE components left-joined to all docs + the same bucket arithmetic.
+# --------------------------------------------------------------------------
+_Q144_SEED, _Q144_MOD = 144, 1_048_576
+_Q144_T_TEST = int(_Q144_MOD * 0.1)
+_Q144_T_VAL = int(_Q144_MOD * 0.2)
+
+
+def _q144_sql() -> str:
+    pairs = _minhash_sql().strip()
+    bucket = (
+        f"CAST(('0x' || substr(md5('{_Q144_SEED}:' || "
+        f"CAST(grp AS VARCHAR)), 1, 15)) AS BIGINT) % {_Q144_MOD}"
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+    grouped AS (
+        SELECT d.doc_id, d.lang,
+               COALESCE(c.cluster_id, d.doc_id) AS grp
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, lang, grp AS cluster_id,
+           CASE WHEN {bucket} < {_Q144_T_TEST} THEN 'test'
+                WHEN {bucket} < {_Q144_T_VAL} THEN 'val'
+                ELSE 'train' END AS split
+    FROM grouped
+    """
+
+
+@query("q144_cluster_safe_split", _q144_sql())
+def q144_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        cluster_safe_split,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pairs = D.minhash_near_dups(
+        d, threshold=0.5, cache_shingles=True,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
+    return cluster_safe_split(
+        d, pairs, val_frac=0.1, test_frac=0.1,
+        seed=_Q144_SEED, mod=_Q144_MOD,
+    ).select("doc_id", "lang", "cluster_id", "split")

@@ -1387,3 +1387,45 @@ def test_unicode_normalize_hostile_fixture_all_forms(spark):
     assert nfkc[2] == "file"             # ligature folded by NFKC
     assert nfkc[4] == "A str"            # astral math letter folded
     assert nfkc[5] == "Awide"            # fullwidth folded
+
+
+def test_group_quota_cap_properties(spark):
+    """Absolute per-group cap: never more than cap rows per group, small
+    groups untouched, deterministic across reruns, original columns kept."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import group_quota_cap
+
+    rows = [(i, "big" if i < 80 else "small", i * 10) for i in range(100)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, src string, x bigint")
+    out = group_quota_cap(df, group_col="src", cap=25, seed=9)
+    per = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert per == {"big": 25, "small": 20}  # capped vs untouched
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in group_quota_cap(df, "src", cap=25, seed=9).collect())
+    assert a == b
+    c = sorted(r["doc_id"] for r in group_quota_cap(df, "src", cap=25, seed=10).collect())
+    assert a != c  # seed actually steers the choice
+    assert {"doc_id", "src", "x", "group_rank", "group_docs"} == set(out.columns)
+    with pytest.raises(ValueError, match="cap must be positive"):
+        group_quota_cap(df, "src", cap=0)
+
+
+def test_cluster_safe_split_integrity(spark, docs):
+    """Every near-dup cluster lands wholly in ONE split; fractions are
+    sane; invalid fractions raise."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        cluster_safe_split,
+    )
+
+    pairs = D.minhash_near_dups(docs, threshold=0.3)
+    out = cluster_safe_split(docs, pairs, val_frac=0.2, test_frac=0.2)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())  # integrity
+    # docs 0 and 2 are exact dups -> same cluster -> same split
+    split_of = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in rows}
+    assert split_of[0] == split_of[2]
+    with pytest.raises(ValueError, match="val_frac"):
+        cluster_safe_split(docs, pairs, val_frac=0.6, test_frac=0.5)
