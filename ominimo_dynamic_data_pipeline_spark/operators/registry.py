@@ -943,6 +943,102 @@ def _op_temperature_sample(ctx: CompileContext, step: Mapping[str, Any]) -> None
             alpha=params.get("alpha", 0.5),
             budget=int(params["budget"]),
             seed=params.get("seed", 131),
+            max_groups=int(params.get("max_groups", 10_000)),
+        ),
+    )
+
+
+@register_operator("group_quota_cap")
+def _op_group_quota_cap(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Absolute per-group quota cap as a dataflow step (the q143
+    operator: C4/RefinedWeb-style per-domain cap — at most ``cap`` rows
+    per group, chosen by seeded md5 order; llm/sampling.py
+    group_quota_cap).  Params: ``group_col`` (required), ``cap``
+    (required), ``id_col``, ``seed``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import group_quota_cap
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [k for k in ("group_col", "cap") if not params.get(k)]
+    if missing:
+        raise ValueError(f"group_quota_cap requires params {missing}")
+    df = ctx.get(in_name)
+    clash = {"group_rank", "group_docs"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"group_quota_cap reserves columns {sorted(clash)}; rename "
+            f"them on input '{in_name}' first"
+        )
+    ctx.put(
+        out_name,
+        group_quota_cap(
+            df,
+            group_col=params["group_col"],
+            id_col=params.get("id_col", "doc_id"),
+            cap=int(params["cap"]),
+            seed=params.get("seed", 143),
+        ),
+    )
+
+
+@register_operator("near_dup_pairs")
+def _op_near_dup_pairs(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Emit the MinHash-LSH near-dup PAIR frame (id_a/id_b/jaccard)
+    instead of dropping victims — the candidate-graph building block
+    cluster_safe_split and custom linkage flows consume.  Same params as
+    ``near_dedup``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import minhash_near_dups
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(
+        out_name,
+        minhash_near_dups(
+            ctx.get(in_name),
+            id_col=params.get("id_col", "doc_id"),
+            text_col=params.get("text_col", "text"),
+            num_hashes=params.get("num_hashes", 16),
+            bands=params.get("bands", 4),
+            threshold=params.get("threshold", 0.5),
+            shingle_n=params.get("shingle_n", 3),
+            max_bucket_size=params.get("max_bucket_size"),
+            cache_shingles=params.get("cache_shingles", True),
+        ),
+    )
+
+
+@register_operator("cluster_safe_split")
+def _op_cluster_safe_split(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Train/val/test assignment with near-dup-cluster integrity as a
+    dataflow step (the q144 operator: every near-dup cluster lands
+    wholly in one split; llm/sampling.py cluster_safe_split).  Params:
+    ``pairs`` (frame name carrying id_a/id_b near-dup pairs, e.g. a
+    near_dedup step's pair output — required), ``id_col``, ``val_frac``,
+    ``test_frac``, ``seed``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        cluster_safe_split,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    if not params.get("pairs"):
+        raise ValueError("cluster_safe_split requires params ['pairs']")
+    df = ctx.get(in_name)
+    clash = {"cluster_id", "split"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"cluster_safe_split reserves columns {sorted(clash)}; rename "
+            f"them on input '{in_name}' first"
+        )
+    ctx.put(
+        out_name,
+        cluster_safe_split(
+            df,
+            ctx.get(params["pairs"]),
+            id_col=params.get("id_col", "doc_id"),
+            val_frac=float(params.get("val_frac", 0.1)),
+            test_frac=float(params.get("test_frac", 0.1)),
+            seed=params.get("seed", 144),
         ),
     )
 

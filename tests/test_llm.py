@@ -1429,3 +1429,59 @@ def test_cluster_safe_split_integrity(spark, docs):
     assert split_of[0] == split_of[2]
     with pytest.raises(ValueError, match="val_frac"):
         cluster_safe_split(docs, pairs, val_frac=0.6, test_frac=0.5)
+
+
+def test_quota_and_split_registry_steps(spark, docs):
+    """The round-6 curation steps are reachable from dataflow JSON:
+    near_dup_pairs -> cluster_safe_split chain plus group_quota_cap, each
+    matching its direct-call twin and validating params/reserved names."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        cluster_safe_split,
+        group_quota_cap,
+    )
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    docs_src = docs.withColumn("src", (F.col("doc_id") % 2).cast("string"))
+    ctx = CompileContext(spark, frames={"docs": docs_src})
+    out = apply_transformations(ctx, {"transformations": [
+        {"name": "pairs", "type": "near_dup_pairs",
+         "params": {"input": "docs", "threshold": 0.3}},
+        {"name": "split", "type": "cluster_safe_split",
+         "params": {"input": "docs", "pairs": "pairs",
+                    "val_frac": 0.2, "test_frac": 0.2}},
+        {"name": "capped", "type": "group_quota_cap",
+         "params": {"input": "docs", "group_col": "src", "cap": 2}},
+    ]})
+    direct_split = cluster_safe_split(
+        docs_src, D.minhash_near_dups(docs_src, threshold=0.3),
+        val_frac=0.2, test_frac=0.2,
+    )
+    assert sorted(map(tuple, out["split"].collect())) == sorted(
+        map(tuple, direct_split.collect())
+    )
+    direct_cap = group_quota_cap(docs_src, group_col="src", cap=2)
+    assert sorted(map(tuple, out["capped"].collect())) == sorted(
+        map(tuple, direct_cap.collect())
+    )
+    with pytest.raises(ValueError, match="requires params \\['pairs'\\]"):
+        apply_transformations(
+            CompileContext(spark, frames={"docs": docs_src}),
+            {"transformations": [
+                {"name": "x", "type": "cluster_safe_split",
+                 "params": {"input": "docs"}},
+            ]},
+        )
+    with pytest.raises(ValueError, match="reserves columns \\['group_rank'\\]"):
+        apply_transformations(
+            CompileContext(
+                spark,
+                frames={"docs": docs_src.withColumn("group_rank", F.lit(1))},
+            ),
+            {"transformations": [
+                {"name": "x", "type": "group_quota_cap",
+                 "params": {"input": "docs", "group_col": "src", "cap": 2}},
+            ]},
+        )

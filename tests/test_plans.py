@@ -388,3 +388,32 @@ def test_q132_temperature_sample_is_scan_projection(q):
     # filter+projection riding the documents scan — no Exchange, no join
     p = plan_of(q("q132_temperature_mixture"), "simple")
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_q142_forward_asof_single_exchange_no_join(q):
+    """The generalized forward as-of (q142) keeps the q15/q133 scale
+    shape: UNION + one window over custkey — ONE hash exchange total, no
+    join node, no per-customer pair materialization."""
+    p = plan_of(q("q142_next_order_forward_asof"), "simple")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q143_quota_cap_single_exchange(q):
+    """The per-source quota cap is ONE window exchange on source: both
+    window functions (rank + group size) share the partitioning, and no
+    join/second shuffle appears."""
+    p = plan_of(q("q143_per_source_quota_cap"), "simple")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q144_split_bucket_is_projection_after_label_join(q):
+    """cluster_safe_split's bucket/split math must be a pure projection:
+    exactly one join in the final attach (docs x cluster labels), and no
+    exchange keyed on the split/bucket output."""
+    p = plan_of(q("q144_cluster_safe_split"), "simple")
+    assert "split" in p
+    # the label attach joins on doc id; the split assignment itself adds
+    # no exchange (buckets are a pure projection over the joined frame)
+    assert "Exchange rangepartitioning" not in p
