@@ -35,73 +35,68 @@ _merge(_an)
 # out when the catalog grew past 50).  tests/test_oracle_parity.py covers
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
-    # Round-5 rotation (round-4 verdict item 1 + ADVICE catalog.py note):
-    # ALL 34 catalog queries that have never had an independent driver
-    # correctness round (judge-computed across CORRECTNESS_r01-r04:
-    # q51/q54/q55/q61/q63-q88/q95-q98) take slots this round, restoring
-    # the "every query gets at least one driver round" invariant.  The
-    # remaining 16 slots hold one driver-green (round-4) representative
-    # per SURVEY.md §2.4 family, asserted by
-    # test_driver_window_covers_every_family; every rotated-out query
-    # stays hash-gated by tests/test_oracle_parity.py on each pytest run.
-    #
-    # q95-q98 lead per the round-4 ADVICE note: they were dropped from
-    # the round-4 window before ever getting a driver round.  The round-5
-    # additions (q127-q130) also take slots, funded by family reps that
-    # already carry driver-green rounds (q22/q30/q116 -> rounds 1-4).
-    "q95_event_anomalies",
-    "q96_weighted_sample",
-    "q97_copurchase_pairs",
-    "q98_cohort_retention",
-    # the round-2 batch (q61, q63-q88) + q51/q54/q55, never driver-run
-    "q51_resized_payloads",
-    "q54_pii_scrub",
+    # Round-6 rotation (round-5 verdict items 1+2): the 13 queries that
+    # have never had an independent driver round lead (q132-q141 from
+    # round 5, q142-q144 new this round), followed by the 4 HUGEINT-
+    # oracle fixes (q55/q68/q70/q78 — red in r5 purely from DuckDB's
+    # count_if/windowed-SUM HUGEINT rendering, now cast to BIGINT; their
+    # re-verification proves the fix driver-green).  The rest of the
+    # window is the stalest-first backlog: one family representative
+    # each (stalest member per SURVEY.md §2.4 family, asserted by
+    # test_driver_window_covers_every_family), then every remaining
+    # round-2-verified query and the oldest round-3 cohort.  Rotated-out
+    # queries stay hash-gated by tests/test_oracle_parity.py per pytest
+    # run.
+    "q132_temperature_mixture",
+    "q133_asof_tolerance_attribution",
+    "q134_concurrent_customer_orders",
+    "q135_record_linkage_scores",
+    "q136_sliding_event_counts",
+    "q137_pit_features_for_labels",
+    "q138_unicode_nfc_normalize",
+    "q139_overlapping_order_spans",
+    "q140_loo_target_encoding",
+    "q141_streaming_dedup_e2e",
+    "q142_next_order_forward_asof",
+    "q143_per_source_quota_cap",
+    "q144_cluster_safe_split",
     "q55_sequence_packing",
-    "q61_interval_attribution",
-    "q63_boilerplate_ngrams",
-    "q64_compression_ratio",
-    "q65_doc_chunks",
-    "q66_stratified_sample",
-    "q67_repetition_signals",
     "q68_agg_surface",
-    "q69_balance_distribution",
     "q70_priority_mix_unpivot",
-    "q71_bloom_semi_revenue",
-    "q72_snapshot_merge",
-    "q73_unigram_logprob",
-    "q74_source_quota",
-    "q75_embedding_centroids",
-    "q76_salted_segment_revenue",
-    "q77_blocklist_score",
     "q78_status_priority_crosstab",
-    "q79_event_time_rollup",
-    "q80_bigram_logprob",
-    "q81_above_brand_avg",
-    "q82_market_share",
-    "q83_robust_outliers",
-    "q84_source_lang_entropy",
-    "q85_chunk_dedup",
-    "q86_variant_histogram",
-    "q87_pipe_revenue_by_returnflag",
-    "q88_month_spine",
-    # family-coverage representatives (all driver-green in round 4)
-    "q02_top_revenue_orders",            # joins
-    "q10_order_status_rollup",           # aggregations
-    "q06_top3_orders_per_customer",      # windows
-    "q20_all_account_keys",              # set ops
-    "q16_events_json_profile",           # scalar fns
-    "q50_validated_lineitem",            # validation rule language
-    "q128_bpe_encode",                   # text analysis (round-5, never verified)
-    "q57_dedup_clusters",                # dedup
-    "q129_semantic_decontamination",     # similarity (round-5, never verified)
-    "q32_multimodal_features",           # multimodal
-    "q131_streaming_enrichment_e2e",     # streaming (round-5, never verified;
-                                         # q101 already driver-green in r4)
-    "q130_streaming_incremental_dedup_e2e",  # streaming (round-5, never verified)
-    "q56_decontamination",               # curation
-    "q60_skew_diagnostics",              # scale infrastructure
-    "q89_product_nation_profit",         # SQL front end
-    "q127_incremental_near_dedup",       # round-5 addition, never verified
+    "q04_customers_with_open_orders",
+    "q39_order_grouping_sets",
+    "q07_customer_order_running",
+    "q12_building_big_spenders",
+    "q18_order_date_features",
+    "q50_validated_lineitem",
+    "q21_doc_quality",
+    "q25_exact_dedup",
+    "q29_knn_bruteforce",
+    "q31_payload_stats",
+    "q33_tumbling_event_counts",
+    "q53_train_val_split",
+    "q60_skew_diagnostics",
+    "q89_product_nation_profit",
+    "q09_nation_customer_profile",
+    "q17_part_string_features",
+    "q23_term_frequencies",
+    "q27_simhash_signatures",
+    "q37_token_stats",
+    "q41_part_fuzzy_features",
+    "q43_embedding_array_features",
+    "q48_stats_aggregates",
+    "q59_conversion_funnel",
+    "q03_revenue_by_nation",
+    "q05_customers_without_big_orders",
+    "q08_customer_balance_ranks",
+    "q11_returnflag_status_cube",
+    "q13_machinery_never_urgent",
+    "q14_late_shipments",
+    "q19_lineitem_math_features",
+    "q24_tfidf_top_terms",
+    "q26_minhash_near_dups",
+    "q28_embedding_similar_pairs",
 ]
 
 
