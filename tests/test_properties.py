@@ -674,3 +674,107 @@ def test_interval_overlap_join_matches_bruteforce_property(
         and llo <= rlo + rspan and rlo <= llo + lspan
     )
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(0, 4), min_size=1, max_size=40),
+    st.integers(1, 10),
+    st.integers(0, 1000),
+)
+def test_group_quota_cap_matches_python_truth(spark, groups, cap, seed):
+    """For arbitrary group assignments: per group, kept == min(cap, n);
+    kept ids are exactly the cap-smallest under the seeded md5 order
+    (recomputed in Python); group_docs reports pre-cap sizes."""
+    import hashlib
+
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import group_quota_cap
+
+    rows = [(i, str(g)) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, g string")
+    got = group_quota_cap(df, group_col="g", cap=cap, seed=seed).collect()
+    by_g = {}
+    for i, g in rows:
+        key = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        by_g.setdefault(str(g), []).append((key, i))
+    want = {}
+    sizes = {}
+    for g, members in by_g.items():
+        members.sort()
+        sizes[g] = len(members)
+        want[g] = {i for _, i in members[:cap]}
+    got_by_g = {}
+    for r in got:
+        got_by_g.setdefault(r["g"], set()).add(r["doc_id"])
+        assert r["group_docs"] == sizes[r["g"]]
+        assert 1 <= r["group_rank"] <= cap
+    assert got_by_g == {g: w for g, w in want.items() if w}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.integers(2, 12),
+    st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=12),
+    st.integers(0, 1000),
+)
+def test_cluster_safe_split_matches_python_truth(spark, n, edges, seed):
+    """For arbitrary pair graphs over n docs: cluster_id equals the
+    Python union-find component minimum, every component shares one
+    split, and the split equals the md5 bucket of the component key."""
+    import hashlib
+
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        cluster_safe_split,
+    )
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges
+                    if a != b and a < n and b < n})
+    df = spark.createDataFrame(
+        [(i,) for i in range(n)], schema="doc_id bigint"
+    )
+    pdf = spark.createDataFrame(
+        pairs or [(None, None)],
+        schema="id_a bigint, id_b bigint",
+    ).filter(F.col("id_a").isNotNull())
+    mod = 1_048_576
+    out = cluster_safe_split(
+        df, pdf, val_frac=0.25, test_frac=0.25, seed=seed, mod=mod
+    ).collect()
+    # Python union-find truth
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in range(n)}
+    # component label must be the min member id
+    label = {}
+    for i in range(n):
+        r = comp[i]
+        label[r] = min(label.get(r, i), i)
+    t_test, t_val = int(mod * 0.25), int(mod * 0.5)
+    for r in out:
+        want_cluster = label[comp[r["doc_id"]]]
+        assert r["cluster_id"] == want_cluster, (r, want_cluster)
+        bucket = int(
+            hashlib.md5(f"{seed}:{want_cluster}".encode()).hexdigest()[:15],
+            16,
+        ) % mod
+        want_split = ("test" if bucket < t_test
+                      else "val" if bucket < t_val else "train")
+        assert r["split"] == want_split
