@@ -44,6 +44,23 @@ def write_sink(df: DataFrame, sink: Mapping[str, Any]) -> None:
     zorder_by = sink.get("zorderBy") or []
     sort_by = sink.get("sortBy") or []
 
+    if mode == "overwrite_partitions":
+        # Dynamic partition overwrite: replace ONLY the partitions the
+        # incoming frame touches, leaving the rest of the table intact —
+        # the incremental-pipeline idiom (re-running one day's job must
+        # not truncate the whole multi-PB table, which plain overwrite +
+        # partitionBy silently does).  Spark honors the per-write
+        # partitionOverwriteMode option since 3.0, so no session-level
+        # conf mutation is needed.
+        if not partition_by:
+            raise ValueError(
+                "saveMode=overwrite_partitions requires partitionBy "
+                "(without partition columns there is nothing to scope "
+                "the overwrite to)"
+            )
+        options.setdefault("partitionOverwriteMode", "dynamic")
+        mode = "overwrite"
+
     out = df
     if fmt == "csv":
         out = flatten_arrays_for_csv(out)

@@ -4,6 +4,8 @@ sinks with partitionBy + repartition + CSV array flattening."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ominimo_dynamic_data_pipeline_spark.io.reader import read_source
@@ -322,3 +324,25 @@ def test_sink_sort_by_option(spark, tmp_path):
     )
     rows = spark.read.parquet(path).collect()
     assert [r["rev"] for r in rows] == sorted(r["rev"] for r in rows)
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
+    """saveMode=overwrite_partitions must replace exactly the partitions
+    present in the incoming frame: untouched partitions survive, touched
+    ones are fully replaced (not appended), and the mode refuses to run
+    without partitionBy (a plain overwrite would truncate the table)."""
+    from ominimo_dynamic_data_pipeline_spark.io.writer import write_sink
+
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4)], schema="k string, v bigint"
+    )
+    write_sink(full, {"path": path, "partitionBy": ["k"],
+                      "saveMode": "overwrite"})
+    patch = spark.createDataFrame([("a", 99)], schema="k string, v bigint")
+    write_sink(patch, {"path": path, "partitionBy": ["k"],
+                       "saveMode": "overwrite_partitions"})
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 99), ("b", 3), ("c", 4)}  # a replaced, b/c intact
+    with pytest.raises(ValueError, match="requires partitionBy"):
+        write_sink(patch, {"path": path, "saveMode": "overwrite_partitions"})
