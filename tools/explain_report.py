@@ -170,6 +170,23 @@ SHOWCASE = {
         "and the leakage-guarded as-of attach is the q133 union+window "
         "— one exchange end to end beyond the rollup's."
     ),
+    "q142_next_order_forward_asof": (
+        "FORWARD as-of (strict + 90-day tolerance + min-orderkey "
+        "tiebreak): the same union + ONE (custkey) window shape as "
+        "q133 with the time sort reversed — no Join node, no "
+        "per-customer order-pair materialization."
+    ),
+    "q143_per_source_quota_cap": (
+        "Absolute per-domain cap: rank and group-size windows share "
+        "ONE hash exchange on source; the cap is a rank filter, no "
+        "join or second shuffle."
+    ),
+    "q144_cluster_safe_split": (
+        "Cluster-safe split: component labels come from the iterative "
+        "min-label loop (edges localCheckpointed once); the final plan "
+        "is docs JOIN labels + a pure md5-bucket projection — no "
+        "exchange keyed on the split output."
+    ),
 }
 
 
