@@ -1215,3 +1215,164 @@ def incremental_near_dedup(
     # (round-5 advice; contrast dedup_corpus, whose victim set is argued
     # bounded before its hint).
     return incoming.join(victims, on=id_col, how="left_anti")
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    shingles that appear in NO other document — the per-doc complement
+    of q63's corpus-level boilerplate ranking (a high-novelty doc adds
+    new content; a low-novelty doc is assembled from phrases the corpus
+    already has, the soft cousin of substring dedup).
+
+    Emits (id, n_shingles, n_novel, novelty_frac).  ``shingles``
+    optionally passes a precomputed gram_frame (exploded (id, gram)
+    rows) to share the posting stage.  Scale shape: the exploded
+    (gram, id) posting list is the only wide data; gram
+    document-frequency comes from ONE window count over gram (shingles
+    are distinct per doc, so count(*) IS document frequency) and the
+    per-doc rollup is one more keyed exchange — text itself never
+    shuffles.  Exactly two exchanges at any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    # gram_frame, not explode(shingle_frame(...).sh): the Generate-filter
+    # re-inlining blow-up gram_frame documents (46 s vs 1.5 s at sf0.1)
+    posts = (
+        shingles
+        if shingles is not None
+        else gram_frame(df, id_col, text_col, shingle_n)
+    )
+    w = Window.partitionBy("gram")
+    tagged = posts.withColumn("_df", F.count(F.lit(1)).over(w))
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("_df") == 1).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_frac",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def shingle_join_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_df: int = 20,
+    shingles: DataFrame | None = None,
+    max_pairs: int | None = 2_000_000,
+) -> DataFrame:
+    """Candidate pairs sharing at least one RARE shingle (document
+    frequency <= ``max_df``) — the inverted-index set-similarity-join
+    candidate scheme (the PPJoin family's filter without the prefix
+    ordering).
+
+    Why not reuse the MinHash bands: banding estimates JACCARD, so a
+    short doc quoted inside a much longer one (containment ~1, jaccard
+    ~0.05) almost never collides — asymmetric near-dup detection needs
+    candidates keyed on shared content directly.  ``max_df`` is the
+    skew/volume guard: a shingle shared by the whole corpus generates
+    no candidates (it carries no signal), and candidate cost is bounded
+    by sum over rare grams of df^2 <= max_df * |postings|.  Pairs
+    sharing many rare shingles emit once (distinct on the pair).
+
+    ``max_pairs`` is the OUTPUT budget (the expand_member_pairs
+    precedent): replica-heavy corpora can make every gram rare-but-
+    shared, so the sum-df^2 bound alone still explodes (measured: the
+    synthetic sf10 upscale yields 43M candidate pairs without it).  One
+    count-only df census resolves the budget; grams whose df >= cutoff
+    are shed LOUDLY (the warning names the shed sizes).  When the
+    budget trips, downstream oracle parity is not expected — the sf0.01
+    correctness gate never trips it.  The census job runs when this
+    function is CALLED, not when the returned frame executes.
+    """
+    from pyspark.sql.window import Window
+
+    posts = (
+        shingles
+        if shingles is not None
+        else gram_frame(df, id_col, text_col, shingle_n)
+    )
+    w = Window.partitionBy("gram")
+    tagged = posts.withColumn("_df", F.count(F.lit(1)).over(w))
+    rare = tagged.filter(F.col("_df") <= max_df)
+    if max_pairs is not None:
+        rare = _persist_tracked("shingle_join_candidates", rare)
+        hist = [
+            (r["n"], r["grams"])
+            for r in rare.groupBy(F.col("_df").alias("n"))
+            .agg(F.count_distinct("gram").alias("grams"))
+            .collect()
+        ]
+        cutoff, total = pair_budget_cutoff(hist, max_pairs)
+        if cutoff is not None:
+            import warnings
+
+            shed = [(n, g) for n, g in hist if n >= cutoff]
+            warnings.warn(
+                f"shingle_join_candidates: pair budget "
+                f"max_pairs={max_pairs} exceeded; shedding grams with "
+                f"df >= {cutoff} (df, grams): {sorted(shed)} — keeping "
+                f"<= {total} candidate pairs",
+                stacklevel=2,
+            )
+            rare = rare.filter(F.col("_df") < cutoff)
+    a, b = rare.alias("ca"), rare.alias("cb")
+    return (
+        a.join(b, "gram")
+        .filter(F.col(f"ca.{id_col}") < F.col(f"cb.{id_col}"))
+        .select(
+            F.col(f"ca.{id_col}").alias("id_a"),
+            F.col(f"cb.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def containment_scores(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT for candidate pairs: |A∩B| / |A| and
+    |A∩B| / |B| alongside plain Jaccard — the asymmetric similarity
+    that flags quote-inclusion / partial-copy pairs Jaccard hides (a
+    tweet quoted in an article: containment_a ~ 1, jaccard ~ 0).
+    Same join shape as jaccard_pairs (pairs resolve against the shingle
+    frame twice); shingle arrays shuffle only for candidate ids."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_frame(df, id_col, text_col, shingle_n)
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
+    return (
+        pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("sa.sh"), 6).alias("containment_a"),
+            F.round(inter / F.size("sb.sh"), 6).alias("containment_b"),
+            F.round(
+                inter
+                / F.size(F.array_union("sa.sh", "sb.sh")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

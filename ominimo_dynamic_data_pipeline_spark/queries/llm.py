@@ -2444,3 +2444,88 @@ def q144_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, pairs, val_frac=0.1, test_frac=0.1,
         seed=_Q144_SEED, mod=_Q144_MOD,
     ).select("doc_id", "lang", "cluster_id", "split")
+
+
+# --------------------------------------------------------------------------
+# q145 — per-document n-gram NOVELTY (llm/dedup.py novelty_scores): the
+# fraction of a doc's distinct shingles appearing in NO other document —
+# the per-doc complement of q63's corpus-level boilerplate ranking, used
+# as a curation signal (low-novelty docs are assembled from phrases the
+# corpus already has).  Scale shape: gram posting list is the only wide
+# data; document frequency is ONE window count over gram and the per-doc
+# rollup one more keyed exchange — text never shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "q145_ngram_novelty",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks WHERE len(tk) >= 3),
+    posts AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+    tagged AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS df FROM posts
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(count_if(df = 1) AS BIGINT) AS n_novel,
+           ROUND(count_if(df = 1) * 1.0 / COUNT(*), 6) AS novelty_frac
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def q145_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.novelty_scores(d)
+
+
+# --------------------------------------------------------------------------
+# q146 — asymmetric CONTAINMENT near-dups (llm/dedup.py
+# shingle_join_candidates + containment_scores): |A∩B|/|A| vs |B| for
+# pairs sharing a RARE shingle (document frequency <= 10) — the
+# quote-inclusion / partial-copy detector Jaccard hides (a short doc
+# fully quoted inside a long one has containment ~1, jaccard ~0).
+# MinHash bands estimate Jaccard and would MISS these candidates; the
+# inverted-index scheme keys on shared content directly, cost bounded by
+# max_df * |postings|.  Oracle: the same posting-df window + self-join.
+# --------------------------------------------------------------------------
+_Q146_MAX_DF, _Q146_THRESHOLD = 10, 0.5
+
+
+@query(
+    "q146_containment_near_dups",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks WHERE len(tk) >= 3),
+    posts AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+    tagged AS (
+        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+        FROM posts
+    ),
+    rare AS (SELECT doc_id, gram FROM tagged WHERE df <= {_Q146_MAX_DF}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(LEN(list_intersect(sa.sh, sb.sh)) * 1.0 / LEN(sa.sh), 6)
+               AS containment_a,
+           ROUND(LEN(list_intersect(sa.sh, sb.sh)) * 1.0 / LEN(sb.sh), 6)
+               AS containment_b,
+           ROUND(LEN(list_intersect(sa.sh, sb.sh)) * 1.0
+                 / LEN(list_distinct(list_concat(sa.sh, sb.sh))), 6)
+               AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE GREATEST(
+        LEN(list_intersect(sa.sh, sb.sh)) * 1.0 / LEN(sa.sh),
+        LEN(list_intersect(sa.sh, sb.sh)) * 1.0 / LEN(sb.sh)
+    ) >= {_Q146_THRESHOLD}
+    """,
+)
+def q146_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cand = D.shingle_join_candidates(d, max_df=_Q146_MAX_DF)
+    scored = D.containment_scores(d, cand)
+    return scored.filter(
+        F.greatest("containment_a", "containment_b") >= _Q146_THRESHOLD
+    )

@@ -1485,3 +1485,32 @@ def test_quota_and_split_registry_steps(spark, docs):
                  "params": {"input": "docs", "group_col": "src", "cap": 2}},
             ]},
         )
+
+
+def test_containment_catches_quote_inclusion_jaccard_hides(spark):
+    """A short doc fully quoted inside a much longer one: containment_a
+    ~= 1 while jaccard is small — and the pair must come from the rare-
+    shingle candidate scheme (MinHash-LSH bands estimate Jaccard and
+    systematically miss it).  novelty_scores on the same corpus: the
+    quoted doc has zero novel shingles."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} item{i} thing{i}" for i in range(40))
+    rows = [
+        (0, quote),
+        (1, filler + " " + quote + " " + filler.replace("word", "token")),
+        (2, "totally unrelated content here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    cand = D.shingle_join_candidates(df, max_df=5)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 1) in got
+    scored = {(r["id_a"], r["id_b"]): r for r in
+              D.containment_scores(df, cand).collect()}
+    pair = scored[(0, 1)]
+    assert pair["containment_a"] == 1.0          # quote fully contained
+    assert pair["jaccard"] < 0.05                # Jaccard hides it
+    assert pair["containment_b"] < 0.05
+    nov = {r["doc_id"]: r for r in D.novelty_scores(df).collect()}
+    assert nov[0]["n_novel"] == 0                # every shingle re-occurs in 1
+    assert nov[0]["novelty_frac"] == 0.0
+    assert nov[2]["novelty_frac"] == 1.0         # unrelated doc fully novel
