@@ -471,3 +471,151 @@ def unicode_normalize(col: Column, form: str = "NFC") -> Column:
         return s.str.normalize(form)
 
     return _norm(col)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-similarity primitive,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): hash every POSITIONAL k-gram,
+    slide a ``window`` over consecutive hashes, keep each window's
+    minimum — any shared substring of length >= k + window - 1 tokens is
+    then GUARANTEED to surface as a shared fingerprint, with ~2/(w+1)
+    selection density.  The position-aware complement of the distinct-
+    shingle fingerprints (q38/q145): rolling content hashes detect
+    local overlap, not just bag-of-grams similarity.
+
+    Emits DISTINCT (id, fp) rows.  Scale shape: positional grams via
+    posexplode + lead windows (the gram_frame discipline — never an
+    explode over a lazy shingle array), hashes and window minima ride
+    the SAME (id, pos) sort — ONE exchange on the doc id end-to-end,
+    then a per-doc distinct that reuses the partitioning."""
+    if k < 1 or window < 1:
+        raise ValueError("winnow_fingerprints: k and window must be >= 1")
+    from pyspark.sql.window import Window
+
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import md5_long
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w_lead = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w_lead) for j in range(1, k)]
+    tail = F.lead("tok", k - 1).over(w_lead)
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            tail.alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .drop("_tail")
+    )
+    hashed = grams.select(
+        F.col(id_col), "pos", md5_long(F.col("gram")).alias("h")
+    )
+    w_min = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    w_cnt = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    mins = hashed.select(
+        F.col(id_col),
+        F.min("h").over(w_min).alias("fp"),
+        F.count(F.lit(1)).over(w_cnt).alias("_n"),
+    ).filter(F.col("_n") == window)  # only FULL windows fingerprint
+    return mins.select(id_col, "fp").dropDuplicates([id_col, "fp"])
+
+
+def span_corrupt(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 3,
+    stride: int = 10,
+    seed: int = 148,
+) -> DataFrame:
+    """T5-style span corruption for denoising pretraining: mask
+    ``span_len``-token spans every ``stride`` tokens (phase shifted
+    per-doc by a seeded hash so spans don't align corpus-wide), emit the
+    corrupted input (each masked run replaced by one ``<extra_id_r>``
+    sentinel) and the denoising target (sentinels + the masked tokens)
+    — the (inputs, targets) pair T5/UL2 training consumes, fully
+    deterministic so retries and the oracle reproduce it bit-exactly.
+
+    A position p is masked iff (p + offset) % stride < span_len, with
+    offset = md5(doc) % stride; the sentinel number is the raw run
+    index (p + offset) // stride.  Pure staged projections riding the
+    scan — no shuffle, no UDF; array lambdas only touch MATERIALIZED
+    token columns (the shingles_from_tokens element_at discipline)."""
+    if not (0 < span_len < stride):
+        raise ValueError("span_corrupt: need 0 < span_len < stride")
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import md5_long
+
+    staged = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("tk"),
+        (md5_long(F.col(id_col).cast("string"), seed=seed) % stride).alias(
+            "_off"
+        ),
+    )
+    n = F.size("tk")
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def phase(i):
+        return (i + F.col("_off")) % stride
+
+    def masked(i):
+        return phase(i) < span_len
+
+    def run_start(i):
+        # a masked doc-initial position whose run began "before" the doc
+        # (phase > 0 at i == 0) still opens a run — without this the
+        # truncated run loses its sentinel in both outputs
+        return masked(i) & ((phase(i) == F.lit(0)) | (i == F.lit(0)))
+
+    def sentinel(i):
+        return F.concat(
+            F.lit("<extra_id_"),
+            ((i + F.col("_off")) / stride).cast("bigint").cast("string"),
+            F.lit(">"),
+        )
+
+    def tok(i):
+        return F.element_at("tk", (i + 1).cast("int"))
+
+    corrupted_parts = F.transform(
+        idx,
+        lambda i: F.when(~masked(i), tok(i))
+        .when(run_start(i), sentinel(i))
+        .otherwise(F.lit(None)),
+    )
+    target_parts = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.when(
+                run_start(i), F.array(sentinel(i), tok(i))
+            )
+            .when(masked(i), F.array(tok(i)))
+            .otherwise(F.array().cast("array<string>")),
+        )
+    )
+    out = staged.filter(n >= 1).select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.filter(corrupted_parts, lambda x: x.isNotNull())
+        ).alias("corrupted"),
+        F.concat_ws(" ", target_parts).alias("target"),
+        F.aggregate(
+            F.transform(idx, lambda i: masked(i).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("bigint")
+        .alias("n_masked"),
+    )
+    return out

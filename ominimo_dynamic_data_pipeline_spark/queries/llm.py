@@ -2529,3 +2529,126 @@ def q146_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         F.greatest("containment_a", "containment_b") >= _Q146_THRESHOLD
     )
+
+
+# --------------------------------------------------------------------------
+# q147 — winnowing fingerprint profile (llm/text.py winnow_fingerprints,
+# the MOSS local-similarity primitive): positional k-gram hashes, window
+# minima, distinct per doc — any shared >= (k + window - 1)-token
+# substring surfaces as a shared fingerprint.  Per-doc rollup: how many
+# fingerprints, how many shared with another doc.  The POSITION-aware
+# complement of q145's bag-of-grams novelty.  Scale: one (doc, pos)
+# exchange end-to-end for the fingerprints, one fp-keyed window for
+# document frequency, one doc rollup.
+# --------------------------------------------------------------------------
+_Q147_K, _Q147_W = 3, 4
+
+
+@query(
+    "q147_winnow_profile",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    grams AS (
+        SELECT doc_id,
+               [concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+                for i in range(1, len(tk) - 1)] AS gs
+        FROM toks WHERE len(tk) >= {_Q147_K}
+    ),
+    hashed AS (
+        SELECT doc_id,
+               [CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                for g in gs] AS hs
+        FROM grams
+    ),
+    mins AS (
+        SELECT doc_id,
+               list_distinct([list_min(hs[i:i+{_Q147_W - 1}])
+                for i in range(1, len(hs) - {_Q147_W - 2})]) AS fps
+        FROM hashed WHERE len(hs) >= {_Q147_W}
+    ),
+    posts AS (SELECT doc_id, unnest(fps) AS fp FROM mins),
+    tagged AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS df FROM posts
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_fps,
+           CAST(count_if(df > 1) AS BIGINT) AS n_shared,
+           ROUND(count_if(df > 1) * 1.0 / COUNT(*), 6) AS shared_frac
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def q147_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ominimo_dynamic_data_pipeline_spark.llm.text import (
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=_Q147_K, window=_Q147_W)
+    w = Window.partitionBy("fp")
+    tagged = fps.withColumn("_df", F.count(F.lit(1)).over(w))
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.count_if(F.col("_df") > 1).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac", F.round(F.col("n_shared") / F.col("n_fps"), 6)
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q148 — T5-style span corruption (llm/text.py span_corrupt): masked
+# span (inputs, targets) pairs for denoising pretraining, phase-shifted
+# per doc by a seeded md5 so spans never align corpus-wide, sentinels
+# numbered by raw run index, doc-initial truncated runs still open a
+# sentinel.  Pure staged projections riding the scan — no shuffle, no
+# UDF; deterministic, so retries and the oracle reproduce bit-exactly.
+# --------------------------------------------------------------------------
+_Q148_SPAN, _Q148_STRIDE, _Q148_SEED = 3, 10, 148
+
+
+def _q148_sql() -> str:
+    sp, st, seed = _Q148_SPAN, _Q148_STRIDE, _Q148_SEED
+    off = (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), "
+        f"1, 15)) AS BIGINT) % {st}"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS} AS tk, {off} AS off FROM documents
+    ),
+    base AS (SELECT doc_id, tk, off FROM toks WHERE len(tk) >= 1)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           array_to_string(list_filter(
+               [CASE WHEN ((i-1+off) % {st}) >= {sp} THEN tk[i]
+                     WHEN ((i-1+off) % {st}) = 0 OR i = 1
+                     THEN '<extra_id_' || CAST((i-1+off) // {st} AS VARCHAR) || '>'
+                     ELSE NULL END
+                for i in range(1, len(tk)+1)],
+               x -> x IS NOT NULL), ' ') AS corrupted,
+           array_to_string(flatten(
+               [CASE WHEN ((i-1+off) % {st}) < {sp}
+                          AND (((i-1+off) % {st}) = 0 OR i = 1)
+                     THEN ['<extra_id_' || CAST((i-1+off) // {st} AS VARCHAR) || '>', tk[i]]
+                     WHEN ((i-1+off) % {st}) < {sp} THEN [tk[i]]
+                     ELSE [] END
+                for i in range(1, len(tk)+1)]), ' ') AS target,
+           CAST(len(list_filter(range(1, len(tk)+1),
+                i -> ((i-1+off) % {st}) < {sp})) AS BIGINT) AS n_masked
+    FROM base
+    """
+
+
+@query("q148_span_corruption", _q148_sql())
+def q148_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.text import span_corrupt
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_corrupt(
+        d, span_len=_Q148_SPAN, stride=_Q148_STRIDE, seed=_Q148_SEED
+    )

@@ -1514,3 +1514,67 @@ def test_containment_catches_quote_inclusion_jaccard_hides(spark):
     assert nov[0]["n_novel"] == 0                # every shingle re-occurs in 1
     assert nov[0]["novelty_frac"] == 0.0
     assert nov[2]["novelty_frac"] == 1.0         # unrelated doc fully novel
+
+
+def test_span_corruption_reconstructs_original(spark):
+    """Denoising invariant: splicing each target span back over its
+    sentinel in the corrupted input reconstructs the original token
+    stream exactly — for arbitrary offsets (several doc ids → several
+    phases) including doc-initial truncated runs."""
+    import re
+
+    from ominimo_dynamic_data_pipeline_spark.llm.text import span_corrupt
+
+    base = " ".join(f"t{i}" for i in range(37))
+    df = spark.createDataFrame(
+        [(i, base) for i in range(12)] + [(99, "solo")],
+        schema="doc_id bigint, text string",
+    )
+    out = span_corrupt(df, span_len=3, stride=10, seed=5)
+    rows = out.collect()
+    assert len(rows) == 13
+    for r in rows:
+        # parse target: sentinel -> its tokens
+        spans = {}
+        cur = None
+        for t in r["target"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            if m:
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in r["corrupted"].split():
+            rebuilt.extend(spans[t] if t in spans else [t])
+        original = [x for x in df.filter(F.col("doc_id") == r["doc_id"])
+                    .collect()[0]["text"].lower().split() if x]
+        assert rebuilt == original, r["doc_id"]
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+        assert r["n_tokens"] == len(original)
+    with pytest.raises(ValueError, match="span_len < stride"):
+        span_corrupt(df, span_len=10, stride=10)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's core guarantee: two docs sharing a >= k+window-1
+    token substring MUST share at least one fingerprint; docs with no
+    shared window do not."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = k+w-1
+    rows = [
+        (0, "x1 x2 x3 " + shared + " y1 y2"),
+        (1, "z1 " + shared + " z2 z3 z4"),
+        (2, "completely different tokens without any common window here"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    fps = winnow_fingerprints(df, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1]          # guaranteed shared fingerprint
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+    with pytest.raises(ValueError, match="must be >= 1"):
+        winnow_fingerprints(df, k=0)

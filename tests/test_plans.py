@@ -417,3 +417,19 @@ def test_q144_split_bucket_is_projection_after_label_join(q):
     # the label attach joins on doc id; the split assignment itself adds
     # no exchange (buckets are a pure projection over the joined frame)
     assert "Exchange rangepartitioning" not in p
+
+
+def test_q148_span_corruption_is_shuffle_free(q):
+    """Span corruption is a pure scan-riding projection: no Exchange, no
+    Python UDF — all array lambdas stay JVM-side."""
+    p = plan_of(q("q148_span_corruption"), "simple")
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_q147_winnow_single_doc_exchange_for_fingerprints(q):
+    """Winnowing rides ONE (doc) sort for grams+hashes+window minima; the
+    only other exchanges are the fp-df window and the final rollup."""
+    p = plan_of(q("q147_winnow_profile"), "simple")
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "Python" not in p
