@@ -44,7 +44,8 @@ CORRECTNESS_WINDOW = [
     # window is the stalest-first backlog: one family representative
     # each (stalest member per SURVEY.md §2.4 family, asserted by
     # test_driver_window_covers_every_family), then every remaining
-    # round-2-verified query and the oldest round-3 cohort.  Rotated-out
+    # round-2-verified query and the oldest round-3 cohort; the four
+    # latest additions (q145-q148) took the last four filler slots.  Rotated-out
     # queries stay hash-gated by tests/test_oracle_parity.py per pytest
     # run.
     "q132_temperature_mixture",
@@ -93,10 +94,10 @@ CORRECTNESS_WINDOW = [
     "q11_returnflag_status_cube",
     "q13_machinery_never_urgent",
     "q14_late_shipments",
-    "q19_lineitem_math_features",
-    "q24_tfidf_top_terms",
-    "q26_minhash_near_dups",
-    "q28_embedding_similar_pairs",
+    "q145_ngram_novelty",
+    "q146_containment_near_dups",
+    "q147_winnow_profile",
+    "q148_span_corruption",
 ]
 
 
