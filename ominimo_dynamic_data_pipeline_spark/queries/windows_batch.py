@@ -394,3 +394,64 @@ def q141_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q149 — session transcript assembly (streaming/ops.py
+# session_transcripts): interaction logs -> ordered chat-style training
+# samples, one row per (user, 5-minute-gap session), turns concatenated
+# in (ts, event_id) order with a max_turns truncation guard.  The same
+# operator runs on readStream (session_window state + watermark
+# eviction); this entry verifies the batch semantics hash-exactly.
+# Oracle: q34's lag+cumsum sessionization + string_agg ORDER BY.
+# --------------------------------------------------------------------------
+_Q149_MAX_TURNS = 500
+
+
+@query(
+    "q149_session_transcripts",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '5 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessioned AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+        FROM sessioned
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_turns,
+           string_agg(CASE WHEN rn <= {_Q149_MAX_TURNS} THEN event_type END,
+                      ' ' ORDER BY ts, event_id) AS transcript,
+           COUNT(*) > {_Q149_MAX_TURNS} AS truncated
+    FROM ranked
+    GROUP BY user_id, session_id
+    """,
+)
+def q149_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = stream_ops.session_transcripts(
+        e, gap="5 minutes", max_turns=_Q149_MAX_TURNS
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_turns",
+        "transcript",
+        "truncated",
+    )

@@ -638,3 +638,49 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_transcripts(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+    turn_col: str = "event_type",
+    max_turns: int = 500,
+) -> DataFrame:
+    """Ordered per-session transcripts: the conversation-assembly step
+    that turns interaction logs into chat-style training samples — one
+    row per (user, gap-session) with the session's turns concatenated in
+    (ts, event_id) order.
+
+    Works batch AND streaming (session_window + a single agg, so the
+    streaming path keeps per-open-session state and the watermark evicts
+    closed sessions).  ``max_turns`` bounds the TRANSCRIPT at assembly
+    (a runaway bot session would otherwise build an unbounded string in
+    one aggregation buffer): turns beyond it are dropped from the text
+    and flagged ``truncated``; ``n_turns`` still counts all.  Ordering
+    is deterministic — turns sort by the full (ts, event_id) struct, so
+    retries and the oracle agree bit-exactly."""
+    if max_turns <= 0:
+        raise ValueError("session_transcripts: max_turns must be positive")
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    turn = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("event_id"),
+        F.col(turn_col).cast("string").alias("txt"),
+    )
+    grouped = src.groupBy(
+        F.session_window("ts", gap).alias("sess"), F.col("user_id")
+    ).agg(
+        F.sort_array(F.collect_list(turn)).alias("_turns"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    kept = F.slice("_turns", 1, max_turns)
+    return grouped.select(
+        "user_id",
+        F.col("sess.start").alias("session_start"),
+        "n_turns",
+        F.array_join(
+            F.transform(kept, lambda t: t["txt"]), " "
+        ).alias("transcript"),
+        (F.col("n_turns") > max_turns).alias("truncated"),
+    )

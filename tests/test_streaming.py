@@ -528,3 +528,36 @@ def test_sized_state_partitions_directory_dataset_and_conf_guard(
         fake, sf_dir, table="events.parquet", floor=5
     )
     assert n == 5  # non-numeric cap -> clamp to the floor
+
+
+def test_transcript_batch_equivalence(spark, static_events, stream_events):
+    """session_transcripts through the REAL streaming path equals the
+    batch assembly — same sessions, same turn order, same truncation."""
+    streamed = ops.run_to_completion(
+        ops.session_transcripts(stream_events), "t_transcripts"
+    )
+    batch = ops.session_transcripts(static_events)
+    cols = ["user_id", "session_start", "n_turns", "transcript", "truncated"]
+    assert _collect_sorted(streamed, cols) == _collect_sorted(batch, cols)
+    assert streamed.count() > 0
+
+
+def test_transcript_truncation_and_order(spark):
+    """max_turns truncates the TEXT only (n_turns counts all, truncated
+    flags); turns order by (ts, event_id) even when input is shuffled."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 10, 0, i), 1, f"t{i}")
+        for i in (3, 0, 4, 1, 2)  # shuffled arrival
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = ops.session_transcripts(df, gap="5 minutes", max_turns=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_turns"] == 5 and r["truncated"] is True
+    assert r["transcript"] == "t0 t1 t2"  # ts order, first 3 only
+    with pytest.raises(ValueError, match="max_turns must be positive"):
+        ops.session_transcripts(df, max_turns=0)
