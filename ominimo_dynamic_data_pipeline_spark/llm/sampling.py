@@ -315,3 +315,40 @@ def temperature_mixture_sample(
         / F.lit(mod)
     )
     return df.withColumn("keep_p", rate).filter(u < F.col("keep_p"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: int = 150,
+) -> DataFrame:
+    """Deterministic global-shuffle shard manifest — the dataloader-
+    facing final step of a curation pipeline: every row gets a stable
+    pseudo-random position so training epochs read well-mixed,
+    reproducible shards (no rand(): a task retry re-deals nothing).
+
+    shard = md5(seed, id) mod n_shards; pos_in_shard = rank of the SAME
+    hash within the shard (ties impossible on distinct ids — the id
+    breaks them).  Hash-sharding balances shard sizes to within
+    sampling noise and destroys any source/time ordering, which is the
+    point: a shard is an unbiased sample of the corpus.  ONE window
+    exchange on shard; at 100 TB write the result with
+    partitionBy('shard') so each training reader scans one directory.
+    """
+    if n_shards <= 0:
+        raise ValueError("shard_manifest: n_shards must be positive")
+    from pyspark.sql.window import Window
+
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import md5_long
+
+    key = md5_long(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_key", key)
+        .withColumn("shard", (F.col("_key") % n_shards).cast("int"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+        .drop("_key")
+    )

@@ -2652,3 +2652,38 @@ def q148_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corrupt(
         d, span_len=_Q148_SPAN, stride=_Q148_STRIDE, seed=_Q148_SEED
     )
+
+
+# --------------------------------------------------------------------------
+# q150 — deterministic shard/shuffle manifest (llm/sampling.py
+# shard_manifest): the dataloader-facing end of the curation story —
+# every doc gets a stable pseudo-random (shard, position) so training
+# epochs read well-mixed, reproducible shards; hash-sharding balances
+# sizes and destroys source/time order.  ONE window exchange on shard;
+# at 100 TB the result writes partitionBy(shard).
+# --------------------------------------------------------------------------
+_Q150_SHARDS, _Q150_SEED = 8, 150
+
+
+@query(
+    "q150_shard_manifest",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substr(md5('{_Q150_SEED}:' || CAST(doc_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) AS k
+        FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CAST(k % {_Q150_SHARDS} AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY k % {_Q150_SHARDS} ORDER BY k, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM keyed
+    """,
+)
+def q150_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import shard_manifest
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return shard_manifest(d, n_shards=_Q150_SHARDS, seed=_Q150_SEED)

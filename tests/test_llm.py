@@ -1578,3 +1578,26 @@ def test_winnow_shared_substring_guarantee(spark):
     assert not (by_doc[1] & by_doc[2])
     with pytest.raises(ValueError, match="must be >= 1"):
         winnow_fingerprints(df, k=0)
+
+
+def test_shard_manifest_balance_and_determinism(spark):
+    """Hash-sharding: every row lands in exactly one shard, positions are
+    1..|shard| dense, reruns are identical, shard sizes balanced within
+    sampling noise, and source ordering is destroyed."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import shard_manifest
+
+    rows = [(i, f"src{i % 3}") for i in range(400)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, source string")
+    out = shard_manifest(df, n_shards=4, seed=9).collect()
+    assert len(out) == 400
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+        assert 60 <= len(positions) <= 140  # balanced within noise
+    again = shard_manifest(df, n_shards=4, seed=9).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError, match="n_shards must be positive"):
+        shard_manifest(df, n_shards=0)
