@@ -92,8 +92,8 @@ CORRECTNESS_WINDOW = [
     "q05_customers_without_big_orders",
     "q08_customer_balance_ranks",
     "q11_returnflag_status_cube",
-    "q13_machinery_never_urgent",
-    "q14_late_shipments",
+    "q149_session_transcripts",
+    "q150_shard_manifest",
     "q145_ngram_novelty",
     "q146_containment_near_dups",
     "q147_winnow_profile",
