@@ -89,7 +89,7 @@ CORRECTNESS_WINDOW = [
     "q48_stats_aggregates",
     "q59_conversion_funnel",
     "q03_revenue_by_nation",
-    "q05_customers_without_big_orders",
+    "q151_streaming_transcripts_e2e",
     "q08_customer_balance_ranks",
     "q11_returnflag_status_cube",
     "q149_session_transcripts",

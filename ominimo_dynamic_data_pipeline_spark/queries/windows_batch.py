@@ -455,3 +455,34 @@ def q149_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transcript",
         "truncated",
     )
+
+
+# --------------------------------------------------------------------------
+# q151 — session TRANSCRIPT assembly through the real streaming path:
+# readStream -> session_window merging state carrying the collect_list
+# turn buffers -> availableNow sink, hash-compared to q149's batch
+# oracle (a replayed file source has no late data, so the merged state
+# must reproduce the batch assembly bit-exactly — including turn ORDER
+# inside each merged session, which exercises the state-merge path far
+# harder than q102's count-only sessions).  Eighth real streaming e2e
+# catalog path.
+# --------------------------------------------------------------------------
+@query("q151_streaming_transcripts_e2e", ORACLES["q149_session_transcripts"])
+def q151_streaming_transcripts_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src = stream_ops.read_events_stream(spark, sf_dir)
+    agg = stream_ops.session_transcripts(src, gap="5 minutes")
+    out = stream_ops.run_to_completion(
+        agg, "q151_streaming_transcripts_sink",
+        shuffle_partitions=stream_ops.sized_state_partitions(spark, sf_dir),
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_turns",
+        "transcript",
+        "truncated",
+    )
