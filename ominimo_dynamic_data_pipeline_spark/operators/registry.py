@@ -1043,6 +1043,36 @@ def _op_cluster_safe_split(ctx: CompileContext, step: Mapping[str, Any]) -> None
     )
 
 
+@register_operator("shard_manifest")
+def _op_shard_manifest(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Deterministic global-shuffle shard manifest as a dataflow step
+    (the q150 operator: stable md5-keyed (shard, position) per row for
+    reproducible training shards; llm/sampling.py shard_manifest).
+    Params: ``n_shards`` (required), ``id_col``, ``seed``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import shard_manifest
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    if not params.get("n_shards"):
+        raise ValueError("shard_manifest requires params ['n_shards']")
+    df = ctx.get(in_name)
+    clash = {"shard", "pos_in_shard"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"shard_manifest reserves columns {sorted(clash)}; rename "
+            f"them on input '{in_name}' first"
+        )
+    ctx.put(
+        out_name,
+        shard_manifest(
+            df,
+            id_col=params.get("id_col", "doc_id"),
+            n_shards=int(params["n_shards"]),
+            seed=params.get("seed", 150),
+        ),
+    )
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

@@ -821,3 +821,42 @@ def test_fellegi_sunter_score_conventions(spark):
     assert abs(out[0]["s"] - (wa + wa2)) < 1e-12
     assert abs(out[1]["s"] - (wa + wd2)) < 1e-12
     assert abs(out[2]["s"] - (0.0 + wa2)) < 1e-12  # NULL field -> 0
+
+
+def test_train_split_and_shard_example_dataflow(spark):
+    """The shipped train-split-and-shard dataflow (the round-6 curation
+    chain: near-dup pair graph -> cluster-safe split -> per-source cap
+    -> shard manifest) compiles, runs, and holds its invariants: no
+    val/test doc shares a near-dup cluster with a train doc, no source
+    exceeds its cap, shard positions are dense."""
+    import json
+    from pathlib import Path
+
+    from ominimo_dynamic_data_pipeline_spark.config import select_dataflow
+    from ominimo_dynamic_data_pipeline_spark.pipeline import (
+        compile_dataflow,
+        run_dataflow,
+    )
+
+    meta = json.loads(
+        (Path(__file__).parent.parent / "examples" / "corpus_curation.json")
+        .read_text()
+    )
+    flow = select_dataflow(meta, "train-split-and-shard")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    split_rows = compiled.frames["with_split"].collect()
+    by_cluster = {}
+    for r in split_rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    manifest = compiled.frames["manifest"].collect()
+    assert manifest and all(r["split"] == "train" for r in manifest)
+    per_source = {}
+    by_shard = {}
+    for r in manifest:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    assert max(per_source.values()) <= 40
+    for pos in by_shard.values():
+        assert sorted(pos) == list(range(1, len(pos) + 1))
