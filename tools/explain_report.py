@@ -187,6 +187,21 @@ SHOWCASE = {
         "is docs JOIN labels + a pure md5-bucket projection — no "
         "exchange keyed on the split output."
     ),
+    "q146_containment_near_dups": (
+        "Asymmetric containment: rare-shingle postings (one gram-df "
+        "window) self-join into candidates under a census pair budget, "
+        "then ONE verify join against the shingle arrays — no "
+        "cartesian, no per-pair recompute of shingles."
+    ),
+    "q148_span_corruption": (
+        "Span corruption: a single scan-riding projection — token "
+        "array lambdas, no Exchange, no Python anywhere in the plan."
+    ),
+    "q150_shard_manifest": (
+        "Shard manifest: md5 key + mod shard as a projection, one "
+        "window exchange on shard for dense positions — the write-side "
+        "partitionBy(shard) layout is the only other cost at scale."
+    ),
 }
 
 
