@@ -167,6 +167,15 @@ def run_dataflow(
     finally:
         for df in cached:
             df.unpersist()
+        # Dedup steps persist intermediates under the one-generation-per-
+        # operator registry; a dataflow run is their natural release
+        # boundary (re-executing a returned frame afterwards recomputes
+        # instead of reading cache — correct, just cold).
+        from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+            release_persisted,
+        )
+
+        release_persisted()
     return result
 
 

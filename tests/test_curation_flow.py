@@ -860,3 +860,28 @@ def test_train_split_and_shard_example_dataflow(spark):
     assert max(per_source.values()) <= 40
     for pos in by_shard.values():
         assert sorted(pos) == list(range(1, len(pos) + 1))
+
+
+def test_run_dataflow_releases_dedup_operator_caches(spark):
+    """After run_dataflow returns, the dedup operators' persisted
+    intermediates are released (the one-generation registry is empty) —
+    a scheduled pipeline cannot leak cached partitions across runs."""
+    import json
+    from pathlib import Path
+
+    from ominimo_dynamic_data_pipeline_spark.config import select_dataflow
+    from ominimo_dynamic_data_pipeline_spark.llm import dedup as D
+    from ominimo_dynamic_data_pipeline_spark.pipeline import (
+        compile_dataflow,
+        run_dataflow,
+    )
+
+    meta = json.loads(
+        (Path(__file__).parent.parent / "examples" / "corpus_curation.json")
+        .read_text()
+    )
+    flow = select_dataflow(meta, "train-split-and-shard")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    compiled.frames["manifest"].count()
+    assert D._PERSISTED == {}
