@@ -134,3 +134,16 @@ def test_driver_window_covers_every_family() -> None:
         f"operator families with no query in the driver's 50-entry "
         f"correctness window: {dropped}"
     )
+
+
+def test_hugeint_lint_premise_still_holds(duck) -> None:
+    """The HUGEINT lint is only meaningful while DuckDB actually returns
+    HUGEINT for count_if — if a DuckDB upgrade changes that, this pin
+    fails and the lint (plus the BIGINT casts in the 4 fixed oracles)
+    can be retired instead of silently going vacuous."""
+    desc = duck.execute(
+        "DESCRIBE SELECT count_if(1=1) AS c FROM region"
+    ).df()
+    assert any(
+        "HUGEINT" in str(t).upper() for t in desc["column_type"]
+    ), "DuckDB no longer emits HUGEINT for count_if — retire the lint"

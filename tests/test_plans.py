@@ -433,3 +433,13 @@ def test_q147_winnow_single_doc_exchange_for_fingerprints(q):
     p = plan_of(q("q147_winnow_profile"), "simple")
     assert p.count("Exchange hashpartitioning") <= 3
     assert "Python" not in p
+
+
+def test_q145_q146_no_cartesian_and_no_python(q):
+    """The novelty and containment pipelines stay JVM-side and never
+    degrade to a cartesian/nested-loop: candidates come from the gram
+    equi-join, verification from id equi-joins."""
+    for name in ("q145_ngram_novelty", "q146_containment_near_dups"):
+        p = plan_of(q(name), "simple")
+        assert "Cartesian" not in p and "NestedLoop" not in p, name
+        assert "Python" not in p and "ArrowEval" not in p, name
