@@ -1073,6 +1073,74 @@ def _op_shard_manifest(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     )
 
 
+@register_operator("novelty_scores")
+def _op_novelty_scores(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Per-doc n-gram novelty profile as a dataflow step (the q145
+    operator; llm/dedup.py novelty_scores).  Params: ``id_col``,
+    ``text_col``, ``shingle_n``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import novelty_scores
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(
+        out_name,
+        novelty_scores(
+            ctx.get(in_name),
+            id_col=params.get("id_col", "doc_id"),
+            text_col=params.get("text_col", "text"),
+            shingle_n=int(params.get("shingle_n", 3)),
+        ),
+    )
+
+
+@register_operator("span_corrupt")
+def _op_span_corrupt(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """T5-style span corruption as a dataflow step (the q148 operator;
+    llm/text.py span_corrupt).  Params: ``span_len``, ``stride``,
+    ``seed``, ``id_col``, ``text_col``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import span_corrupt
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(
+        out_name,
+        span_corrupt(
+            ctx.get(in_name),
+            id_col=params.get("id_col", "doc_id"),
+            text_col=params.get("text_col", "text"),
+            span_len=int(params.get("span_len", 3)),
+            stride=int(params.get("stride", 10)),
+            seed=params.get("seed", 148),
+        ),
+    )
+
+
+@register_operator("session_transcripts")
+def _op_session_transcripts(
+    ctx: CompileContext, step: Mapping[str, Any]
+) -> None:
+    """Session transcript assembly as a dataflow step (the q149/q151
+    operator; streaming/ops.py session_transcripts — batch or streaming
+    input).  Params: ``gap``, ``watermark``, ``turn_col``,
+    ``max_turns``."""
+    from ominimo_dynamic_data_pipeline_spark.streaming.ops import (
+        session_transcripts,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(
+        out_name,
+        session_transcripts(
+            ctx.get(in_name),
+            gap=params.get("gap", "5 minutes"),
+            watermark=params.get("watermark", "30 minutes"),
+            turn_col=params.get("turn_col", "event_type"),
+            max_turns=int(params.get("max_turns", 500)),
+        ),
+    )
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

@@ -1601,3 +1601,60 @@ def test_shard_manifest_balance_and_determinism(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     with pytest.raises(ValueError, match="n_shards must be positive"):
         shard_manifest(df, n_shards=0)
+
+
+def test_round6_text_registry_steps(spark, docs):
+    """novelty_scores / span_corrupt / session_transcripts register as
+    transformation types and match their direct-call twins."""
+    import datetime as dt
+
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    events = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 10, 0, i), 1, "click") for i in range(4)],
+        schema="event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    ctx = CompileContext(spark, frames={"docs": docs, "events": events})
+    out = apply_transformations(ctx, {"transformations": [
+        {"name": "nov", "type": "novelty_scores", "params": {"input": "docs"}},
+        {"name": "corr", "type": "span_corrupt",
+         "params": {"input": "docs", "stride": 8, "span_len": 2}},
+        {"name": "sess", "type": "session_transcripts",
+         "params": {"input": "events", "gap": "5 minutes"}},
+    ]})
+    assert sorted(map(tuple, out["nov"].collect())) == sorted(
+        map(tuple, D.novelty_scores(docs).collect())
+    )
+    assert out["corr"].filter(F.col("n_masked") > 0).count() > 0
+    sess = out["sess"].collect()
+    assert len(sess) == 1 and sess[0]["n_turns"] == 4
+
+
+def test_winnow_matches_python_truth(spark):
+    """Winnow fingerprints equal the Python reference computation
+    (positional k-gram md5 hashes, sliding-window minima, distinct) for
+    several documents including sub-window-length ones."""
+    import hashlib
+
+    from ominimo_dynamic_data_pipeline_spark.llm.text import winnow_fingerprints
+
+    texts = {
+        0: "a b c d e f g h",
+        1: "x y z",          # exactly k tokens -> 1 gram, no full window
+        2: "p q r s t u",    # 4 grams -> 1 window
+        3: "m n",            # under k -> no grams at all
+    }
+    k, w = 3, 4
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc, text in texts.items():
+        toks = text.split()
+        grams = [" ".join(toks[i:i+k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        want = {min(hs[i:i+w]) for i in range(len(hs) - w + 1)}
+        assert got.get(doc, set()) == want, doc
