@@ -352,3 +352,41 @@ def shard_manifest(
         .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
         .drop("_key")
     )
+
+
+def winnow_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """SUBSTRING-level benchmark decontamination via winnowing: training
+    docs sharing any winnow fingerprint with the eval corpus are flagged
+    with their shared-fingerprint count.  The winnowing guarantee makes
+    this a true substring detector — any shared run of >= k + window - 1
+    tokens is CAUGHT (n-gram sampling like q56's 8-gram check can only
+    probabilistically catch runs between its gram length and the doc
+    length; fingerprint selection here is dense-enough by construction).
+
+    Scale shape mirrors ngram_decontaminate: the eval fingerprint set is
+    benchmark-sized -> broadcast; train-side cost is the one (doc, pos)
+    winnowing pass + a broadcast semi-join, never pairwise."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import winnow_fingerprints
+
+    train_fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    eval_fps = (
+        winnow_fingerprints(
+            eval_df, eval_id_col or id_col, eval_text_col or text_col, k, window
+        )
+        .select("fp")
+        .distinct()
+    )
+    return (
+        train_fps.join(F.broadcast(eval_fps), on="fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_fps"))
+    )

@@ -91,7 +91,7 @@ CORRECTNESS_WINDOW = [
     "q03_revenue_by_nation",
     "q151_streaming_transcripts_e2e",
     "q08_customer_balance_ranks",
-    "q11_returnflag_status_cube",
+    "q152_winnow_decontamination",
     "q149_session_transcripts",
     "q150_shard_manifest",
     "q145_ngram_novelty",

@@ -2687,3 +2687,57 @@ def q150_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return shard_manifest(d, n_shards=_Q150_SHARDS, seed=_Q150_SEED)
+
+
+# --------------------------------------------------------------------------
+# q152 — SUBSTRING-level decontamination via winnowing (llm/sampling.py
+# winnow_decontaminate): train docs sharing any winnow fingerprint with
+# the eval set (doc_id < 10, the q56 convention), counted — the
+# winnowing guarantee (q147) makes any shared >= k+window-1-token run
+# detectable, the substring-granular complement of q56's 8-gram and
+# q129's embedding checks.  Eval fingerprints broadcast; train cost is
+# one (doc, pos) pass + a broadcast join.
+# --------------------------------------------------------------------------
+def _q152_sql() -> str:
+    k, w = _Q147_K, _Q147_W
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    grams AS (
+        SELECT doc_id,
+               [concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+                for i in range(1, len(tk) - 1)] AS gs
+        FROM toks WHERE len(tk) >= {k}
+    ),
+    hashed AS (
+        SELECT doc_id,
+               [CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                for g in gs] AS hs
+        FROM grams
+    ),
+    fps AS (
+        SELECT doc_id, unnest(list_distinct(
+               [list_min(hs[i:i+{w - 1}])
+                for i in range(1, len(hs) - {w - 2})])) AS fp
+        FROM hashed WHERE len(hs) >= {w}
+    ),
+    eval_fps AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 10)
+    SELECT f.doc_id, COUNT(*) AS n_contaminated_fps
+    FROM fps f JOIN eval_fps e ON f.fp = e.fp
+    WHERE f.doc_id >= 10
+    GROUP BY f.doc_id
+    """
+
+
+@query("q152_winnow_decontamination", _q152_sql())
+def q152_winnow_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        winnow_decontaminate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_decontaminate(
+        d.filter(F.col("doc_id") >= 10),
+        d.filter(F.col("doc_id") < 10),
+        k=_Q147_K,
+        window=_Q147_W,
+    )

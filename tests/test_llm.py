@@ -1658,3 +1658,26 @@ def test_winnow_matches_python_truth(spark):
         hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
         want = {min(hs[i:i+w]) for i in range(len(hs) - w + 1)}
         assert got.get(doc, set()) == want, doc
+
+
+def test_winnow_decontamination_catches_planted_substring(spark):
+    """A train doc embedding a >= k+window-1-token run of an eval doc is
+    GUARANTEED flagged; unrelated train docs are not."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        winnow_decontaminate,
+    )
+
+    leak = "the quick brown fox jumps over"  # 6 tokens = k+w-1
+    evals = spark.createDataFrame(
+        [(0, "benchmark prompt " + leak + " answer text")],
+        schema="doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [(10, "prefix words " + leak + " suffix words here"),
+         (11, "totally unrelated training content with nothing shared")],
+        schema="doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["n_contaminated_fps"]
+           for r in winnow_decontaminate(train, evals).collect()}
+    assert 10 in out and out[10] >= 1
+    assert 11 not in out
