@@ -778,3 +778,47 @@ def test_cluster_safe_split_matches_python_truth(spark, n, edges, seed):
         want_split = ("test" if bucket < t_test
                       else "val" if bucket < t_val else "train")
         assert r["split"] == want_split
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_containment_scores_match_python_sets(spark, token_lists):
+    """For arbitrary token streams (including docs too short to shingle):
+    containment_a/b and jaccard equal the Python set computation over
+    distinct 3-shingles, for every explicitly-requested pair."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        containment_scores,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, schema="doc_id bigint, text string")
+    pairs = [(a, b) for a in range(len(docs)) for b in range(a + 1, len(docs))]
+    pdf = spark.createDataFrame(pairs, schema="id_a bigint, id_b bigint")
+    got = {(r["id_a"], r["id_b"]): r
+           for r in containment_scores(df, pdf).collect()}
+
+    def shingles(toks):
+        return {" ".join(toks[i:i+3]) for i in range(len(toks) - 2)}
+
+    for a, b in pairs:
+        sa, sb = shingles(token_lists[a]), shingles(token_lists[b])
+        if not sa or not sb:
+            # a shingle-less doc drops out of the shingle frame -> the
+            # pair is absent (inner join), mirroring jaccard_pairs
+            assert (a, b) not in got
+            continue
+        r = got[(a, b)]
+        inter = len(sa & sb)
+        assert r["containment_a"] == round(inter / len(sa), 6)
+        assert r["containment_b"] == round(inter / len(sb), 6)
+        assert r["jaccard"] == round(inter / len(sa | sb), 6)
