@@ -90,7 +90,7 @@ CORRECTNESS_WINDOW = [
     "q59_conversion_funnel",
     "q03_revenue_by_nation",
     "q151_streaming_transcripts_e2e",
-    "q08_customer_balance_ranks",
+    "q153_source_overlap_matrix",
     "q152_winnow_decontamination",
     "q149_session_transcripts",
     "q150_shard_manifest",

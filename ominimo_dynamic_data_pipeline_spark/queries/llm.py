@@ -2741,3 +2741,68 @@ def q152_winnow_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_Q147_K,
         window=_Q147_W,
     )
+
+
+# --------------------------------------------------------------------------
+# q153 — cross-source PROVENANCE OVERLAP matrix: for every pair of
+# sources, how many winnow fingerprints they share — the "who copies
+# from whom" curation analytic (mirror-site detection, syndication
+# mapping) built on q147's fingerprints.  Shape: fingerprints reduce to
+# their DISTINCT (fp, source) pairs first (bounded by |fps| x |sources|),
+# then per-fp source lists expand to ordered pairs — sources are FEW, so
+# the expansion is |fps| x |sources|^2 worst case, never doc-pairwise.
+# --------------------------------------------------------------------------
+@query(
+    "q153_source_overlap_matrix",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {SQL_TOKS} AS tk FROM documents),
+    grams AS (
+        SELECT doc_id, source,
+               [concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+                for i in range(1, len(tk) - 1)] AS gs
+        FROM toks WHERE len(tk) >= {_Q147_K}
+    ),
+    hashed AS (
+        SELECT doc_id, source,
+               [CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                for g in gs] AS hs
+        FROM grams
+    ),
+    fps AS (
+        SELECT DISTINCT source, unnest(list_distinct(
+               [list_min(hs[i:i+{_Q147_W - 1}])
+                for i in range(1, len(hs) - {_Q147_W - 2})])) AS fp
+        FROM hashed WHERE len(hs) >= {_Q147_W}
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_fps
+    FROM fps a JOIN fps b
+      ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q153_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.text import (
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=_Q147_K, window=_Q147_W)
+    src_fps = (
+        fps.join(d.select("doc_id", "source"), on="doc_id")
+        .select("source", "fp")
+        .distinct()
+    )
+    a, b = src_fps.alias("a"), src_fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
