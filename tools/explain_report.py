@@ -202,6 +202,12 @@ SHOWCASE = {
         "window exchange on shard for dense positions — the write-side "
         "partitionBy(shard) layout is the only other cost at scale."
     ),
+    "q152_winnow_decontamination": (
+        "Substring decontamination: the eval winnow-fingerprint set "
+        "broadcasts (BroadcastHashJoin) onto the train fingerprint "
+        "stream — train-side cost is one (doc, pos) winnowing pass, "
+        "never a doc x doc comparison."
+    ),
 }
 
 
