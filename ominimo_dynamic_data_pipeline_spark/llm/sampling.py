@@ -390,3 +390,95 @@ def winnow_decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_fps"))
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    num_buckets: int | None = None,
+    seed: int = 154,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    how much more likely its tokens are under the TARGET distribution
+    (rows where ``target`` is true, e.g. a trusted high-quality slice)
+    than under the RAW corpus distribution.  Per-doc weight is the
+    log-likelihood ratio  sum_w tf(w) * ln(p_target(w) / p_raw(w))  with
+    add-``alpha`` smoothing over the observed feature space; high-weight
+    docs "look like" the target and are what importance resampling keeps.
+
+    ``num_buckets`` enables the paper's hashed-feature trick: tokens are
+    bucketed by a portable md5 hash, which BOUNDS the feature table at
+    ``num_buckets`` rows by construction — at 100 TB the bucket->ratio
+    table broadcasts no matter how large the raw vocabulary grows (an
+    unhashed unigram table over web text does not).  Scale shape: one
+    token-stream shuffle with map-side combine for per-doc tf, one
+    feature-keyed reduce for the two count profiles, a one-row totals
+    aggregate cross-joined back, and a broadcast join of the bounded
+    ratio table onto the per-doc tf stream — text never shuffles twice.
+
+    Float discipline (the q110 technique, one step stronger): the
+    per-feature log-ratio is quantized to an INTEGER micro-unit
+    (round(lr * 1e6) as bigint) before the per-doc sum, so the sum is
+    exact integer arithmetic in both engines — float sum-order drift
+    cannot straddle any rounding boundary (measured: plain
+    round-6-then-sum-doubles missed 2/500 rows at the 4th decimal).
+    ``llr`` is that exact sum / 1e6 with NO further rounding: the same
+    integer divided by the same literal is the same double bit-for-bit,
+    whereas a final round-4 re-introduces engine-specific half-point
+    behavior (Spark rounds the shortest decimal repr, DuckDB the raw
+    binary — measured divergence at an exact .5 half-point).  Null
+    ``target`` counts as non-target.  Docs with zero tokens produce no
+    postings and are absent from the output.
+    """
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import md5_long
+    from ominimo_dynamic_data_pipeline_spark.llm.text import tokens
+
+    if num_buckets is not None and num_buckets <= 0:
+        raise ValueError("dsir_importance: num_buckets must be positive")
+
+    term = F.explode(tokens(F.col(text_col))).alias("term")
+    keyed = df.select(
+        F.col(id_col),
+        F.coalesce(target, F.lit(False)).alias("_is_target"),
+        term,
+    )
+    key = (
+        (md5_long(F.col("term"), seed=seed) % num_buckets).alias("k")
+        if num_buckets is not None
+        else F.col("term").alias("k")
+    )
+    tf = (
+        keyed.select(id_col, "_is_target", key)
+        .groupBy(id_col, "_is_target", "k")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("k").agg(
+        F.sum("tf").alias("c_raw"),
+        F.sum(F.when(F.col("_is_target"), F.col("tf")).otherwise(0)).alias(
+            "c_tgt"
+        ),
+    )
+    totals = vocab.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    raw_ratio = F.log(
+        (F.col("c_tgt") + alpha) / (F.col("n_tgt") + alpha * F.col("v"))
+    ) - F.log((F.col("c_raw") + alpha) / (F.col("n_raw") + alpha * F.col("v")))
+    ratios = vocab.join(F.broadcast(totals)).select(
+        "k",
+        F.round(raw_ratio * 1e6).cast("bigint").alias("lr_micro"),
+    )
+    return (
+        tf.join(F.broadcast(ratios), "k")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.col("lr_micro")) / 1e6).alias("llr"),
+        )
+    )

@@ -1141,6 +1141,34 @@ def _op_session_transcripts(
     )
 
 
+@register_operator("dsir_importance")
+def _op_dsir_importance(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """DSIR importance weights as a dataflow step (the q154 operator;
+    llm/sampling.py dsir_importance).  Params: ``target`` (required — a
+    SQL boolean expression naming the trusted slice, e.g.
+    ``"lang = 'en'"``), ``id_col``, ``text_col``, ``alpha``,
+    ``num_buckets``, ``seed``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import dsir_importance
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    if not params.get("target"):
+        raise ValueError("dsir_importance requires params ['target']")
+    num_buckets = params.get("num_buckets")
+    ctx.put(
+        out_name,
+        dsir_importance(
+            ctx.get(in_name),
+            target=F.expr(str(params["target"])),
+            id_col=params.get("id_col", "doc_id"),
+            text_col=params.get("text_col", "text"),
+            alpha=float(params.get("alpha", 0.5)),
+            num_buckets=int(num_buckets) if num_buckets is not None else None,
+            seed=params.get("seed", 154),
+        ),
+    )
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

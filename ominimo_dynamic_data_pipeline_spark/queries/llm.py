@@ -2806,3 +2806,96 @@ def q153_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_fps"))
     )
+
+
+# --------------------------------------------------------------------------
+# q154 — DSIR importance weights (llm/sampling.py dsir_importance): score
+# every doc by the log-likelihood ratio of its tokens under the TARGET
+# distribution (here the 'en' slice — in production a trusted corpus like
+# Wikipedia) vs the RAW corpus, with the paper's hashed-feature trick
+# (md5 buckets) bounding the feature table at 512 rows BY CONSTRUCTION —
+# the bucket->ratio table broadcasts at any corpus size, unlike a raw
+# web-text vocabulary.  Data selection by importance: the top-100 docs
+# (by rounded llr, doc_id tiebreak) are what resampling would keep.
+# Scale shape: one token shuffle for per-doc tf, one bounded feature
+# reduce, one broadcast join back — text never shuffles twice; the
+# global selection window carries only (doc, llr).  Float discipline:
+# per-feature log-ratio quantized to an INTEGER micro-unit before the
+# per-doc sum (exact bigint arithmetic in both engines — sum-order
+# drift measurably straddles round-4 otherwise); llr = sum/1e6 with NO
+# final rounding (same integer / same literal = bit-identical doubles;
+# a round-4 re-introduces half-point divergence, measured on doc 478).
+# --------------------------------------------------------------------------
+_Q154_ALPHA, _Q154_BUCKETS, _Q154_SEED, _Q154_TOP = 0.5, 512, 154, 100
+
+
+@query(
+    "q154_dsir_importance",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({SQL_TOKS}) AS term FROM documents),
+    keyed AS (
+        SELECT doc_id, lang,
+               COALESCE(lang = 'en', FALSE) AS is_t,
+               {_sql_md5_long('term', _Q154_SEED)} % {_Q154_BUCKETS} AS k
+        FROM toks),
+    tf AS (
+        SELECT doc_id, lang, is_t, k, COUNT(*) AS tf
+        FROM keyed GROUP BY ALL),
+    vocab AS (
+        SELECT k, SUM(tf) AS c_raw,
+               SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS c_tgt
+        FROM tf GROUP BY k),
+    tot AS (
+        SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt, COUNT(*) AS v
+        FROM vocab),
+    lr AS (
+        SELECT k, CAST(ROUND(
+                   (ln((c_tgt + {_Q154_ALPHA}) / (n_tgt + {_Q154_ALPHA} * v))
+                  - ln((c_raw + {_Q154_ALPHA}) / (n_raw + {_Q154_ALPHA} * v)))
+                   * 1e6) AS BIGINT) AS lr_micro
+        FROM vocab CROSS JOIN tot),
+    doc AS (
+        SELECT tf.doc_id, tf.lang,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               SUM(tf * lr_micro) / 1e6 AS llr
+        FROM tf JOIN lr USING (k)
+        GROUP BY tf.doc_id, tf.lang)
+    SELECT doc_id, lang, n_tokens, llr, sel_rank,
+           CAST(CASE WHEN sel_rank <= {_Q154_TOP} THEN 1 ELSE 0 END AS BIGINT)
+               AS selected
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY llr DESC, doc_id)
+                       AS BIGINT) AS sel_rank
+        FROM doc)
+    """,
+)
+def q154_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import dsir_importance
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = dsir_importance(
+        d,
+        target=F.col("lang") == "en",
+        alpha=_Q154_ALPHA,
+        num_buckets=_Q154_BUCKETS,
+        seed=_Q154_SEED,
+    )
+    w = Window.orderBy(F.desc("llr"), F.asc("doc_id"))
+    return (
+        weights.join(d.select("doc_id", "lang"), on="doc_id")
+        .withColumn("sel_rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "llr",
+            "sel_rank",
+            F.when(F.col("sel_rank") <= _Q154_TOP, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("selected"),
+        )
+    )

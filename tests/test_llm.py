@@ -1681,3 +1681,36 @@ def test_winnow_decontamination_catches_planted_substring(spark):
            for r in winnow_decontaminate(train, evals).collect()}
     assert 10 in out and out[10] >= 1
     assert 11 not in out
+
+
+def test_dsir_importance_registry_step(spark, docs):
+    """dsir_importance registers as a transformation type, matches its
+    direct-call twin, and fails fast without a target expression."""
+    import pytest
+
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import dsir_importance
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    ctx = CompileContext(spark, frames={"docs": docs})
+    out = apply_transformations(ctx, {"transformations": [
+        {"name": "w", "type": "dsir_importance",
+         "params": {"input": "docs", "target": "doc_id % 2 = 0",
+                    "num_buckets": 64, "seed": 7}},
+    ]})
+    want = dsir_importance(
+        docs, target=F.expr("doc_id % 2 = 0"), num_buckets=64, seed=7
+    )
+    assert sorted(map(tuple, out["w"].collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    with pytest.raises(ValueError, match="target"):
+        apply_transformations(
+            CompileContext(spark, frames={"docs": docs}),
+            {"transformations": [
+                {"name": "w", "type": "dsir_importance",
+                 "params": {"input": "docs"}},
+            ]},
+        )

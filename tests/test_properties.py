@@ -822,3 +822,74 @@ def test_containment_scores_match_python_sets(spark, token_lists):
         assert r["containment_a"] == round(inter / len(sa), 6)
         assert r["containment_b"] == round(inter / len(sb), 6)
         assert r["jaccard"] == round(inter / len(sa | sb), 6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("aa bb cc dd ee ff".split()),
+                     min_size=0, max_size=8),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([None, 4]),
+)
+def test_dsir_importance_matches_python_truth(spark, docs, num_buckets):
+    """For arbitrary tiny corpora: llr equals the Python-recomputed
+    DSIR log-likelihood ratio (same smoothing, same md5 bucketing, same
+    micro-unit quantization) to within 2 micro (cross-libm ln slack);
+    n_tokens is exact; zero-token docs are absent; the feature space
+    never exceeds num_buckets when bucketing is on."""
+    import hashlib
+    import math
+
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import dsir_importance
+
+    alpha, seed = 0.5, 99
+    rows = [(i, " ".join(words), bool(t)) for i, (words, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string, t boolean")
+    got = {r["doc_id"]: r for r in dsir_importance(
+        df, target=F.col("t"), alpha=alpha, num_buckets=num_buckets, seed=seed
+    ).collect()}
+
+    def key(word):
+        if num_buckets is None:
+            return word
+        return int(hashlib.md5(f"{seed}:{word}".encode()).hexdigest()[:15], 16) % num_buckets
+
+    c_raw, c_tgt = {}, {}
+    for _, (words, t) in enumerate(docs):
+        for w in words:
+            k = key(w)
+            c_raw[k] = c_raw.get(k, 0) + 1
+            if t:
+                c_tgt[k] = c_tgt.get(k, 0) + 1
+    n_raw, n_tgt, v = sum(c_raw.values()), sum(c_tgt.values()), len(c_raw)
+
+    def half_away(x):
+        return math.floor(abs(x) * 1e6 + 0.5) * (1 if x >= 0 else -1)
+
+    lr_micro = {
+        k: half_away(
+            math.log((c_tgt.get(k, 0) + alpha) / (n_tgt + alpha * v))
+            - math.log((c_raw[k] + alpha) / (n_raw + alpha * v))
+        )
+        for k in c_raw
+    }
+    for i, (words, _) in enumerate(docs):
+        if not words:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r["n_tokens"] == len(words)
+        want = sum(lr_micro[key(w)] for w in words) / 1e6
+        assert abs(r["llr"] - want) <= 2e-6 * max(1, len(words))
+    if num_buckets is not None:
+        assert v <= num_buckets
