@@ -1095,3 +1095,69 @@ def kmeans_exact_assignments(
         ]
         assigned = assign(q)
     return assigned.select(F.col(id_col), "cluster_id", "qv")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval runs:
+    fused score = sum over runs of 1 / (k0 + rank), the standard way to
+    combine a sparse (BM25) and a dense (embedding) ranking without score
+    calibration — ranks are comparable across runs even when raw scores
+    are not.  A doc missing from a run simply contributes nothing.
+
+    Output: (query, id, rrf_score, n_runs, fused_rank) with fused_rank a
+    per-query row_number over (score DESC, id ASC).  Scale shape: each
+    run is already top-k per query, so the union is |Q| * k * runs rows —
+    tiny relative to the retrieval stages that produced it; one keyed
+    reduce + one per-query window, no data-sized shuffle.
+
+    Float discipline (the dsir_importance technique): each contribution
+    is quantized to an INTEGER nano-unit, round(1e9 / (k0 + rank)) as
+    bigint, so the per-doc sum is exact integer arithmetic — with 3+
+    runs a float sum would be order-dependent across engines.
+    ``rrf_score`` is the exact nano sum / 1e9 (bit-identical doubles in
+    any engine), never re-rounded.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking required")
+    if k0 <= 0:
+        raise ValueError("rrf_fuse: k0 must be positive")
+    contribs = []
+    for i, r in enumerate(rankings):
+        missing = {query_col, id_col, rank_col} - set(r.columns)
+        if missing:
+            raise ValueError(
+                f"rrf_fuse: ranking #{i} lacks columns {sorted(missing)}"
+            )
+        contribs.append(
+            r.select(
+                query_col,
+                id_col,
+                F.round(F.lit(1e9) / (F.col(rank_col) + F.lit(k0)))
+                .cast("bigint")
+                .alias("_nano"),
+            )
+        )
+    u = functools.reduce(DataFrame.unionByName, contribs)
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("_nano_sum"), F.asc(id_col)
+    )
+    return (
+        u.groupBy(query_col, id_col)
+        .agg(
+            F.sum("_nano").alias("_nano_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        )
+        .select(
+            query_col,
+            id_col,
+            (F.col("_nano_sum") / 1e9).alias("rrf_score"),
+            "n_runs",
+            F.row_number().over(w).cast("bigint").alias("fused_rank"),
+        )
+    )

@@ -2899,3 +2899,130 @@ def q154_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("selected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q155 — hybrid retrieval via reciprocal-rank fusion (llm/similarity.py
+# rrf_fuse): fuse the sparse BM25 run (the q110 machinery — same
+# constants, same inverted index) with a dense cosine run (the q29
+# brute-force shape) for the same 3 query docs, score = sum over runs of
+# 1/(60 + rank).  RRF needs no score calibration — ranks are comparable
+# across runs even though bm25 and cosine scores are not — which is why
+# it is the standard production fusion for RAG-style retrieval.  The
+# testdata aligns doc_id and vec_id 1:1, mirroring a corpus with one
+# embedding per document.  Scale shape: fusion consumes two already-
+# top-k frames (|Q| x k x 2 rows) — one keyed reduce + one per-query
+# window; the expensive stages are the retrievals themselves, which
+# keep their own 100 TB shapes (bucketed LSH/IVF swaps in for brute
+# force transparently: any (query, neighbor, rank) frame fuses).  Float
+# discipline: contributions quantized to integer nano-units before the
+# sum (exact in both engines), rrf_score = nano sum / 1e9, never
+# re-rounded; per-run ranks use the round-4-then-rank q29/q110
+# technique; ties on the fused score break on neighbor_id.
+# --------------------------------------------------------------------------
+_Q155_K0, _Q155_TOP = 60, 10
+
+
+@query(
+    "q155_hybrid_rrf_retrieval",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qterms AS (
+        SELECT doc_id AS query_id, term FROM tf WHERE doc_id < {_Q110_NQ}
+    ),
+    sparse_scored AS (
+        SELECT q.query_id, p.doc_id AS neighbor_id,
+               ROUND(SUM(
+                   ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * p.tf * ({_Q110_K1} + 1)
+                   / (p.tf + {_Q110_K1} * (1 - {_Q110_B}
+                      + {_Q110_B} * l.dl / (s.sum_dl * 1.0 / s.n_docs)))
+               ), 4) AS bm25
+        FROM qterms q
+        JOIN tf p ON p.term = q.term AND p.doc_id <> q.query_id
+        JOIN df f ON f.term = q.term
+        JOIN dl l ON l.doc_id = p.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.query_id, p.doc_id
+    ),
+    sparse_rank AS (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id) AS rank
+        FROM sparse_scored
+    ),
+    dense_scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[])
+                     / (SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                        * SQRT(list_dot_product(c.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]))),
+                     4) AS cos
+        FROM embeddings c CROSS JOIN (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < {_Q110_NQ}) q
+        WHERE c.vec_id <> q.query_id
+    ),
+    dense_rank AS (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM dense_scored
+    ),
+    unioned AS (
+        SELECT query_id, neighbor_id,
+               CAST(ROUND(1e9 / ({_Q155_K0} + rank)) AS BIGINT) AS nano
+        FROM sparse_rank WHERE rank <= {_Q155_TOP}
+        UNION ALL
+        SELECT query_id, neighbor_id,
+               CAST(ROUND(1e9 / ({_Q155_K0} + rank)) AS BIGINT) AS nano
+        FROM dense_rank WHERE rank <= {_Q155_TOP}
+    ),
+    fused AS (
+        SELECT query_id, neighbor_id, SUM(nano) AS nano_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_runs
+        FROM unioned GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, nano_sum / 1e9 AS rrf_score, n_runs,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY nano_sum DESC, neighbor_id)
+               AS BIGINT) AS fused_rank
+    FROM fused
+    """,
+)
+def q155_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import rrf_fuse
+
+    sparse = q110_bm25_retrieval(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _Q110_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(D.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    dense = (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _Q155_TOP)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    return rrf_fuse([sparse, dense], k0=_Q155_K0)

@@ -1714,3 +1714,39 @@ def test_dsir_importance_registry_step(spark, docs):
                  "params": {"input": "docs"}},
             ]},
         )
+
+
+def test_rrf_fuse_matches_hand_math(spark):
+    """Fused score equals the hand-computed reciprocal-rank sum: docs in
+    both runs get both contributions (n_runs=2), single-run docs one,
+    ranking breaks score ties on neighbor_id; bad inputs fail fast."""
+    import pytest
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import rrf_fuse
+
+    schema = "query_id bigint, neighbor_id bigint, rank bigint"
+    sparse = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], schema=schema)
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 12, 3)], schema=schema)
+    out = {r["neighbor_id"]: r for r in rrf_fuse([sparse, dense], k0=60).collect()}
+
+    def nano(rank):
+        return round(1e9 / (60 + rank))
+
+    assert out[11]["n_runs"] == 2
+    assert out[11]["rrf_score"] == (nano(2) + nano(1)) / 1e9
+    assert out[10]["n_runs"] == 1
+    assert out[10]["rrf_score"] == nano(1) / 1e9
+    # doc 12 sits at rank 3 in BOTH runs -> 2 * nano(3)
+    assert out[12]["rrf_score"] == 2 * nano(3) / 1e9
+    # fused order: 11 (ranks 1+2) first, then 12 (3+3), then 10/13 tied
+    # at nano(1)/nano(2)... compute expected order explicitly
+    order = sorted(out.values(), key=lambda r: r["fused_rank"])
+    assert [r["neighbor_id"] for r in order] == [11, 12, 10, 13]
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="k0"):
+        rrf_fuse([sparse], k0=0)
+    with pytest.raises(ValueError, match="lacks columns"):
+        rrf_fuse([sparse.drop("rank")])
