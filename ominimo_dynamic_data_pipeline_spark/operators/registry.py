@@ -1169,6 +1169,46 @@ def _op_dsir_importance(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     )
 
 
+@register_operator("k_anonymity")
+def _op_k_anonymity(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Privacy gate as a dataflow step (the q156 operators;
+    operators/privacy.py).  Params: ``quasi_cols`` (required list),
+    ``k``, ``action`` (``audit`` — default, per-class k-anonymity /
+    l-diversity rows — or ``suppress`` — NULL quasi columns of rows in
+    classes below k), ``sensitive_col`` (audit only)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.privacy import (
+        k_anonymity,
+        suppress_small_classes,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    quasi = params.get("quasi_cols")
+    if not quasi or not isinstance(quasi, list):
+        raise ValueError("k_anonymity requires params ['quasi_cols'] (list)")
+    action = params.get("action", "audit")
+    k = int(params.get("k", 5))
+    if action == "audit":
+        ctx.put(
+            out_name,
+            k_anonymity(
+                ctx.get(in_name),
+                quasi_cols=quasi,
+                k=k,
+                sensitive_col=params.get("sensitive_col"),
+            ),
+        )
+    elif action == "suppress":
+        ctx.put(
+            out_name,
+            suppress_small_classes(ctx.get(in_name), quasi_cols=quasi, k=k),
+        )
+    else:
+        raise ValueError(
+            f"k_anonymity: unknown action {action!r} (audit|suppress)"
+        )
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

@@ -1279,3 +1279,55 @@ def q125_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("l_returnflag", "bin").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+# --------------------------------------------------------------------------
+# q156 — k-anonymity / l-diversity privacy audit (operators/privacy.py
+# k_anonymity): one row per quasi-identifier equivalence class over
+# customer (nation x $1000 balance band), with class size, distinct
+# market segments inside the class (l-diversity — a k-anonymous class
+# where every member shares one segment still leaks it), and an at-risk
+# flag for classes below k=5.  The pre-release gate for user-derived
+# training tables (Sweeney: ZIP+birthdate+sex singles out most people).
+# Scale shape: ONE hash aggregate on the quasi key with map-side
+# combine — output is bounded by the quasi-value cross product, not the
+# row count; no UDF, no collect.  floor() of a negative balance agrees
+# across engines (both round toward -infinity).
+# --------------------------------------------------------------------------
+_Q156_K = 5
+
+
+@query(
+    "q156_k_anonymity_audit",
+    f"""
+    WITH quasi AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balance_band,
+               c_mktsegment
+        FROM customer)
+    SELECT c_nationkey, balance_band,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_diversity,
+           CAST(CASE WHEN COUNT(*) < {_Q156_K} THEN 1 ELSE 0 END AS BIGINT)
+               AS at_risk
+    FROM quasi GROUP BY c_nationkey, balance_band
+    """,
+)
+def q156_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.privacy import (
+        k_anonymity,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+            "balance_band"
+        ),
+        "c_mktsegment",
+    )
+    return k_anonymity(
+        c,
+        quasi_cols=["c_nationkey", "balance_band"],
+        k=_Q156_K,
+        sensitive_col="c_mktsegment",
+    )
