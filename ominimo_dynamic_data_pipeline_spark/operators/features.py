@@ -381,3 +381,75 @@ def fellegi_sunter_score(
             F.when(agree.isNull(), 0.0).when(agree, wa).otherwise(wd)
         )
     return total
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-series CUSUM changepoint detection: for each group's
+    time-ordered integer series, the cumulative sum of deviations from
+    the series mean, S_i = sum_{j<=i}(x_j - mean), peaks in magnitude at
+    the most likely single change point (Page 1954 / the standard
+    binary-segmentation pivot).  Returns one row per group:
+    ``changepoint`` (the time at the peak), ``cusum_peak`` (S there),
+    ``n_points``, and ``direction`` (sign of the peak: -1 means the
+    series ran BELOW its mean up to the changepoint, i.e. the level
+    shifted UP after it; +1 the reverse).
+
+    Exactness: S_i is computed as the SCALED integer
+    n * prefix_i - i * total  (= n * S_i), so argmax, tie-breaks, and
+    the reported peak are exact integer arithmetic in any engine —
+    ``cusum_peak`` is that integer divided by n (bit-identical doubles).
+    Ties on |S| break on earliest time.  ``value_col`` must be integral
+    (cast upstream; counts and cent-scaled amounts both qualify) and
+    (group, time) rows must be unique — pre-aggregate to one row per
+    tick first, as the q157 catalog entry does.
+
+    Scale shape: two windows over the SAME (group, time-order) exchange
+    (prefix sum + row number, then the argmax row_number) — one shuffle
+    total; series length per group bounds the window buffer, the
+    output is one row per group.  No UDF, no collect.
+    """
+    for c in (group_col, time_col, value_col):
+        if c not in df.columns:
+            raise ValueError(f"cusum_changepoint: input lacks column {c!r}")
+    w_ord = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(time_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    x = F.col(value_col).cast("bigint")
+    staged = df.select(
+        F.col(group_col),
+        F.col(time_col),
+        (
+            F.count(F.lit(1)).over(w_all) * F.sum(x).over(w_ord)
+            - F.row_number().over(
+                Window.partitionBy(group_col).orderBy(F.col(time_col).asc())
+            )
+            * F.sum(x).over(w_all)
+        ).alias("_s_scaled"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_points"),
+    )
+    pick = Window.partitionBy(group_col).orderBy(
+        F.abs(F.col("_s_scaled")).desc(), F.col(time_col).asc()
+    )
+    return (
+        staged.withColumn("_pick", F.row_number().over(pick))
+        .filter(F.col("_pick") == 1)
+        .select(
+            group_col,
+            F.col(time_col).alias("changepoint"),
+            (F.col("_s_scaled") / F.col("n_points")).alias("cusum_peak"),
+            "n_points",
+            F.when(F.col("_s_scaled") > 0, F.lit(1))
+            .when(F.col("_s_scaled") < 0, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("direction"),
+        )
+    )

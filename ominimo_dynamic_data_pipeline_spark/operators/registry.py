@@ -1209,6 +1209,34 @@ def _op_k_anonymity(ctx: CompileContext, step: Mapping[str, Any]) -> None:
         )
 
 
+@register_operator("cusum_changepoint")
+def _op_cusum_changepoint(
+    ctx: CompileContext, step: Mapping[str, Any]
+) -> None:
+    """Per-series CUSUM changepoint detection as a dataflow step (the
+    q157 operator; operators/features.py cusum_changepoint).  Params:
+    ``group_col``, ``time_col``, ``value_col`` (all required)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        cusum_changepoint,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [k for k in ("group_col", "time_col", "value_col")
+               if not params.get(k)]
+    if missing:
+        raise ValueError(f"cusum_changepoint requires params {missing}")
+    ctx.put(
+        out_name,
+        cusum_changepoint(
+            ctx.get(in_name),
+            group_col=params["group_col"],
+            time_col=params["time_col"],
+            value_col=params["value_col"],
+        ),
+    )
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

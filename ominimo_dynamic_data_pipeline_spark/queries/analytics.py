@@ -1800,3 +1800,64 @@ def q126_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.from_type").alias("from_type"),
         F.col("t.to_type").alias("to_type"),
     ).agg(F.count(F.lit(1)).alias("n_transitions"))
+
+
+# --------------------------------------------------------------------------
+# q157 — CUSUM changepoint per order-priority series (operators/
+# features.py cusum_changepoint): daily order counts per priority,
+# cumulative sum of deviations from the series mean, peak |S| = the most
+# likely single change point (Page 1954) — the distribution-shift
+# monitor PSI (q117) cannot give a DATE for.  Exactness: S is carried
+# as the scaled integer n*prefix - i*total, so the argmax, tie-breaks
+# (earliest date), and the reported peak are exact integer arithmetic
+# in both engines; cusum_peak = that integer / n (bit-identical
+# doubles).  Scale shape: one hash aggregate to daily grain, then two
+# windows over ONE (priority, date) exchange, output one row per
+# series.  The per-series window buffer holds days, not orders.
+# --------------------------------------------------------------------------
+@query(
+    "q157_cusum_changepoints",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority AS priority, o_orderdate AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2),
+    staged AS (
+        SELECT priority, d,
+               COUNT(*) OVER (PARTITION BY priority)
+                 * SUM(x) OVER (PARTITION BY priority ORDER BY d
+                                ROWS UNBOUNDED PRECEDING)
+               - ROW_NUMBER() OVER (PARTITION BY priority ORDER BY d)
+                 * SUM(x) OVER (PARTITION BY priority) AS s_scaled,
+               CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT)
+                   AS n_points
+        FROM daily)
+    SELECT priority, d AS changepoint,
+           CAST(s_scaled AS DOUBLE) / n_points AS cusum_peak,
+           n_points,
+           CAST(CASE WHEN s_scaled > 0 THEN 1
+                     WHEN s_scaled < 0 THEN -1 ELSE 0 END AS BIGINT)
+               AS direction
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY priority ORDER BY ABS(s_scaled) DESC, d) AS pick
+        FROM staged)
+    WHERE pick = 1
+    """,
+)
+def q157_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        cusum_changepoint,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    return cusum_changepoint(
+        daily, group_col="priority", time_col="d", value_col="x"
+    )

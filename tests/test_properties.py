@@ -893,3 +893,47 @@ def test_dsir_importance_matches_python_truth(spark, docs, num_buckets):
         assert abs(r["llr"] - want) <= 2e-6 * max(1, len(words))
     if num_buckets is not None:
         assert v <= num_buckets
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 50), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_cusum_changepoint_matches_python_truth(spark, series_list):
+    """For arbitrary integer series: the reported changepoint is the
+    exact argmax of |n*prefix - i*total| (earliest-time tiebreak), the
+    peak equals that scaled integer / n, and direction is its sign."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        cusum_changepoint,
+    )
+
+    rows = [
+        (g, t, x)
+        for g, series in enumerate(series_list)
+        for t, x in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows, schema="g bigint, t bigint, x bigint")
+    got = {r["g"]: r for r in
+           cusum_changepoint(df, "g", "t", "x").collect()}
+    for g, series in enumerate(series_list):
+        n, total = len(series), sum(series)
+        scaled = []
+        prefix = 0
+        for i, x in enumerate(series, start=1):
+            prefix += x
+            scaled.append(n * prefix - i * total)
+        best = max(range(n), key=lambda i: (abs(scaled[i]), -i))
+        r = got[g]
+        assert r["changepoint"] == best
+        assert r["n_points"] == n
+        assert r["cusum_peak"] == scaled[best] / n
+        want_dir = 1 if scaled[best] > 0 else (-1 if scaled[best] < 0 else 0)
+        assert r["direction"] == want_dir

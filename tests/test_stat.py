@@ -66,3 +66,43 @@ def test_observed_stats_match_dedicated_pass(spark, sf_dir, tmp_path):
     assert doc["total_records"] > 0
     assert doc["fields"]["o_totalprice"]["null_count"] == 0
     assert "min_date" in doc["fields"]["o_orderdate"]
+
+
+def test_cusum_changepoint_registry_step(spark):
+    """cusum_changepoint registers as a transformation type, matches its
+    direct-call twin, and fails fast on missing params."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        cusum_changepoint,
+    )
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    rows = [("a", t, x) for t, x in enumerate([5, 5, 5, 20, 20, 20])]
+    df = spark.createDataFrame(rows, schema="g string, t bigint, x bigint")
+    out = apply_transformations(
+        CompileContext(spark, frames={"s": df}),
+        {"transformations": [
+            {"name": "cp", "type": "cusum_changepoint",
+             "params": {"input": "s", "group_col": "g",
+                        "time_col": "t", "value_col": "x"}},
+        ]},
+    )
+    got = out["cp"].collect()
+    want = cusum_changepoint(df, "g", "t", "x").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the level shifts UP after t=2 -> changepoint there, direction -1
+    assert got[0]["changepoint"] == 2 and got[0]["direction"] == -1
+    with pytest.raises(ValueError, match="value_col"):
+        apply_transformations(
+            CompileContext(spark, frames={"s": df}),
+            {"transformations": [
+                {"name": "cp", "type": "cusum_changepoint",
+                 "params": {"input": "s", "group_col": "g",
+                            "time_col": "t"}},
+            ]},
+        )
