@@ -482,3 +482,61 @@ def dsir_importance(
             (F.sum(F.col("tf") * F.col("lr_micro")) / 1e6).alias("llr"),
         )
     )
+
+
+def interleave_order(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: int = 159,
+) -> DataFrame:
+    """Deterministic group-balanced interleave order for training
+    readers: rows sorted by ``interleave_pos`` round-robin across groups
+    (sources/languages) — position (rank-1) * n_groups + group_index —
+    so a reader streaming the corpus in order never sees a long
+    same-source run, even though the corpus was written source-by-
+    source.  Within each group the order is the seeded md5 key
+    (reproducible across reruns/retries, no rand()); once a group
+    exhausts, its slots become gaps — positions stay unique and
+    strictly ordered, which is all a sort key needs.
+
+    Adds ``rank_in_group`` and ``interleave_pos``.  Scale shape: ONE
+    window exchange on the group key for the in-group rank; the group
+    index table is the distinct group list — bounded by the group-value
+    count, ranked on a single partition and broadcast back (same
+    posture as temperature_mixture_sample's census).  At 100 TB write
+    with sortWithinPartitions(interleave_pos) after a range
+    repartition on it.
+    """
+    from pyspark.sql.window import Window
+
+    if group_col not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"interleave_order: input lacks {group_col!r} or {id_col!r}"
+        )
+    groups = df.select(group_col).distinct()
+    gidx = groups.select(
+        group_col,
+        (
+            F.row_number().over(Window.orderBy(F.col(group_col).asc())) - 1
+        )
+        .cast("bigint")
+        .alias("_gidx"),
+    )
+    ng = gidx.agg(F.count(F.lit(1)).cast("bigint").alias("_ng"))
+    key = sample_key(F.col(id_col), seed)
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(
+            "rank_in_group", F.row_number().over(w).cast("bigint")
+        )
+        .join(F.broadcast(gidx), group_col)
+        .join(F.broadcast(ng))
+        .withColumn(
+            "interleave_pos",
+            (
+                (F.col("rank_in_group") - 1) * F.col("_ng") + F.col("_gidx")
+            ).cast("bigint"),
+        )
+        .drop("_gidx", "_ng")
+    )

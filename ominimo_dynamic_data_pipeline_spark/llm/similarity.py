@@ -1161,3 +1161,90 @@ def rrf_fuse(
             F.row_number().over(w).cast("bigint").alias("fused_rank"),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k results per query maximizing
+    lambda * relevance - (1 - lambda) * max-similarity-to-already-picked
+    — the standard diversification pass over a retrieval run, so five
+    near-identical top hits collapse to one plus four genuinely
+    different results.  ``candidates`` is any (query_id, neighbor_id,
+    rel) frame (q29/q30/q110/q155 outputs all qualify); candidate
+    vectors come from ``vectors``.
+
+    The greedy loop is inherently sequential per query, so this is the
+    documented Pandas-UDF path: ``applyInPandas`` over query_id groups,
+    each group an O(N^2 + N*k) numpy kernel over its OWN top-N pool —
+    bounded by the retrieval cut, never corpus-sized; Arrow moves each
+    pool as one columnar batch.  At 100 TB the pools stay top-N per
+    query, so the stage scales with query count only.  Deterministic:
+    candidates processed in neighbor_id order, ties broken on the
+    smaller id; no oracle twin (iterative greedy is not
+    SQL-expressible) — pinned against a pure-Python reference in
+    tests instead.
+    """
+    if k <= 0:
+        raise ValueError("mmr_rerank: k must be positive")
+    if not (0.0 <= lambda_ <= 1.0):
+        raise ValueError("mmr_rerank: lambda_ must be in [0, 1]")
+    missing = {"query_id", "neighbor_id", rel_col} - set(candidates.columns)
+    if missing:
+        raise ValueError(
+            f"mmr_rerank: candidates lack columns {sorted(missing)}"
+        )
+    lam = float(lambda_)
+    kk = int(k)
+    rel_name = rel_col
+    cand = candidates.join(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
+        ),
+        "neighbor_id",
+    )
+    schema = (
+        "query_id bigint, neighbor_id bigint, mmr_score double, "
+        "mmr_rank bigint"
+    )
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        v = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(v, axis=1)
+        nrm[nrm == 0] = 1.0
+        sims = (v / nrm[:, None]) @ (v / nrm[:, None]).T
+        rel = pdf[rel_name].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        qid = int(pdf["query_id"].iloc[0])
+        selected: list[int] = []
+        remaining = list(range(len(pdf)))
+        rows = []
+        while remaining and len(selected) < kk:
+            best_key, best_i = None, None
+            for i in remaining:
+                pen = max(sims[i][s] for s in selected) if selected else 0.0
+                key = (lam * rel[i] - (1 - lam) * pen, -int(ids[i]))
+                if best_key is None or key > best_key:
+                    best_key, best_i = key, i
+            selected.append(best_i)
+            remaining.remove(best_i)
+            rows.append(
+                (qid, int(ids[best_i]), float(best_key[0]), len(selected))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "neighbor_id", "mmr_score", "mmr_rank"],
+        )
+
+    return cand.groupBy("query_id").applyInPandas(kernel, schema)

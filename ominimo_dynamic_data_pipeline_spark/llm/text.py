@@ -619,3 +619,52 @@ def span_corrupt(
         .alias("n_masked"),
     )
     return out
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    gibberish/degenerate-text signal q67's duplicate-fraction family
+    cannot give a magnitude for: H = -sum_u p_u ln p_u over token types
+    u, low for one-phrase spam ("buy now buy now"), ln(n_tokens) for
+    all-distinct text.  Also emits ``norm_entropy`` = H / ln(n) in
+    [0, 1] (NULL for single-token docs, where the ratio is 0/0).
+
+    Exactness (the dsir_importance discipline): with n total tokens and
+    per-type counts c_u,  H = ln(n) - (1/n) * sum_u c_u ln(c_u).  Each
+    ln is quantized to an integer NANO-unit L(x) = round(1e9 ln x), so
+    scaled = n*L(n) - sum_u c_u*L(c_u)  is exact bigint arithmetic in
+    any engine; H = scaled / (n * 1e9) and norm_entropy = scaled /
+    (n * L(n)) are single divisions of identical integers —
+    bit-identical doubles, no rounding step to straddle.
+
+    Scale shape: one token-stream shuffle with map-side combine to
+    per-(doc, type) counts, one keyed reduce back to the doc — the same
+    two exchanges as any tf profile; no UDF, no collect.  Zero-token
+    docs produce no postings and are absent.
+    """
+    nano_ln = lambda c: F.round(F.log(c) * 1e9).cast("bigint")  # noqa: E731
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("u"))
+        .groupBy(id_col, "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tf.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * nano_ln(F.col("c"))).alias("sum_c_ln"),
+    )
+    scaled = (
+        F.col("n_tokens") * nano_ln(F.col("n_tokens")) - F.col("sum_c_ln")
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        (scaled / (F.col("n_tokens") * 1e9)).alias("entropy"),
+        F.when(
+            F.col("n_tokens") > 1,
+            scaled / (F.col("n_tokens") * nano_ln(F.col("n_tokens"))),
+        ).alias("norm_entropy"),
+    )

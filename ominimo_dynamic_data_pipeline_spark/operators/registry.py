@@ -1209,6 +1209,56 @@ def _op_k_anonymity(ctx: CompileContext, step: Mapping[str, Any]) -> None:
         )
 
 
+@register_operator("token_entropy")
+def _op_token_entropy(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Per-doc token Shannon entropy as a dataflow step (the q158
+    operator; llm/text.py token_entropy).  Params: ``id_col``,
+    ``text_col``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import token_entropy
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ctx.put(
+        out_name,
+        token_entropy(
+            ctx.get(in_name),
+            id_col=params.get("id_col", "doc_id"),
+            text_col=params.get("text_col", "text"),
+        ),
+    )
+
+
+@register_operator("interleave_order")
+def _op_interleave_order(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Group-balanced deterministic interleave order as a dataflow step
+    (the q159 operator; llm/sampling.py interleave_order).  Params:
+    ``group_col`` (required), ``id_col``, ``seed``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        interleave_order,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    if not params.get("group_col"):
+        raise ValueError("interleave_order requires params ['group_col']")
+    df = ctx.get(in_name)
+    clash = {"rank_in_group", "interleave_pos"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"interleave_order reserves columns {sorted(clash)}; rename "
+            f"them on input '{in_name}' first"
+        )
+    ctx.put(
+        out_name,
+        interleave_order(
+            df,
+            group_col=params["group_col"],
+            id_col=params.get("id_col", "doc_id"),
+            seed=params.get("seed", 159),
+        ),
+    )
+
+
 @register_operator("cusum_changepoint")
 def _op_cusum_changepoint(
     ctx: CompileContext, step: Mapping[str, Any]

@@ -44,10 +44,12 @@ CORRECTNESS_WINDOW = [
     # window is the stalest-first backlog: one family representative
     # each (stalest member per SURVEY.md §2.4 family, asserted by
     # test_driver_window_covers_every_family), then every remaining
-    # round-2-verified query and the oldest round-3 cohort; the four
-    # latest additions (q145-q148) took the last four filler slots.  Rotated-out
-    # queries stay hash-gated by tests/test_oracle_parity.py per pytest
-    # run.
+    # round-2-verified query and the oldest round-3 cohort; this
+    # session's additions (q145-q160) hold the tail slots — q43/q48/
+    # q59/q03/q23/q37/q41 rotated out to make room (their families keep other
+    # representatives; test_driver_window_covers_every_family).
+    # Rotated-out queries stay hash-gated by
+    # tests/test_oracle_parity.py per pytest run.
     "q132_temperature_mixture",
     "q133_asof_tolerance_attribution",
     "q134_concurrent_customer_orders",
@@ -81,14 +83,7 @@ CORRECTNESS_WINDOW = [
     "q89_product_nation_profit",
     "q09_nation_customer_profile",
     "q17_part_string_features",
-    "q23_term_frequencies",
     "q27_simhash_signatures",
-    "q37_token_stats",
-    "q41_part_fuzzy_features",
-    "q43_embedding_array_features",
-    "q48_stats_aggregates",
-    "q59_conversion_funnel",
-    "q03_revenue_by_nation",
     "q151_streaming_transcripts_e2e",
     "q153_source_overlap_matrix",
     "q152_winnow_decontamination",
@@ -98,6 +93,13 @@ CORRECTNESS_WINDOW = [
     "q146_containment_near_dups",
     "q147_winnow_profile",
     "q148_span_corruption",
+    "q154_dsir_importance",
+    "q155_hybrid_rrf_retrieval",
+    "q156_k_anonymity_audit",
+    "q157_cusum_changepoints",
+    "q158_token_entropy",
+    "q159_interleaved_curriculum",
+    "q160_mmr_rerank",
 ]
 
 

@@ -3026,3 +3026,140 @@ def q155_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank")
     )
     return rrf_fuse([sparse, dense], k0=_Q155_K0)
+
+
+# --------------------------------------------------------------------------
+# q158 — per-doc token Shannon entropy (llm/text.py token_entropy): the
+# gibberish / degenerate-text magnitude signal q67's duplicate fractions
+# only bound — one-phrase spam scores near 0, all-distinct text at
+# ln(n); norm_entropy = H/ln(n) gives the [0,1] curation threshold.
+# Exactness: H = ln(n) - (1/n) sum c*ln(c) with every ln quantized to an
+# integer nano-unit, so scaled = n*L(n) - sum c*L(c) is exact bigint
+# arithmetic in both engines and both outputs are single divisions of
+# identical integers (bit-identical doubles, nothing to straddle).
+# Scale shape: the standard two-exchange tf profile — token stream with
+# map-side combine, keyed reduce to the doc; no UDF.
+# --------------------------------------------------------------------------
+@query(
+    "q158_token_entropy",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS u FROM documents),
+    tf AS (SELECT doc_id, u, COUNT(*) AS c FROM toks GROUP BY doc_id, u),
+    agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               SUM(c * CAST(ROUND(ln(c) * 1e9) AS BIGINT)) AS sum_c_ln
+        FROM tf GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           (n_tokens * CAST(ROUND(ln(n_tokens) * 1e9) AS BIGINT) - sum_c_ln)
+               / (n_tokens * 1e9) AS entropy,
+           CASE WHEN n_tokens > 1 THEN
+               (n_tokens * CAST(ROUND(ln(n_tokens) * 1e9) AS BIGINT)
+                - sum_c_ln)
+               / (n_tokens * CAST(ROUND(ln(n_tokens) * 1e9) AS BIGINT))
+           END AS norm_entropy
+    FROM agg
+    """,
+)
+def q158_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.token_entropy(d)
+
+
+# --------------------------------------------------------------------------
+# q159 — deterministic source-interleaved curriculum order
+# (llm/sampling.py interleave_order): position (rank-1)*n_groups + gidx
+# round-robins the reader across sources, so a corpus written
+# source-by-source never feeds a training run long same-source runs —
+# the order complement of q150's shard manifest (which balances SIZE,
+# not adjacency).  In-group order is the seeded md5 key (retry-stable);
+# once a source exhausts its slots become gaps — positions stay unique
+# and ordered, all a sort key needs.  Scale shape: ONE window exchange
+# on source; the group-index table is the bounded distinct-source list
+# broadcast back.  Exact integer arithmetic throughout — nothing to
+# round, nothing to straddle.
+# --------------------------------------------------------------------------
+_Q159_SEED = 159
+
+
+@query(
+    "q159_interleaved_curriculum",
+    f"""
+    WITH src AS (
+        SELECT source,
+               CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT)
+                   AS gidx
+        FROM (SELECT DISTINCT source FROM documents)),
+    ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups FROM src),
+    ranked AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_Q159_SEED}:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS BIGINT) AS rank_in_group
+        FROM documents)
+    SELECT r.doc_id, r.source, r.rank_in_group,
+           CAST((r.rank_in_group - 1) * ng.n_groups + s.gidx AS BIGINT)
+               AS interleave_pos
+    FROM ranked r JOIN src s USING (source) CROSS JOIN ng
+    """,
+)
+def q159_interleaved_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        interleave_order,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return interleave_order(d, group_col="source", seed=_Q159_SEED).select(
+        "doc_id", "source", "rank_in_group", "interleave_pos"
+    )
+
+
+# --------------------------------------------------------------------------
+# q160 — MMR-diversified retrieval (llm/similarity.py mmr_rerank): the
+# q29 brute-force top-20 per query greedily re-ranked to 5 results
+# maximizing lambda*relevance - (1-lambda)*max-sim-to-picked — the
+# diversification pass that collapses near-identical top hits.  The
+# greedy loop is inherently sequential per query, so this is the
+# catalog's batch applyInPandas demonstration (the streaming twin is
+# q116's applyInPandasWithState): one Arrow batch per query pool,
+# numpy O(N^2 + N*k) inside, pool bounded by the retrieval cut (20) —
+# the stage scales with query count, never corpus size.  No SQL oracle
+# (iterative greedy is not SQL-expressible): driver gate records the
+# rows-only check; correctness is pinned against a pure-Python MMR
+# reference in tests/test_llm.py.
+# --------------------------------------------------------------------------
+_Q160_POOL, _Q160_K, _Q160_LAMBDA = 20, 5, 0.7
+
+
+@query("q160_mmr_rerank")
+def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(D.cosine(F.col("qv"), F.col("cv")), 4).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("neighbor_id")
+    )
+    pool = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q160_POOL)
+        .select("query_id", "neighbor_id", "rel")
+    )
+    return mmr_rerank(
+        pool, e, k=_Q160_K, lambda_=_Q160_LAMBDA
+    ).withColumn("mmr_score", F.round("mmr_score", 4))

@@ -1750,3 +1750,128 @@ def test_rrf_fuse_matches_hand_math(spark):
         rrf_fuse([sparse], k0=0)
     with pytest.raises(ValueError, match="lacks columns"):
         rrf_fuse([sparse.drop("rank")])
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    """mmr_rerank equals a pure-Python greedy MMR on a hand-built pool:
+    rank 1 is the most relevant; a near-duplicate of it is pushed below
+    a less-relevant-but-diverse candidate; scores match to 1e-12."""
+    import math
+
+    import pytest
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import mmr_rerank
+
+    # vectors: 10/11 nearly identical, 12 orthogonal-ish, 13 opposite
+    vecs = {
+        10: [1.0, 0.0, 0.0],
+        11: [0.999, 0.01, 0.0],
+        12: [0.0, 1.0, 0.0],
+        13: [-1.0, 0.0, 0.1],
+    }
+    vdf = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    rel = {10: 0.95, 11: 0.94, 12: 0.60, 13: 0.20}
+    cdf = spark.createDataFrame(
+        [(0, i, r) for i, r in rel.items()],
+        schema="query_id bigint, neighbor_id bigint, rel double",
+    )
+    lam, k = 0.7, 3
+    got = sorted(
+        mmr_rerank(cdf, vdf, k=k, lambda_=lam).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return num / (na * nb)
+
+    selected, remaining, want = [], sorted(rel), []
+    while remaining and len(selected) < k:
+        best = max(
+            remaining,
+            key=lambda i: (
+                lam * rel[i]
+                - (1 - lam)
+                * (max(cos(vecs[i], vecs[s]) for s in selected)
+                   if selected else 0.0),
+                -i,
+            ),
+        )
+        pen = (max(cos(vecs[best], vecs[s]) for s in selected)
+               if selected else 0.0)
+        want.append((best, lam * rel[best] - (1 - lam) * pen))
+        selected.append(best)
+        remaining.remove(best)
+
+    assert [r["neighbor_id"] for r in got] == [i for i, _ in want]
+    for r, (_, score) in zip(got, want):
+        assert abs(r["mmr_score"] - score) < 1e-12
+    # diversification actually happened: 11 (near-dup of 10) is NOT
+    # second despite the second-highest relevance — the anti-correlated
+    # 13 wins rank 2 (negative similarity is a diversity BONUS in MMR)
+    assert got[0]["neighbor_id"] == 10
+    assert got[1]["neighbor_id"] == 13
+    assert 11 not in {got[1]["neighbor_id"], got[2]["neighbor_id"]}
+    with pytest.raises(ValueError, match="k must be positive"):
+        mmr_rerank(cdf, vdf, k=0)
+    with pytest.raises(ValueError, match="lambda"):
+        mmr_rerank(cdf, vdf, lambda_=1.5)
+    with pytest.raises(ValueError, match="lack columns"):
+        mmr_rerank(cdf.drop("rel"), vdf)
+
+
+def test_entropy_and_interleave_registry_steps(spark, docs):
+    """token_entropy / interleave_order register as transformation types
+    and match their direct-call twins; interleave_order fails fast on
+    reserved-column clashes and a missing group_col."""
+    import pytest
+
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        interleave_order,
+    )
+    from ominimo_dynamic_data_pipeline_spark.llm.text import token_entropy
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    tagged = docs.selectExpr("*", "concat('s', doc_id % 2) AS src")
+    out = apply_transformations(
+        CompileContext(spark, frames={"docs": tagged}),
+        {"transformations": [
+            {"name": "ent", "type": "token_entropy", "params": {"input": "docs"}},
+            {"name": "ord", "type": "interleave_order",
+             "params": {"input": "docs", "group_col": "src", "seed": 3}},
+        ]},
+    )
+    assert sorted(map(tuple, out["ent"].collect())) == sorted(
+        map(tuple, token_entropy(tagged).collect())
+    )
+    assert sorted(map(tuple, out["ord"].collect())) == sorted(
+        map(tuple, interleave_order(tagged, group_col="src", seed=3).collect())
+    )
+    with pytest.raises(ValueError, match="group_col"):
+        apply_transformations(
+            CompileContext(spark, frames={"docs": tagged}),
+            {"transformations": [
+                {"name": "x", "type": "interleave_order",
+                 "params": {"input": "docs"}},
+            ]},
+        )
+    with pytest.raises(ValueError, match="reserves columns"):
+        apply_transformations(
+            CompileContext(
+                spark,
+                frames={"docs": tagged.withColumn(
+                    "interleave_pos", F.lit(1))},
+            ),
+            {"transformations": [
+                {"name": "x", "type": "interleave_order",
+                 "params": {"input": "docs", "group_col": "src"}},
+            ]},
+        )

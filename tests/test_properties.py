@@ -937,3 +937,101 @@ def test_cusum_changepoint_matches_python_truth(spark, series_list):
         assert r["cusum_peak"] == scaled[best] / n
         want_dir = 1 if scaled[best] > 0 else (-1 if scaled[best] < 0 else 0)
         assert r["direction"] == want_dir
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd".split()), min_size=0, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_token_entropy_matches_python_truth(spark, token_lists):
+    """entropy/norm_entropy equal the Python-recomputed nano-quantized
+    Shannon entropy exactly; single-token docs get norm_entropy NULL;
+    all-same-token docs get entropy 0; zero-token docs are absent."""
+    import math
+    from collections import Counter
+
+    from ominimo_dynamic_data_pipeline_spark.llm.text import token_entropy
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+
+    def nano(x):
+        v = math.log(x) * 1e9
+        return math.floor(abs(v) + 0.5) * (1 if v >= 0 else -1)
+
+    for i, toks in enumerate(token_lists):
+        if not toks:
+            assert i not in got
+            continue
+        n = len(toks)
+        counts = Counter(toks)
+        scaled = n * nano(n) - sum(c * nano(c) for c in counts.values())
+        r = got[i]
+        assert r["n_tokens"] == n and r["n_types"] == len(counts)
+        assert r["entropy"] == scaled / (n * 1e9)
+        if n > 1:
+            assert r["norm_entropy"] == scaled / (n * nano(n))
+            if len(counts) == 1:
+                assert r["entropy"] == 0.0
+        else:
+            assert r["norm_entropy"] is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(0, 4), min_size=1, max_size=25),
+    st.integers(0, 500),
+)
+def test_interleave_order_matches_python_truth(spark, group_ids, seed):
+    """interleave_pos round-robins groups: positions are unique, equal
+    the Python recomputation ((rank-1)*n_groups + group_index under the
+    seeded md5 in-group order), and sorting by position alternates
+    groups while every group still has rows."""
+    import hashlib
+
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        interleave_order,
+    )
+
+    rows = [(i, f"g{g}") for i, g in enumerate(group_ids)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, grp string")
+    got = {r["doc_id"]: r for r in
+           interleave_order(df, group_col="grp", seed=seed).collect()}
+
+    groups = sorted({g for _, g in rows})
+    gidx = {g: i for i, g in enumerate(groups)}
+    by_g = {}
+    for i, g in rows:
+        key = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        by_g.setdefault(g, []).append((key, i))
+    want = {}
+    for g, members in by_g.items():
+        members.sort()
+        for rank, (_, i) in enumerate(members, start=1):
+            want[i] = (rank, (rank - 1) * len(groups) + gidx[g])
+    assert len(got) == len(rows)
+    positions = set()
+    for i, g in rows:
+        r = got[i]
+        assert (r["rank_in_group"], r["interleave_pos"]) == want[i]
+        positions.add(r["interleave_pos"])
+    assert len(positions) == len(rows)  # unique sort key
+    # round-robin while all groups alive: the first len(groups) rows in
+    # position order are one per group
+    head = sorted(got.values(), key=lambda r: r["interleave_pos"])
+    first_cycle = [r["grp"] for r in head[: len(groups)]]
+    if all(len(m) >= 1 for m in by_g.values()) and len(groups) > 1:
+        assert sorted(first_cycle) == groups

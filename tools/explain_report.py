@@ -208,6 +208,47 @@ SHOWCASE = {
         "stream — train-side cost is one (doc, pos) winnowing pass, "
         "never a doc x doc comparison."
     ),
+    "q154_dsir_importance": (
+        "DSIR importance weights: the hashed-feature ratio table "
+        "(bounded at 512 rows by construction) BroadcastHashJoins back "
+        "onto the per-doc tf stream; one token shuffle + one bounded "
+        "feature reduce; text never shuffles twice."
+    ),
+    "q155_hybrid_rrf_retrieval": (
+        "Hybrid RRF: both retrieval runs keep their own shapes (BM25 "
+        "broadcast query terms; dense broadcast query vectors); fusion "
+        "is one keyed reduce + one per-query rank window over the "
+        "already-top-k union — no data-sized shuffle added."
+    ),
+    "q156_k_anonymity_audit": (
+        "k-anonymity audit: ONE partial+final hash aggregate on the "
+        "quasi key (map-side combine); output bounded by the "
+        "quasi-value cross product, not rows."
+    ),
+    "q157_cusum_changepoints": (
+        "CUSUM changepoint: daily-grain aggregate, then prefix-sum / "
+        "row-number / census windows sharing ONE (priority, date) "
+        "exchange; the argmax pick is a second window on the same key "
+        "— integer arithmetic end to end."
+    ),
+    "q158_token_entropy": (
+        "Token entropy: the standard two-exchange tf profile (token "
+        "stream with map-side partial agg, keyed reduce to the doc); "
+        "the entropy math is a pure projection over exact bigint "
+        "nano-unit sums — no UDF, no extra exchange."
+    ),
+    "q159_interleaved_curriculum": (
+        "Interleaved curriculum: ONE window exchange on source for the "
+        "in-group rank; the group-index table (distinct sources, "
+        "bounded) and the one-row census BroadcastHashJoin back — the "
+        "position is a pure integer projection."
+    ),
+    "q160_mmr_rerank": (
+        "MMR re-rank: the catalog's batch applyInPandas path — "
+        "FlatMapGroupsInPandas (Arrow) over per-query top-20 pools fed "
+        "by the q29 broadcast+window retrieval; the Python stage "
+        "touches pools, never the corpus."
+    ),
 }
 
 
