@@ -885,3 +885,35 @@ def test_run_dataflow_releases_dedup_operator_caches(spark):
     run_dataflow(compiled, write=False)
     compiled.frames["manifest"].count()
     assert D._PERSISTED == {}
+
+
+def test_importance_curriculum_example_dataflow(spark):
+    """The shipped importance-curriculum dataflow (DSIR weights + token
+    entropy -> quality gate -> source-interleaved order) compiles, runs,
+    and holds its invariants: every selected doc clears both gates,
+    interleave positions are unique, and the head of the curriculum
+    round-robins the surviving sources."""
+    import json
+    from pathlib import Path
+
+    from ominimo_dynamic_data_pipeline_spark.config import select_dataflow
+    from ominimo_dynamic_data_pipeline_spark.pipeline import (
+        compile_dataflow,
+        run_dataflow,
+    )
+
+    meta = json.loads(
+        (Path(__file__).parent.parent / "examples" / "corpus_curation.json")
+        .read_text()
+    )
+    flow = select_dataflow(meta, "importance-curriculum")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    rows = compiled.frames["curriculum"].collect()
+    assert rows
+    assert all(r["llr"] > 0 and r["norm_entropy"] >= 0.5 for r in rows)
+    positions = [r["interleave_pos"] for r in rows]
+    assert len(set(positions)) == len(positions)
+    sources = sorted({r["source"] for r in rows})
+    head = sorted(rows, key=lambda r: r["interleave_pos"])[: len(sources)]
+    assert sorted({r["source"] for r in head}) == sources
