@@ -526,11 +526,21 @@ def interleave_order(
     ng = gidx.agg(F.count(F.lit(1)).cast("bigint").alias("_ng"))
     key = sample_key(F.col(id_col), seed)
     w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    # Null-safe group attach: a NULL group value is a real group (the
+    # distinct list ranks it like any other, and the window partitions
+    # NULLs together) — a plain equi-join would silently DROP every
+    # NULL-group row from the curriculum, which an ordering operator
+    # must never do.
+    gidx = gidx.withColumnRenamed(group_col, "_ilo_g")
     return (
         df.withColumn(
             "rank_in_group", F.row_number().over(w).cast("bigint")
         )
-        .join(F.broadcast(gidx), group_col)
+        .join(
+            F.broadcast(gidx),
+            F.col(group_col).eqNullSafe(F.col("_ilo_g")),
+        )
+        .drop("_ilo_g")
         .join(F.broadcast(ng))
         .withColumn(
             "interleave_pos",

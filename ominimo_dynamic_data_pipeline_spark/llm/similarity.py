@@ -1135,10 +1135,17 @@ def rrf_fuse(
                 f"rrf_fuse: ranking #{i} lacks columns {sorted(missing)}"
             )
         contribs.append(
-            r.select(
+            # A well-formed run has one rank per (query, id); a caller
+            # passing an un-deduped frame would otherwise double-count
+            # contributions AND inflate n_runs — keep the best (lowest)
+            # rank per pair so n_runs stays "number of runs containing
+            # this doc" by construction.
+            r.groupBy(query_col, id_col)
+            .agg(F.min(rank_col).alias("_rank"))
+            .select(
                 query_col,
                 id_col,
-                F.round(F.lit(1e9) / (F.col(rank_col) + F.lit(k0)))
+                F.round(F.lit(1e9) / (F.col("_rank") + F.lit(k0)))
                 .cast("bigint")
                 .alias("_nano"),
             )
@@ -1191,6 +1198,13 @@ def mmr_rerank(
     smaller id; no oracle twin (iterative greedy is not
     SQL-expressible) — pinned against a pure-Python reference in
     tests instead.
+
+    Contract: query/neighbor ids must be INTEGRAL (the Arrow schema is
+    bigint — validated eagerly, not left to an executor traceback), and
+    every candidate must have a vector: a candidate whose id is absent
+    from ``vectors`` raises a named error in the kernel instead of
+    silently vanishing from the re-ranked output (a stale embedding
+    table should be loud, not a quiet recall drop).
     """
     if k <= 0:
         raise ValueError("mmr_rerank: k must be positive")
@@ -1201,6 +1215,17 @@ def mmr_rerank(
         raise ValueError(
             f"mmr_rerank: candidates lack columns {sorted(missing)}"
         )
+    missing_v = {id_col, vec_col} - set(vectors.columns)
+    if missing_v:
+        raise ValueError(f"mmr_rerank: vectors lack columns {sorted(missing_v)}")
+    integral = ("byte", "short", "int", "bigint", "long")
+    for c in ("query_id", "neighbor_id"):
+        dt = dict(candidates.dtypes)[c]
+        if dt not in integral:
+            raise ValueError(
+                f"mmr_rerank: {c} must be an integral type (got {dt}); "
+                f"the Arrow output schema is bigint"
+            )
     lam = float(lambda_)
     kk = int(k)
     rel_name = rel_col
@@ -1209,6 +1234,7 @@ def mmr_rerank(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
         ),
         "neighbor_id",
+        "left",
     )
     schema = (
         "query_id bigint, neighbor_id bigint, mmr_score double, "
@@ -1220,6 +1246,13 @@ def mmr_rerank(
         import pandas as pd
 
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        lost = pdf.loc[pdf["_vec"].isna(), "neighbor_id"].tolist()
+        if lost:
+            raise ValueError(
+                f"mmr_rerank: candidates {sorted(lost)[:10]} have no "
+                f"vector in the vectors frame — refusing to silently "
+                f"drop them from the re-ranked output"
+            )
         v = np.array(pdf["_vec"].tolist(), dtype=np.float64)
         nrm = np.linalg.norm(v, axis=1)
         nrm[nrm == 0] = 1.0

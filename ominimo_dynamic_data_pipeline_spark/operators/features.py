@@ -416,13 +416,28 @@ def cusum_changepoint(
     for c in (group_col, time_col, value_col):
         if c not in df.columns:
             raise ValueError(f"cusum_changepoint: input lacks column {c!r}")
+    dt = dict(df.dtypes)[value_col]
+    if dt not in ("byte", "short", "int", "bigint", "long"):
+        # the exactness guarantee rests on integer arithmetic; a silent
+        # cast would TRUNCATE doubles/decimals and shift the argmax
+        raise ValueError(
+            f"cusum_changepoint: value_col must be integral (got {dt}); "
+            f"cast upstream (counts, cent-scaled amounts)"
+        )
     w_ord = (
         Window.partitionBy(group_col)
         .orderBy(F.col(time_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(group_col)
-    x = F.col(value_col).cast("bigint")
+    # a NULL value would be COUNTED by row_number but SKIPPED by the
+    # running SUM, corrupting every subsequent S_i — fail loudly per row
+    x = F.when(
+        F.col(value_col).isNull(),
+        F.raise_error(
+            F.lit(f"cusum_changepoint: NULL in value_col {value_col!r}")
+        ).cast("bigint"),
+    ).otherwise(F.col(value_col).cast("bigint"))
     staged = df.select(
         F.col(group_col),
         F.col(time_col),

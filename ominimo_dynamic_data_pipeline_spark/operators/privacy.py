@@ -87,6 +87,11 @@ def suppress_small_classes(
     _check_cols("suppress_small_classes", df, list(quasi_cols))
     if k <= 0:
         raise ValueError("suppress_small_classes: k must be positive")
+    if "suppressed" in df.columns:
+        raise ValueError(
+            "suppress_small_classes: input already has a 'suppressed' "
+            "column (re-running suppression? rename it first)"
+        )
     w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
     small = F.count(F.lit(1)).over(w) < k
     cols = []

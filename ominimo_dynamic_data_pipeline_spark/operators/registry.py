@@ -1199,6 +1199,12 @@ def _op_k_anonymity(ctx: CompileContext, step: Mapping[str, Any]) -> None:
             ),
         )
     elif action == "suppress":
+        if params.get("sensitive_col"):
+            raise ValueError(
+                "k_anonymity: sensitive_col only applies to action="
+                "'audit' — suppression ignores it, so passing it is "
+                "almost certainly a misconfiguration"
+            )
         ctx.put(
             out_name,
             suppress_small_classes(ctx.get(in_name), quasi_cols=quasi, k=k),

@@ -1875,3 +1875,63 @@ def test_entropy_and_interleave_registry_steps(spark, docs):
                  "params": {"input": "docs", "group_col": "src"}},
             ]},
         )
+
+
+def test_interleave_order_keeps_null_groups(spark):
+    """A NULL group value is a real group: its rows stay in the
+    curriculum (null-safe group attach), ranked like any other group."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        interleave_order,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "a"), (3, None)],
+        schema="doc_id bigint, grp string",
+    )
+    out = interleave_order(df, group_col="grp", seed=1).collect()
+    assert len(out) == 4
+    null_rows = [r for r in out if r["grp"] is None]
+    assert len(null_rows) == 2
+    assert {r["rank_in_group"] for r in null_rows} == {1, 2}
+    assert len({r["interleave_pos"] for r in out}) == 4
+
+
+def test_rrf_fuse_dedupes_within_a_run(spark):
+    """Duplicate (query, id) rows inside ONE ranking frame collapse to
+    the best (lowest) rank: n_runs stays 1 and the score is a single
+    contribution — an un-deduped retrieval output cannot double-count."""
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import rrf_fuse
+
+    run = spark.createDataFrame(
+        [(0, 7, 3), (0, 7, 9), (0, 8, 1)],
+        schema="query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    out = {r["neighbor_id"]: r for r in rrf_fuse([run], k0=60).collect()}
+    assert out[7]["n_runs"] == 1
+    assert out[7]["rrf_score"] == round(1e9 / 63) / 1e9  # rank 3, not 3+9
+    assert out[8]["fused_rank"] == 1
+
+
+def test_mmr_rerank_guards(spark):
+    """Missing vectors raise a named kernel error (no silent candidate
+    drop); non-integral ids and missing vector columns fail eagerly."""
+    import pytest
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import mmr_rerank
+
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0])], schema="vec_id bigint, embedding array<double>"
+    )
+    cand = spark.createDataFrame(
+        [(0, 10, 0.9), (0, 11, 0.8)],  # 11 has no vector
+        schema="query_id bigint, neighbor_id bigint, rel double",
+    )
+    with pytest.raises(Exception, match="have no\\s+vector"):
+        mmr_rerank(cand, vecs, k=2).collect()
+    with pytest.raises(ValueError, match="integral"):
+        mmr_rerank(
+            cand.withColumn("query_id", F.col("query_id").cast("string")),
+            vecs,
+        )
+    with pytest.raises(ValueError, match="vectors lack"):
+        mmr_rerank(cand, vecs.drop("embedding"))

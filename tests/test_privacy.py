@@ -110,3 +110,30 @@ def test_k_anonymity_registry_step(spark):
                             "action": "bogus"}},
             ]},
         )
+
+
+def test_suppress_rejects_existing_suppressed_column(spark):
+    df = spark.createDataFrame(ROWS, schema=SCHEMA).withColumn(
+        "suppressed", F.lit(0)
+    )
+    with pytest.raises(ValueError, match="already has a 'suppressed'"):
+        suppress_small_classes(df, ["zip"], k=3)
+
+
+def test_registry_suppress_rejects_sensitive_col(spark):
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    df = spark.createDataFrame(ROWS, schema=SCHEMA)
+    with pytest.raises(ValueError, match="sensitive_col only applies"):
+        apply_transformations(
+            CompileContext(spark, frames={"t": df}),
+            {"transformations": [
+                {"name": "x", "type": "k_anonymity",
+                 "params": {"input": "t", "quasi_cols": ["zip"],
+                            "action": "suppress",
+                            "sensitive_col": "diagnosis"}},
+            ]},
+        )

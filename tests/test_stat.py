@@ -106,3 +106,24 @@ def test_cusum_changepoint_registry_step(spark):
                             "time_col": "t"}},
             ]},
         )
+
+
+def test_cusum_changepoint_rejects_bad_values(spark):
+    """Non-integral value columns fail eagerly (silent truncation would
+    shift the argmax); NULL values raise at execution, loudly."""
+    import pytest
+
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        cusum_changepoint,
+    )
+
+    dbl = spark.createDataFrame(
+        [("a", 0, 1.5)], schema="g string, t bigint, x double"
+    )
+    with pytest.raises(ValueError, match="must be integral"):
+        cusum_changepoint(dbl, "g", "t", "x")
+    withnull = spark.createDataFrame(
+        [("a", 0, 1), ("a", 1, None)], schema="g string, t bigint, x bigint"
+    )
+    with pytest.raises(Exception, match="NULL in value_col"):
+        cusum_changepoint(withnull, "g", "t", "x").collect()
