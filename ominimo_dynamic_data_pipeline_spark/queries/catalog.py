@@ -45,8 +45,8 @@ CORRECTNESS_WINDOW = [
     # each (stalest member per SURVEY.md §2.4 family, asserted by
     # test_driver_window_covers_every_family), then every remaining
     # round-2-verified query and the oldest round-3 cohort; this
-    # session's additions (q145-q162) hold the tail slots — q43/q48/
-    # q59/q03/q23/q37/q41/q17/q27 rotated out to make room (their families keep other
+    # session's additions (q145-q163) hold the tail slots — q43/q48/
+    # q59/q03/q23/q37/q41/q17/q27/q09 rotated out to make room (their families keep other
     # representatives; test_driver_window_covers_every_family).
     # Rotated-out queries stay hash-gated by
     # tests/test_oracle_parity.py per pytest run.
@@ -81,7 +81,6 @@ CORRECTNESS_WINDOW = [
     "q53_train_val_split",
     "q60_skew_diagnostics",
     "q89_product_nation_profit",
-    "q09_nation_customer_profile",
     "q151_streaming_transcripts_e2e",
     "q153_source_overlap_matrix",
     "q152_winnow_decontamination",
@@ -100,6 +99,7 @@ CORRECTNESS_WINDOW = [
     "q160_mmr_rerank",
     "q161_price_quantity_ols",
     "q162_source_gini",
+    "q163_retrieval_eval",
 ]
 
 

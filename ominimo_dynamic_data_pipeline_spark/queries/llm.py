@@ -3163,3 +3163,137 @@ def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         pool, e, k=_Q160_K, lambda_=_Q160_LAMBDA
     ).withColumn("mmr_score", F.round("mmr_score", 4))
+
+
+# --------------------------------------------------------------------------
+# q163 — retrieval evaluation: recall@10 / MRR / nDCG@10 of the LSH run
+# (q30 machinery, k=10) against brute-force truth (q29 machinery, k=10)
+# — the ANN quality contract as a first-class catalog query instead of
+# only a pytest floor: the "measure, don't guess" number a 100 TB
+# deployment tracks when tuning (num_planes, num_tables).  Exactness:
+# DCG gains depend only on the rank (1..10), so both engines use the
+# SAME precomputed integer nano-unit literals (no cross-engine log2
+# anywhere); DCG sums are exact bigints, nDCG/recall/MRR are single
+# divisions of identical integers.  Scale shape: both runs keep their
+# own shapes; the eval is a top-k-sized left join + one keyed reduce.
+# --------------------------------------------------------------------------
+_Q163_K = 10
+_Q163_GAIN = {r: round(1e9 / math.log2(r + 1)) for r in range(1, _Q163_K + 1)}
+_Q163_IDCG = sum(_Q163_GAIN.values())  # truth always has k hits here
+
+
+def _q163_gain_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {r} THEN {g}" for r, g in _Q163_GAIN.items()
+    )
+    return f"CASE {col} {cases} END"
+
+
+@query(
+    "q163_retrieval_eval",
+    f"""
+    WITH run AS (
+        SELECT query_id, neighbor_id, rank
+        FROM ({_lsh_topk_sql(k=_Q163_K)})
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(
+                           list_dot_product(q.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[])
+                           / (SQRT(list_dot_product(q.embedding::DOUBLE[],
+                                                    q.embedding::DOUBLE[]))
+                              * SQRT(list_dot_product(c.embedding::DOUBLE[],
+                                                      c.embedding::DOUBLE[]))),
+                           4) DESC, c.vec_id) AS trank
+            FROM embeddings c
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+            WHERE c.vec_id <> q.vec_id
+        ) WHERE trank <= {_Q163_K}
+    ),
+    hits AS (
+        SELECT r.query_id, r.rank,
+               t.neighbor_id IS NOT NULL AS hit
+        FROM run r LEFT JOIN truth t
+          ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+    ),
+    per_q AS (
+        SELECT query_id,
+               CAST(count_if(hit) AS BIGINT) AS n_hits,
+               MIN(CASE WHEN hit THEN rank END) AS first_hit,
+               SUM(CASE WHEN hit THEN {_q163_gain_sql('rank')}
+                        ELSE 0 END) AS dcg_nano
+        FROM hits GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST({_Q163_K} AS BIGINT) AS n_truth,
+           n_hits,
+           CAST(n_hits AS DOUBLE) / {_Q163_K} AS recall,
+           CASE WHEN first_hit IS NOT NULL THEN 1.0 / first_hit
+                ELSE 0.0 END AS mrr,
+           CAST(dcg_nano AS DOUBLE) / {_Q163_IDCG} AS ndcg
+    FROM per_q
+    """,
+)
+def q163_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    run = S.lsh_topk(
+        e, queries, dim=64, k=_Q163_K,
+        num_planes=_Q30_PLANES, num_tables=_Q30_TABLES,
+        max_bucket_size=EMBEDDING_MAX_BUCKET,
+        round_to=4,
+    ).select("query_id", "neighbor_id", "rank")
+    q = queries.select("query_id", F.col("embedding").alias("qv"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(D.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    truth = (
+        scored.withColumn("trank", F.row_number().over(w))
+        .filter(F.col("trank") <= _Q163_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    gain = F.create_map(
+        *[F.lit(v) for kv in _Q163_GAIN.items() for v in kv]
+    )[F.col("rank")]
+    hits = run.join(truth, ["query_id", "neighbor_id"], "left")
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.when(F.col("hit") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.min(F.when(F.col("hit") == 1, F.col("rank"))).alias("first_hit"),
+        F.sum(F.when(F.col("hit") == 1, gain).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("dcg_nano"),
+    )
+    return per_q.select(
+        "query_id",
+        F.lit(_Q163_K).cast("bigint").alias("n_truth"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / _Q163_K).alias("recall"),
+        F.when(
+            F.col("first_hit").isNotNull(), F.lit(1.0) / F.col("first_hit")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+        (F.col("dcg_nano").cast("double") / F.lit(float(_Q163_IDCG))).alias(
+            "ndcg"
+        ),
+    )

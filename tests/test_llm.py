@@ -1935,3 +1935,22 @@ def test_mmr_rerank_guards(spark):
         )
     with pytest.raises(ValueError, match="vectors lack"):
         mmr_rerank(cand, vecs.drop("embedding"))
+
+
+def test_q163_retrieval_eval_metric_floors(spark):
+    """The retrieval-eval query reports sane, floor-respecting metrics
+    at sf0.01: every recall/ndcg in [0,1], MRR positive for every query
+    (the 8-table LSH always finds at least one true neighbor), and mean
+    recall@10 >= 0.6 — the same corpus the q30 recall@5 >= 0.8 pin uses
+    (this near-random 64-dim corpus is LSH's hardest case)."""
+    from ominimo_dynamic_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["q163_retrieval_eval"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["ndcg"] <= 1.0
+        assert r["mrr"] > 0.0
+        assert r["n_hits"] <= r["n_truth"] == 10
+    assert sum(r["recall"] for r in rows) / len(rows) >= 0.6
