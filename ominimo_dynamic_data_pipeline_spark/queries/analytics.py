@@ -1869,11 +1869,15 @@ def q157_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as EXACT DECIMALs (n, Sx, Sy, Sxy, Sxx — the inputs are 2-decimal
 # money and integer-valued quantities, so the sums are exact and
 # order-independent; a double regr_slope() would drift per partition
-# order).  The final slope/intercept are double divisions of identical
-# decimal-cast operands — deterministic in both engines.  One hash
-# aggregate, map-side partials, three output rows.  At 100 TB this is
-# the same shape as q01: moments are algebraic aggregates, so the
-# shuffle carries five numbers per group.
+# order).  The slope's numerator/denominator overflow 2^53 above
+# sf0.01, and DECIMAL->DOUBLE conversion is NOT identically rounded
+# across engines (measured: 1-ulp slope divergence at sf0.1) — so both
+# operands route through their EXACT decimal string, which every
+# engine parses with correctly-rounded strtod: identical doubles, then
+# one identical division.  One hash aggregate, map-side partials,
+# three output rows.  At 100 TB this is the same shape as q01: moments
+# are algebraic aggregates, so the shuffle carries five numbers per
+# group.
 # --------------------------------------------------------------------------
 @query(
     "q161_price_quantity_ols",
@@ -1889,11 +1893,13 @@ def q157_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
         FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+               AS slope,
            (CAST(sy AS DOUBLE)
-            - (CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            - (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+              * CAST(sx AS DOUBLE))
                / n AS intercept
     FROM m
     """,
@@ -1909,11 +1915,15 @@ def q161_price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * y).alias("sxy"),
         F.sum(x * x).alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
+    num = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("string")
+        .cast("double")
     )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
+    den = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("string")
+        .cast("double")
     )
     slope = num / den
     return m.select(

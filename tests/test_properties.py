@@ -1074,8 +1074,9 @@ def test_ols_moments_match_fraction_truth(spark, pts):
                        * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
             FROM _ols_in GROUP BY l_returnflag)
         SELECT l_returnflag, n,
-               CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+               CAST(CAST(n * sxy - sx * sy AS STRING) AS DOUBLE)
+                   / CAST(CAST(n * sxx - sx * sx AS STRING) AS DOUBLE)
+                   AS slope
         FROM m
     """).collect()[0]
     n = len(pts)
