@@ -3297,3 +3297,58 @@ def q163_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q164 — dataset card (one-row corpus summary): the artifact a curation
+# pipeline publishes next to a training shard — doc / source / language
+# counts, token volume, English share, and the exact-duplicate fraction
+# (distinct normalized-text fingerprints vs rows).  ONE aggregate pass:
+# token counts ride the scan as a size(tokens) projection (no explode),
+# the fingerprint is the q25 md5 discipline, and every ratio is a
+# single division of exact integers (bit-identical doubles).  At 100 TB
+# the COUNT(DISTINCT fp) is the only wide aggregate — swap for
+# approx_count_distinct when a +-2% card is acceptable (q40's contract).
+# --------------------------------------------------------------------------
+@query(
+    "q164_dataset_card",
+    f"""
+    WITH base AS (
+        SELECT lang, source,
+               len({SQL_TOKS}) AS n_toks,
+               md5({SQL_NORM}) AS fp
+        FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           CAST(count_if(lang = 'en') AS BIGINT) AS n_en,
+           CAST(count_if(lang = 'en') AS DOUBLE) / COUNT(*) AS en_frac,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_texts,
+           1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_frac
+    FROM base
+    """,
+)
+def q164_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        F.size(T.tokens(F.col("text"))).alias("n_toks"),
+        F.md5(T.normalize_text(F.col("text")).cast("binary")).alias("fp"),
+    )
+    n = F.count(F.lit(1))
+    en = F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    uniq = F.countDistinct("fp")
+    return base.agg(
+        n.cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        (F.sum("n_toks").cast("double") / n).alias("mean_tokens"),
+        en.cast("bigint").alias("n_en"),
+        (en.cast("double") / n).alias("en_frac"),
+        uniq.cast("bigint").alias("n_unique_texts"),
+        (F.lit(1.0) - uniq.cast("double") / n).alias("dup_frac"),
+    )
