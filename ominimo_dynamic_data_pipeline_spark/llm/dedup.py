@@ -1339,6 +1339,53 @@ def shingle_join_candidates(
     )
 
 
+def containment_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_df: int = 20,
+    threshold: float = 0.5,
+    max_pairs: int | None = 2_000_000,
+    cache_shingles: bool = False,
+) -> DataFrame:
+    """Full asymmetric-containment pipeline: rare-shingle inverted-index
+    candidates -> exact containment/jaccard scores -> keep pairs whose
+    GREATEST one-sided containment clears ``threshold``.
+
+    ``cache_shingles`` persists the shingle frame (one-generation-
+    tracked, the minhash_near_dups discipline) so the tokenize+shingle
+    pass runs once instead of three times.  Default OFF because it
+    MEASURES SLOWER on this workload (same-session back-to-back at sf1:
+    10.7 s off -> 12.3 s on; sf0.1 neutral-to-worse 5.6 -> 5.8 s): the
+    re-computed path is cheap string work fully inside whole-stage
+    codegen, while the cache pays array materialization plus a
+    cached-array explode that breaks the codegen span — recompute beats
+    cache until the text column is wide enough that three tokenize
+    passes dominate those costs.
+    Exploding the PERSISTED frame is safe (the InMemoryRelation
+    boundary stops the InferFiltersFromGenerate re-inline gram_frame
+    documents); never explode an un-persisted shingle_frame.
+    """
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    if cache_shingles:
+        sh = _persist_tracked("containment_near_dups", sh)
+        posts = sh.select(F.col(id_col), F.explode("sh").alias("gram"))
+    else:
+        posts = None  # shingle_join_candidates re-derives via gram_frame
+    cand = shingle_join_candidates(
+        df, id_col, text_col, shingle_n,
+        max_df=max_df, shingles=posts, max_pairs=max_pairs,
+    )
+    scored = containment_scores(
+        df, cand, id_col, text_col, shingle_n,
+        shingles=sh if cache_shingles else None,
+    )
+    return scored.filter(
+        F.greatest("containment_a", "containment_b") >= threshold
+    )
+
+
 def containment_scores(
     df: DataFrame,
     pairs: DataFrame,

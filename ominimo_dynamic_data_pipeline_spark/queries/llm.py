@@ -2524,10 +2524,11 @@ _Q146_MAX_DF, _Q146_THRESHOLD = 10, 0.5
 )
 def q146_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    cand = D.shingle_join_candidates(d, max_df=_Q146_MAX_DF)
-    scored = D.containment_scores(d, cand)
-    return scored.filter(
-        F.greatest("containment_a", "containment_b") >= _Q146_THRESHOLD
+    # single-call pipeline; cache_shingles stays OFF — the shared-persist
+    # variant measures SLOWER same-session (sf1: 10.7 -> 12.3 s; see
+    # containment_near_dups's docstring for why recompute wins here)
+    return D.containment_near_dups(
+        d, max_df=_Q146_MAX_DF, threshold=_Q146_THRESHOLD
     )
 
 

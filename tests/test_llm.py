@@ -1954,3 +1954,17 @@ def test_q163_retrieval_eval_metric_floors(spark):
         assert r["mrr"] > 0.0
         assert r["n_hits"] <= r["n_truth"] == 10
     assert sum(r["recall"] for r in rows) / len(rows) >= 0.6
+
+
+def test_containment_near_dups_cache_variants_agree(spark, docs):
+    """The single-call containment pipeline returns identical pairs with
+    and without the shared-persist shingle cache (the cache is a purely
+    physical choice; default OFF is a measured decision, not semantic)."""
+    off = D.containment_near_dups(docs, max_df=10, threshold=0.3)
+    on = D.containment_near_dups(
+        docs, max_df=10, threshold=0.3, cache_shingles=True
+    )
+    assert sorted(map(tuple, off.collect())) == sorted(
+        map(tuple, on.collect())
+    )
+    D.release_persisted("containment_near_dups")
