@@ -3353,3 +3353,81 @@ def q164_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         uniq.cast("bigint").alias("n_unique_texts"),
         (F.lit(1.0) - uniq.cast("double") / n).alias("dup_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# q165 — tokenizer fertility per language (symbols per word under the
+# q128 merge table): THE tokenizer-evaluation metric multilingual
+# pipelines track — a vocabulary trained on English over-fragments
+# other languages, and fertility quantifies it per lang before any
+# training run pays for it.  Demonstrates the production encode shape
+# q128's docstring names: the merge chain runs once per DISTINCT word
+# (bounded vocab), and the (word -> n_symbols) table BROADCAST-joins
+# onto the per-(lang, word) occurrence counts — the corpus token stream
+# itself is never re-encoded.  Exactness: counts and symbol counts are
+# exact ints; fertility is one division of identical integers.
+# --------------------------------------------------------------------------
+def _q165_sql() -> str:
+    enc = ("array_to_string([ '[' || c || ']' for c in"
+           " string_split(word, '')], '')")
+    for a, b in _Q128_MERGES:
+        enc = f"replace({enc}, '[{a}][{b}]', '[{a}{b}]')"
+    enc = f"trim(replace({enc}, '][', ' '), '[]')"
+    return f"""
+    WITH words0 AS (
+        SELECT lang, unnest({SQL_TOKS}) AS word FROM documents
+    ),
+    words AS (
+        SELECT lang, word FROM words0
+        WHERE regexp_matches(word, '^[a-z0-9]+$')
+    ),
+    lw AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS occ
+        FROM words GROUP BY lang, word
+    ),
+    enc AS (
+        SELECT word,
+               CAST(len(string_split({enc}, ' ')) AS BIGINT) AS n_sym
+        FROM (SELECT DISTINCT word FROM words)
+    )
+    SELECT lang,
+           CAST(SUM(occ) AS BIGINT) AS n_words,
+           CAST(SUM(occ * n_sym) AS BIGINT) AS n_symbols,
+           CAST(SUM(occ * n_sym) AS DOUBLE) / SUM(occ) AS fertility
+    FROM lw JOIN enc USING (word)
+    GROUP BY lang
+    """
+
+
+@query("q165_tokenizer_fertility", _q165_sql())
+def q165_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(T.tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    lw = words.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ")
+    )
+    enc_col = T.bpe_encode_col(F.col("word"), _Q128_MERGES)
+    enc = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(F.split(enc_col, " ")).cast("bigint").alias("n_sym"),
+        )
+    )
+    return (
+        lw.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("occ") * F.col("n_sym"))
+            .cast("bigint")
+            .alias("n_symbols"),
+            (
+                F.sum(F.col("occ") * F.col("n_sym")).cast("double")
+                / F.sum("occ")
+            ).alias("fertility"),
+        )
+    )
