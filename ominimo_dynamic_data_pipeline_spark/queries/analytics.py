@@ -1994,3 +1994,79 @@ def q162_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         (F.max("c").cast("double") / total.cast("double")).alias("top_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q166 — exponentially-weighted moving average per series (the smoothing
+# primitive behind drift monitors and trend baselines): ewma_i =
+# 0.3*x_i + 0.7*ewma_{i-1}, seeded at the first observation.  The
+# recurrence is inherently sequential per series, so the Spark shape is
+# an ORDERED ARRAY FOLD (collect the bounded daily series, array_sort,
+# F.aggregate building the running-value array, zip back out) — the
+# pure-Catalyst escape for recursive smoothing that q160's pandas path
+# does NOT need: series length (days) bounds the array, never row
+# count.  The DuckDB twin computes the identical recurrence by
+# recursive CTE; both engines evaluate literally 0.3*x + 0.7*prev in
+# observation order, so every double is bit-identical (alpha and
+# 1-alpha are both LITERALS — deriving 0.7 as 1-0.3 would be fine
+# today but couples the parity to float subtraction; keep it literal).
+# The oracle wraps both in CAST(... AS DOUBLE): DuckDB parses a bare
+# 0.3 as DECIMAL(2,1) and would run the recurrence in mixed
+# decimal/double arithmetic (measured: diverges by the 19th step).
+# --------------------------------------------------------------------------
+@query(
+    "q166_ewma_daily_orders",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS priority, o_orderdate AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2),
+    idx AS (
+        SELECT priority, d, x,
+               ROW_NUMBER() OVER (PARTITION BY priority ORDER BY d) AS i
+        FROM daily),
+    ew(priority, i, d, x, ewma) AS (
+        SELECT priority, i, d, x, CAST(x AS DOUBLE) FROM idx WHERE i = 1
+        UNION ALL
+        SELECT n.priority, n.i, n.d, n.x,
+               CAST(0.3 AS DOUBLE) * n.x + CAST(0.7 AS DOUBLE) * e.ewma
+        FROM ew e JOIN idx n ON n.priority = e.priority AND n.i = e.i + 1)
+    SELECT priority, d, x, ewma FROM ew
+    """,
+)
+def q166_ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    series = daily.groupBy("priority").agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+    fold = F.aggregate(
+        F.col("s"),
+        F.array().cast("array<double>"),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, e["x"].cast("double")).otherwise(
+                    F.lit(0.3) * e["x"] + F.lit(0.7) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    zipped = series.select(
+        "priority",
+        F.posexplode(F.arrays_zip(F.col("s"), fold.alias("e"))).alias(
+            "pos", "z"
+        ),
+    )
+    return zipped.select(
+        "priority",
+        F.col("z.s.d").alias("d"),
+        F.col("z.s.x").alias("x"),
+        F.col("z.e").alias("ewma"),
+    )

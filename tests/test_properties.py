@@ -1127,3 +1127,56 @@ def test_source_gini_matches_python_truth(spark, counts):
     assert out["top_share"] == float(max(counts)) / float(total)
     if len(set(counts)) == 1:
         assert abs(out["gini"]) < 1e-12
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 100), min_size=1, max_size=15),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_ewma_fold_matches_python_recurrence(spark, series_list):
+    """The q166 array-fold EWMA equals the Python recurrence exactly
+    (same literal coefficients, same observation order, same seed-at-
+    first-value semantics)."""
+    rows = [
+        (g, t, x)
+        for g, series in enumerate(series_list)
+        for t, x in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows, schema="g bigint, t bigint, x bigint")
+    series = df.groupBy("g").agg(
+        F.array_sort(F.collect_list(F.struct("t", "x"))).alias("s")
+    )
+    fold = F.aggregate(
+        F.col("s"),
+        F.array().cast("array<double>"),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, e["x"].cast("double")).otherwise(
+                    F.lit(0.3) * e["x"] + F.lit(0.7) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    out = {
+        (r["g"], r["z"]["s"]["t"]): r["z"]["e"]
+        for r in series.select(
+            "g",
+            F.posexplode(F.arrays_zip(F.col("s"), fold.alias("e"))).alias(
+                "pos", "z"
+            ),
+        ).collect()
+    }
+    for g, series_vals in enumerate(series_list):
+        prev = None
+        for t, x in enumerate(series_vals):
+            prev = float(x) if prev is None else 0.3 * x + 0.7 * prev
+            assert out[(g, t)] == prev
