@@ -3431,3 +3431,160 @@ def q165_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q167 — MinHash band recall CALIBRATION (the dedup twin of q163's ANN
+# eval): on a deterministic bounded slice, compute ALL true near-dup
+# pairs (exact shingle Jaccard >= 0.5) and measure what fraction the
+# q26 band scheme catches, split by similarity bucket — the calibration
+# curve that tells a 100 TB deployment whether (num_hashes, bands)
+# clears its recall target BEFORE a full run pays for it.  The slice
+# (doc_id % 2 = 0 AND doc_id < 1000, identical in both engines) is the
+# point: exact truth is quadratic, so you calibrate on a FIXED-SIZE
+# slice and extrapolate (the q35 bounded-slice precedent).  The truth
+# itself uses the set-similarity join's SCALABLE shape — an
+# inverted-index equi-join counting shared shingles per pair, then
+# J = i/(na+nb-i) — never a pairwise array join (measured on the same
+# slice: 9.1 s BNLJ-with-arrays -> 0.6 s; pairs sharing zero shingles
+# cannot reach J >= 0.5, so the equi-join is lossless).  Exactness:
+# intersection counts and set sizes are exact ints, J and recall are
+# single divisions of identical integers.
+# --------------------------------------------------------------------------
+_Q167_MOD, _Q167_CAP = 2, 1000
+
+
+def _q167_sql() -> str:
+    base = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
+    mh_exprs = ", ".join(
+        f"list_min([((h >> 30) + {i + 1} * (h & 1073741823)) % 1073741789"
+        f" for h in hs]) AS mh_{i}"
+        for i in range(16)
+    )
+    band_rows = []
+    for b in range(4):
+        parts = ", ".join(f"CAST(mh_{b * 4 + r} AS VARCHAR)" for r in range(4))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band,"
+            f" md5(concat_ws('-', {parts})) AS bucket FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH sampled AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % {_Q167_MOD} = 0 AND doc_id < {_Q167_CAP}),
+    toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM sampled),
+    sh AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks WHERE len(tk) >= 3),
+    hsrc AS (SELECT doc_id, [{base} for s in sh] AS hs FROM sh),
+    sig AS (SELECT doc_id, {mh_exprs} FROM hsrc WHERE len(hs) > 0),
+    bands0 AS ({bands_sql}),
+    bands AS (
+        SELECT doc_id, band, bucket FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+            FROM bands0
+        ) WHERE bn <= {MINHASH_MAX_BUCKET}
+    ),
+    caught AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    posts AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM posts a JOIN posts b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM sh),
+    truth AS (
+        SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    ),
+    marked AS (
+        SELECT CASE WHEN t.j >= 0.9 THEN '0.9-1.0'
+                    WHEN t.j >= 0.7 THEN '0.7-0.9'
+                    ELSE '0.5-0.7' END AS bucket,
+               c.id_a IS NOT NULL AS hit
+        FROM truth t LEFT JOIN caught c
+          ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(count_if(hit) AS BIGINT) AS n_caught,
+           CAST(count_if(hit) AS DOUBLE) / COUNT(*) AS recall
+    FROM marked GROUP BY bucket
+    """
+
+
+@query("q167_minhash_recall_calibration", _q167_sql())
+def q167_minhash_recall_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sample = d.filter(
+        (F.col("doc_id") % _Q167_MOD == 0) & (F.col("doc_id") < _Q167_CAP)
+    )
+    # One persisted tokenize pass shared by truth and signatures; the
+    # truth uses the inverted-index shape (see the block comment).
+    sh = D._persist_tracked(
+        "q167_calibration", D.shingle_frame(sample)
+    )
+    sigs = D.minhash_signatures(sample, shingles=sh)
+    caught = D.minhash_band_candidates(
+        sigs, max_bucket_size=MINHASH_MAX_BUCKET
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    posts = sh.select("doc_id", F.explode("sh").alias("gram"))
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    truth = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "n", "na"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n", "nb"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+    )
+    marked = truth.join(caught, ["id_a", "id_b"], "left").select(
+        F.when(F.col("j") >= 0.9, "0.9-1.0")
+        .when(F.col("j") >= 0.7, "0.7-0.9")
+        .otherwise("0.5-0.7")
+        .alias("bucket"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    return marked.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum("hit").cast("bigint").alias("n_caught"),
+        (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )

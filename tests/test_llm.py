@@ -1968,3 +1968,22 @@ def test_containment_near_dups_cache_variants_agree(spark, docs):
         map(tuple, on.collect())
     )
     D.release_persisted("containment_near_dups")
+
+
+def test_q167_calibration_reports_full_recall_on_this_corpus(spark):
+    """The band-recall calibration slice reports this corpus's truth:
+    its true near-dups are near-verbatim (all land in the 0.9-1.0
+    bucket) and the q26 band scheme catches every one — recall exactly
+    1.0 with n_caught == n_true; any future band/bucket regression
+    surfaces here as recall < 1."""
+    from ominimo_dynamic_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["q167_minhash_recall_calibration"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_caught"] <= r["n_true"]
+    assert {r["bucket"] for r in rows} == {"0.9-1.0"}
+    assert all(r["recall"] == 1.0 for r in rows)
