@@ -231,6 +231,23 @@ SHOWCASE = {
         "exchange; the argmax pick is a second window on the same key "
         "— integer arithmetic end to end."
     ),
+    "q163_retrieval_eval": (
+        "Retrieval eval: the LSH run keeps its bucketed shape and the "
+        "brute-force truth its broadcast+window shape; the eval itself "
+        "is a top-k-sized left join + one keyed reduce with literal "
+        "DCG gains — no log2 in the plan."
+    ),
+    "q166_ewma_daily_orders": (
+        "EWMA: daily-grain aggregate, per-series collect + array_sort "
+        "+ aggregate fold as a pure projection, posexplode back — the "
+        "recursive smoothing runs inside Catalyst, no Python stage."
+    ),
+    "q167_minhash_recall_calibration": (
+        "Band-recall calibration: truth via the inverted-index "
+        "equi-join (shared-shingle counts, no pairwise array join — "
+        "measured 9.1 s -> 1.7 s), bands via the q26 machinery, eval "
+        "is a pair-sized left join + keyed reduce."
+    ),
     "q158_token_entropy": (
         "Token entropy: the standard two-exchange tf profile (token "
         "stream with map-side partial agg, keyed reduce to the doc); "
