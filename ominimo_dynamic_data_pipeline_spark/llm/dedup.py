@@ -61,6 +61,15 @@ def _persist_tracked(op: str, *frames: DataFrame):
     return out[0] if len(out) == 1 else tuple(out)
 
 
+def persist_tracked(op: str, *frames: DataFrame):
+    """Public form of the one-generation tracked persist: persist
+    ``frames`` MEMORY_AND_DISK under ``op``'s registry slot (releasing
+    the previous generation) — for callers OUTSIDE this module that
+    want the same bounded-cache discipline the dedup operators use.
+    Pair with release_persisted(op) after materializing results."""
+    return _persist_tracked(op, *frames)
+
+
 def release_persisted(op: str | None = None) -> int:
     """Unpersist intermediate frames cached by dedup operators (all of
     them, or one operator's) and return how many frames were released.
@@ -1367,19 +1376,23 @@ def containment_near_dups(
     boundary stops the InferFiltersFromGenerate re-inline gram_frame
     documents); never explode an un-persisted shingle_frame.
     """
-    sh = shingle_frame(df, id_col, text_col, shingle_n)
     if cache_shingles:
-        sh = _persist_tracked("containment_near_dups", sh)
+        sh = _persist_tracked(
+            "containment_near_dups",
+            shingle_frame(df, id_col, text_col, shingle_n),
+        )
         posts = sh.select(F.col(id_col), F.explode("sh").alias("gram"))
     else:
-        posts = None  # shingle_join_candidates re-derives via gram_frame
+        # default path: candidates re-derive via gram_frame and the
+        # scorer builds its own shingle frame — no dead lineage here
+        sh = None
+        posts = None
     cand = shingle_join_candidates(
         df, id_col, text_col, shingle_n,
         max_df=max_df, shingles=posts, max_pairs=max_pairs,
     )
     scored = containment_scores(
-        df, cand, id_col, text_col, shingle_n,
-        shingles=sh if cache_shingles else None,
+        df, cand, id_col, text_col, shingle_n, shingles=sh,
     )
     return scored.filter(
         F.greatest("containment_a", "containment_b") >= threshold

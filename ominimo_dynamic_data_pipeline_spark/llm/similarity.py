@@ -38,6 +38,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -46,6 +47,11 @@ def brute_force_topk(
     partitions by query id.  Excludes self-matches when ids collide.
     Norms/casts are staged per row (norm_frame), so the |Q|*N pairwise work
     is one dot product per pair.
+
+    ``round_to`` rounds the cosine BEFORE the rank window (the q29/q30
+    oracle tie-break contract: rank on the rounded score, ties on
+    neighbor id — identical in any engine).  The q29/q155/q160/q163
+    catalog entries all rank through this one code path.
     """
     q = norm_frame(queries, query_id_col, vec_col).select(
         F.col(query_id_col).alias("query_id"),
@@ -57,16 +63,14 @@ def brute_force_topk(
         F.col("vec_d").alias("cv"),
         F.col("nrm").alias("c_nrm"),
     )
+    cos = dot_double(F.col("qv"), F.col("cv")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    if round_to is not None:
+        cos = F.round(cos, round_to)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot_double(F.col("qv"), F.col("cv"))
-                / (F.col("q_nrm") * F.col("c_nrm"))
-            ).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

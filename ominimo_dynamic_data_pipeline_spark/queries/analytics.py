@@ -1874,7 +1874,8 @@ def q157_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # across engines (measured: 1-ulp slope divergence at sf0.1) — so both
 # operands route through their EXACT decimal string, which every
 # engine parses with correctly-rounded strtod: identical doubles, then
-# one identical division.  One hash aggregate, map-side partials,
+# one identical division; sy/sx take the same string route so the
+# intercept cannot regress the same way once those sums pass 2^53.  One hash aggregate, map-side partials,
 # three output rows.  At 100 TB this is the same shape as q01: moments
 # are algebraic aggregates, so the shuffle carries five numbers per
 # group.
@@ -1896,10 +1897,10 @@ def q157_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
                / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
                AS slope,
-           (CAST(sy AS DOUBLE)
+           (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
             - (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
                / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
-              * CAST(sx AS DOUBLE))
+              * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
                / n AS intercept
     FROM m
     """,
@@ -1926,14 +1927,13 @@ def q161_price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
     )
     slope = num / den
+    sy_d = F.col("sy").cast("string").cast("double")
+    sx_d = F.col("sx").cast("string").cast("double")
     return m.select(
         "l_returnflag",
         "n",
         slope.alias("slope"),
-        (
-            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n")
-        ).alias("intercept"),
+        ((sy_d - slope * sx_d) / F.col("n")).alias("intercept"),
     )
 
 

@@ -435,21 +435,7 @@ def q29_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    from pyspark.sql.window import Window
-
-    q = queries.select("query_id", F.col("embedding").alias("qv"))
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
-    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(D.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return S.brute_force_topk(e, queries, k=5, round_to=4)
 
 
 # --------------------------------------------------------------------------
@@ -2009,12 +1995,19 @@ _Q128_MERGES = [
 _Q128_TOP = 30
 
 
-def _bpe_encode_sql() -> str:
+def _bpe_enc_sql_expr() -> str:
+    """DuckDB expression encoding ``word`` under _Q128_MERGES — the
+    byte-for-byte twin of text.bpe_encode_col, shared by the q128 and
+    q165 oracles so the two can never drift apart."""
     enc = ("array_to_string([ '[' || c || ']' for c in"
            " string_split(word, '')], '')")
     for a, b in _Q128_MERGES:
         enc = f"replace({enc}, '[{a}][{b}]', '[{a}{b}]')"
-    enc = f"trim(replace({enc}, '][', ' '), '[]')"
+    return f"trim(replace({enc}, '][', ' '), '[]')"
+
+
+def _bpe_encode_sql() -> str:
+    enc = _bpe_enc_sql_expr()
     return f"""
     WITH words0 AS (
         SELECT unnest({SQL_TOKS}) AS word FROM documents
@@ -2997,8 +2990,6 @@ _Q155_K0, _Q155_TOP = 60, 10
     """,
 )
 def q155_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from ominimo_dynamic_data_pipeline_spark.llm.similarity import rrf_fuse
 
     sparse = q110_bm25_retrieval(spark, sf_dir).select(
@@ -3006,25 +2997,10 @@ def q155_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _Q110_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
-    )
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(D.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    dense = (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _Q155_TOP)
-        .select("query_id", "neighbor_id", "rank")
+    dense = S.brute_force_topk(e, q, k=_Q155_TOP, round_to=4).select(
+        "query_id", "neighbor_id", "rank"
     )
     return rrf_fuse([sparse, dense], k0=_Q155_K0)
 
@@ -3135,31 +3111,14 @@ _Q160_POOL, _Q160_K, _Q160_LAMBDA = 20, 5, 0.7
 
 @query("q160_mmr_rerank")
 def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from ominimo_dynamic_data_pipeline_spark.llm.similarity import mmr_rerank
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
-    )
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(D.cosine(F.col("qv"), F.col("cv")), 4).alias("rel"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("rel"), F.asc("neighbor_id")
-    )
-    pool = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _Q160_POOL)
-        .select("query_id", "neighbor_id", "rel")
+    pool = S.brute_force_topk(e, q, k=_Q160_POOL, round_to=4).select(
+        "query_id", "neighbor_id", F.col("cos").alias("rel")
     )
     return mmr_rerank(
         pool, e, k=_Q160_K, lambda_=_Q160_LAMBDA
@@ -3240,8 +3199,6 @@ def _q163_gain_sql(col: str) -> str:
     """,
 )
 def q163_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed(
         "vec_id", "query_id"
@@ -3252,25 +3209,9 @@ def q163_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=EMBEDDING_MAX_BUCKET,
         round_to=4,
     ).select("query_id", "neighbor_id", "rank")
-    q = queries.select("query_id", F.col("embedding").alias("qv"))
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
-    )
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(D.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    truth = (
-        scored.withColumn("trank", F.row_number().over(w))
-        .filter(F.col("trank") <= _Q163_K)
-        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
-    )
+    truth = S.brute_force_topk(
+        e, queries, k=_Q163_K, round_to=4
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     gain = F.create_map(
         *[F.lit(v) for kv in _Q163_GAIN.items() for v in kv]
     )[F.col("rank")]
@@ -3368,11 +3309,7 @@ def q164_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact ints; fertility is one division of identical integers.
 # --------------------------------------------------------------------------
 def _q165_sql() -> str:
-    enc = ("array_to_string([ '[' || c || ']' for c in"
-           " string_split(word, '')], '')")
-    for a, b in _Q128_MERGES:
-        enc = f"replace({enc}, '[{a}][{b}]', '[{a}{b}]')"
-    enc = f"trim(replace({enc}, '][', ' '), '[]')"
+    enc = _bpe_enc_sql_expr()
     return f"""
     WITH words0 AS (
         SELECT lang, unnest({SQL_TOKS}) AS word FROM documents
@@ -3446,7 +3383,8 @@ def q165_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # itself uses the set-similarity join's SCALABLE shape — an
 # inverted-index equi-join counting shared shingles per pair, then
 # J = i/(na+nb-i) — never a pairwise array join (measured on the same
-# slice: 9.1 s BNLJ-with-arrays -> 0.6 s; pairs sharing zero shingles
+# slice: truth stage alone 9.1 s BNLJ-with-arrays -> 0.6 s, full query
+# steady state 1.7 s; pairs sharing zero shingles
 # cannot reach J >= 0.5, so the equi-join is lossless).  Exactness:
 # intersection counts and set sizes are exact ints, J and recall are
 # single divisions of identical integers.
@@ -3531,7 +3469,7 @@ def q167_minhash_recall_calibration(
     )
     # One persisted tokenize pass shared by truth and signatures; the
     # truth uses the inverted-index shape (see the block comment).
-    sh = D._persist_tracked(
+    sh = D.persist_tracked(
         "q167_calibration", D.shingle_frame(sample)
     )
     sigs = D.minhash_signatures(sample, shingles=sh)
