@@ -426,6 +426,11 @@ def dsir_importance(
     exact integer arithmetic in both engines — float sum-order drift
     cannot straddle any rounding boundary (measured: plain
     round-6-then-sum-doubles missed 2/500 rows at the 4th decimal).
+    Residual cross-engine hazard: the ln() itself — if a value lands
+    within 1 ulp of a 0.5 micro boundary the two libms can quantize one
+    feature apart (the property test allows 2-micro slack for exactly
+    this); eliminating it entirely would require rendering the ratio
+    table as data-derived literals, the IVF-centroid discipline.
     ``llr`` is that exact sum / 1e6 with NO further rounding: the same
     integer divided by the same literal is the same double bit-for-bit,
     whereas a final round-4 re-introduces engine-specific half-point
@@ -515,10 +520,16 @@ def interleave_order(
             f"interleave_order: input lacks {group_col!r} or {id_col!r}"
         )
     groups = df.select(group_col).distinct()
+    # NULLS LAST to match the SQL twin: DuckDB's ORDER BY sorts NULL
+    # after values, Spark's plain asc() sorts it first — a NULL group
+    # would otherwise get a different index in each engine
     gidx = groups.select(
         group_col,
         (
-            F.row_number().over(Window.orderBy(F.col(group_col).asc())) - 1
+            F.row_number().over(
+                Window.orderBy(F.col(group_col).asc_nulls_last())
+            )
+            - 1
         )
         .cast("bigint")
         .alias("_gidx"),

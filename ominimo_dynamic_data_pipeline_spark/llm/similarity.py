@@ -1138,6 +1138,19 @@ def rrf_fuse(
             raise ValueError(
                 f"rrf_fuse: ranking #{i} lacks columns {sorted(missing)}"
             )
+        # A NULL or non-positive rank would otherwise yield a NULL
+        # nano contribution (1e9/0 is NULL under non-ANSI Spark) and a
+        # silently garbage fused score — fail loudly per row instead.
+        rank_checked = F.when(
+            F.col("_rank").isNull() | (F.col("_rank") < 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"rrf_fuse: ranking #{i} has a NULL or "
+                          f"non-positive rank for id "),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("_rank"))
         contribs.append(
             # A well-formed run has one rank per (query, id); a caller
             # passing an un-deduped frame would otherwise double-count
@@ -1149,7 +1162,7 @@ def rrf_fuse(
             .select(
                 query_col,
                 id_col,
-                F.round(F.lit(1e9) / (F.col("_rank") + F.lit(k0)))
+                F.round(F.lit(1e9) / (rank_checked + F.lit(k0)))
                 .cast("bigint")
                 .alias("_nano"),
             )
@@ -1233,6 +1246,12 @@ def mmr_rerank(
     lam = float(lambda_)
     kk = int(k)
     rel_name = rel_col
+    # duplicate (query, id) candidate rows would let the greedy loop
+    # pick the same neighbor twice (defeating diversification) —
+    # collapse to the max relevance, mirroring rrf_fuse's dedupe
+    candidates = candidates.groupBy("query_id", "neighbor_id").agg(
+        F.max(rel_col).alias(rel_col)
+    )
     cand = candidates.join(
         vectors.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
@@ -1250,6 +1269,13 @@ def mmr_rerank(
         import pandas as pd
 
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        dup = pdf.loc[pdf["neighbor_id"].duplicated(), "neighbor_id"]
+        if len(dup):
+            raise ValueError(
+                f"mmr_rerank: vectors frame has duplicate ids "
+                f"{sorted(set(dup.tolist()))[:10]} — the join fanned "
+                f"out; dedupe the vectors frame"
+            )
         lost = pdf.loc[pdf["_vec"].isna(), "neighbor_id"].tolist()
         if lost:
             raise ValueError(

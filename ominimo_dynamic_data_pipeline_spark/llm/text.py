@@ -637,7 +637,11 @@ def token_entropy(
     scaled = n*L(n) - sum_u c_u*L(c_u)  is exact bigint arithmetic in
     any engine; H = scaled / (n * 1e9) and norm_entropy = scaled /
     (n * L(n)) are single divisions of identical integers —
-    bit-identical doubles, no rounding step to straddle.
+    bit-identical doubles given identical L values.  Residual hazard:
+    L itself quantizes a libm ln(); a count whose ln sits within 1 ulp
+    of a 0.5 nano boundary could quantize one apart across engines
+    (not observed through the sf0.1 sweeps; the dsir_importance
+    docstring discusses the same residual and its literal-table cure).
 
     Scale shape: one token-stream shuffle with map-side combine to
     per-(doc, type) counts, one keyed reduce back to the doc — the same

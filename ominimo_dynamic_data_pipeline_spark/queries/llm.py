@@ -2915,6 +2915,10 @@ def q154_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # technique; ties on the fused score break on neighbor_id.
 # --------------------------------------------------------------------------
 _Q155_K0, _Q155_TOP = 60, 10
+# The Spark side consumes q110's ALREADY-CUT sparse run while the oracle
+# cuts both runs at _Q155_TOP — the two constants must agree or the
+# engines fuse different candidate sets.
+assert _Q155_TOP == _Q110_TOP, "q155 fuses q110's top-k; keep the cuts equal"
 
 
 @query(
@@ -3468,7 +3472,10 @@ def q167_minhash_recall_calibration(
         (F.col("doc_id") % _Q167_MOD == 0) & (F.col("doc_id") < _Q167_CAP)
     )
     # One persisted tokenize pass shared by truth and signatures; the
-    # truth uses the inverted-index shape (see the block comment).
+    # truth uses the inverted-index shape (see the block comment).  The
+    # cache is slice-sized (<= 500 docs) and one-generation-tracked; a
+    # session wanting it gone immediately calls
+    # D.release_persisted("q167_calibration") after materializing.
     sh = D.persist_tracked(
         "q167_calibration", D.shingle_frame(sample)
     )

@@ -1987,3 +1987,67 @@ def test_q167_calibration_reports_full_recall_on_this_corpus(spark):
         assert r["n_caught"] <= r["n_true"]
     assert {r["bucket"] for r in rows} == {"0.9-1.0"}
     assert all(r["recall"] == 1.0 for r in rows)
+
+
+def test_rrf_fuse_rejects_invalid_ranks(spark):
+    """NULL or non-positive ranks fail loudly at execution instead of
+    yielding NULL contributions and garbage fused scores."""
+    import pytest
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import rrf_fuse
+
+    schema = "query_id bigint, neighbor_id bigint, rank bigint"
+    bad = spark.createDataFrame([(0, 7, 0)], schema=schema)
+    with pytest.raises(Exception, match="non-positive rank"):
+        rrf_fuse([bad]).collect()
+    nul = spark.createDataFrame([(0, 7, None)], schema=schema)
+    with pytest.raises(Exception, match="non-positive rank"):
+        rrf_fuse([nul]).collect()
+
+
+def test_mmr_rerank_dedupes_candidates_and_rejects_dup_vectors(spark):
+    """Duplicate candidate rows collapse to max relevance (the greedy
+    loop can never pick one neighbor twice); duplicate vector ids raise
+    a named error instead of silently fanning out the join."""
+    import pytest
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import mmr_rerank
+
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (12, [0.0, 1.0])],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(0, 10, 0.9), (0, 10, 0.5), (0, 12, 0.4)],
+        schema="query_id bigint, neighbor_id bigint, rel double",
+    )
+    out = mmr_rerank(cand, vecs, k=3).collect()
+    ids = [r["neighbor_id"] for r in out]
+    assert sorted(ids) == [10, 12]  # 10 appears ONCE, at max rel
+    assert max(r["mmr_score"] for r in out if r["neighbor_id"] == 10) == 0.7 * 0.9
+    dup_vecs = vecs.union(
+        spark.createDataFrame(
+            [(10, [0.5, 0.5])], schema="vec_id bigint, embedding array<double>"
+        )
+    )
+    with pytest.raises(Exception, match="duplicate ids"):
+        mmr_rerank(cand, dup_vecs, k=2).collect()
+
+
+def test_interleave_order_null_group_sorts_last(spark):
+    """The NULL group's index matches the SQL twin's NULLS-LAST order:
+    it gets the highest group index, not 0."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        interleave_order,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "b")],
+        schema="doc_id bigint, grp string",
+    )
+    out = {r["doc_id"]: r for r in
+           interleave_order(df, group_col="grp", seed=1).collect()}
+    # rank 1 for everyone; positions = gidx: a=0, b=1, NULL=2
+    assert out[0]["interleave_pos"] == 0
+    assert out[2]["interleave_pos"] == 1
+    assert out[1]["interleave_pos"] == 2
