@@ -2070,3 +2070,91 @@ def q166_ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.s.x").alias("x"),
         F.col("z.e").alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------
+# q169 — BENFORD first-digit audit over l_extendedprice: the classic
+# forensic data-quality screen (synthetic or tampered financial columns
+# diverge from log10(1+1/d)).  Cross-engine exactness is the whole
+# design: the first digit comes from integer cents (ROUND(x*100) is
+# never a .5 tie because the doubles encode exact 2-decimal values, so
+# every rounding mode agrees) cast through VARCHAR — never from
+# log10/pow, whose libm boundaries differ between JVM and C (the q163
+# literal-table precedent).  Expected fractions are one shared literal
+# table (repr(math.log10(1+1/d)), bit-identical under strtod in both
+# engines), obs_frac is a single double division of identical integers,
+# and the chi-square term is the identical ((o-e)*(o-e))/e expression
+# tree.  At 100 TB: one map-side-combined groupBy on 9 keys, a 1-row
+# broadcast total, zero wide shuffles of data rows.
+# --------------------------------------------------------------------------
+_Q169_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+def _q169_sql() -> str:
+    values = ", ".join(
+        f"({d}, CAST({lit} AS DOUBLE))" for d, lit in _Q169_BENFORD.items()
+    )
+    return f"""
+    WITH c AS (
+        SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem WHERE l_extendedprice > 0
+    ),
+    counts AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM c GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+    e(digit, exp_frac) AS (VALUES {values})
+    SELECT counts.digit, counts.n,
+           CAST(counts.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS obs_frac,
+           e.exp_frac,
+           ((CAST(counts.n AS DOUBLE) / CAST(t.total AS DOUBLE) - e.exp_frac)
+            * (CAST(counts.n AS DOUBLE) / CAST(t.total AS DOUBLE) - e.exp_frac))
+           / e.exp_frac AS chi2_term
+    FROM counts CROSS JOIN t JOIN e ON e.digit = counts.digit
+    ORDER BY counts.digit
+    """
+
+
+@query("q169_benford_price_audit", _q169_sql())
+def q169_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.filter(F.col("l_extendedprice") > 0).select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents")
+    )
+    counts = cents.select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exp_frac = F.lit(None).cast("double")
+    for d, lit in _Q169_BENFORD.items():
+        exp_frac = F.when(F.col("digit") == d, F.lit(float(lit))).otherwise(
+            exp_frac
+        )
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    # Grand total via an empty-partition window over the 9-row counts
+    # frame: one scan of lineitem total (a second agg subtree would
+    # re-scan), and the single-partition window input is 9 rows.
+    withexp = counts.withColumn(
+        "total", F.sum("n").over(Window.partitionBy()).cast("bigint")
+    ).withColumn("exp_frac", exp_frac)
+    e = F.col("exp_frac")
+    return withexp.select(
+        "digit",
+        "n",
+        obs.alias("obs_frac"),
+        "exp_frac",
+        (((obs - e) * (obs - e)) / e).alias("chi2_term"),
+    ).orderBy("digit")

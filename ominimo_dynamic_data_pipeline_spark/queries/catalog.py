@@ -35,21 +35,17 @@ _merge(_an)
 # out when the catalog grew past 50).  tests/test_oracle_parity.py covers
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
-    # Round-6 rotation (round-5 verdict items 1+2): the 13 queries that
-    # have never had an independent driver round lead (q132-q141 from
-    # round 5, q142-q144 new this round), followed by the 4 HUGEINT-
-    # oracle fixes (q55/q68/q70/q78 — red in r5 purely from DuckDB's
-    # count_if/windowed-SUM HUGEINT rendering, now cast to BIGINT; their
-    # re-verification proves the fix driver-green).  The rest of the
-    # window is the stalest-first backlog: one family representative
-    # each (stalest member per SURVEY.md §2.4 family, asserted by
-    # test_driver_window_covers_every_family), then every remaining
-    # round-2-verified query and the oldest round-3 cohort; this
-    # session's additions (q145-q163) hold the tail slots — q43/q48/
-    # q59/q03/q23/q37/q41/q17/q27/q09 rotated out to make room (their families keep other
-    # representatives; test_driver_window_covers_every_family).
-    # Rotated-out queries stay hash-gated by
-    # tests/test_oracle_parity.py per pytest run.
+    # Round-6 final rotation: ALL 39 queries that have never had an
+    # independent driver correctness round lead (q132-q141 landed after
+    # the r5 window was sampled; q142-q170 are new this round), followed
+    # by the 4 HUGEINT-oracle fixes (q55/q68/q70/q78 — red in r5 purely
+    # from DuckDB's count_if/windowed-SUM HUGEINT rendering, now cast to
+    # BIGINT; their re-verification proves the fix driver-green).  The
+    # last 7 slots keep >=1 entry per SURVEY.md §2.4 family (asserted by
+    # test_driver_window_covers_every_family): q31 multimodal + q89 SQL
+    # front end have no round-6 member, and 5 stalest round-2 reps fill
+    # the rest.  Rotated-out queries stay hash-gated by
+    # tests/test_oracle_parity.py every pytest run.
     "q132_temperature_mixture",
     "q133_asof_tolerance_attribution",
     "q134_concurrent_customer_orders",
@@ -63,33 +59,15 @@ CORRECTNESS_WINDOW = [
     "q142_next_order_forward_asof",
     "q143_per_source_quota_cap",
     "q144_cluster_safe_split",
-    "q55_sequence_packing",
-    "q68_agg_surface",
-    "q70_priority_mix_unpivot",
-    "q78_status_priority_crosstab",
-    "q04_customers_with_open_orders",
-    "q39_order_grouping_sets",
-    "q07_customer_order_running",
-    "q12_building_big_spenders",
-    "q18_order_date_features",
-    "q50_validated_lineitem",
-    "q21_doc_quality",
-    "q25_exact_dedup",
-    "q29_knn_bruteforce",
-    "q31_payload_stats",
-    "q33_tumbling_event_counts",
-    "q53_train_val_split",
-    "q60_skew_diagnostics",
-    "q89_product_nation_profit",
-    "q151_streaming_transcripts_e2e",
-    "q153_source_overlap_matrix",
-    "q152_winnow_decontamination",
-    "q149_session_transcripts",
-    "q150_shard_manifest",
     "q145_ngram_novelty",
     "q146_containment_near_dups",
     "q147_winnow_profile",
     "q148_span_corruption",
+    "q149_session_transcripts",
+    "q150_shard_manifest",
+    "q151_streaming_transcripts_e2e",
+    "q152_winnow_decontamination",
+    "q153_source_overlap_matrix",
     "q154_dsir_importance",
     "q155_hybrid_rrf_retrieval",
     "q156_k_anonymity_audit",
@@ -100,6 +78,24 @@ CORRECTNESS_WINDOW = [
     "q161_price_quantity_ols",
     "q162_source_gini",
     "q163_retrieval_eval",
+    "q164_dataset_card",
+    "q165_tokenizer_fertility",
+    "q166_ewma_daily_orders",
+    "q167_minhash_recall_calibration",
+    "q168_cumulative_distinct_users",
+    "q169_benford_price_audit",
+    "q170_readability_scores",
+    "q55_sequence_packing",
+    "q68_agg_surface",
+    "q70_priority_mix_unpivot",
+    "q78_status_priority_crosstab",
+    "q31_payload_stats",
+    "q89_product_nation_profit",
+    "q04_customers_with_open_orders",
+    "q39_order_grouping_sets",
+    "q07_customer_order_running",
+    "q12_building_big_spenders",
+    "q18_order_date_features",
 ]
 
 

@@ -3533,3 +3533,74 @@ def q167_minhash_recall_calibration(
         F.sum("hit").cast("bigint").alias("n_caught"),
         (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# q170 — Flesch readability scoring per doc: the classic text-difficulty
+# signal (reading-ease + Flesch-Kincaid grade) that curation recipes use
+# alongside q21's surface ratios to bucket corpora by audience level.
+# Syllables use the standard vowel-group-run approximation, counted on
+# the RAW text with an explicit [aeiouyAEIOUY] class — no lower() in the
+# hot path, so JVM-vs-utf8proc Unicode case-mapping differences can
+# never merge or split a run; sentences are [.!?]+ runs floored at 1.
+# All three counts are exact ints in both engines (regexp_count vs
+# len(regexp_extract_all) over the same RE2/Java-identical character
+# classes); the scores are the identical literal-coefficient expression
+# tree over two int/int divisions, so the doubles match bit-for-bit.
+# At 100 TB: a single narrow codegen'd projection riding the scan —
+# no shuffle, no UDF.
+# --------------------------------------------------------------------------
+def _q170_sql() -> str:
+    w = "CAST(n_words AS DOUBLE)"
+    s = "CAST(n_sentences AS DOUBLE)"
+    y = "CAST(n_syllables AS DOUBLE)"
+    return f"""
+    WITH counts AS (
+        SELECT doc_id,
+               CAST(len({SQL_TOKS}) AS BIGINT) AS n_words,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE) * ({w} / {s})
+               - CAST(84.6 AS DOUBLE) * ({y} / {w}) AS flesch,
+           CAST(0.39 AS DOUBLE) * ({w} / {s})
+               + CAST(11.8 AS DOUBLE) * ({y} / {w})
+               - CAST(15.59 AS DOUBLE) AS fk_grade
+    FROM counts
+    WHERE n_words > 0
+    """
+
+
+@query("q170_readability_scores", _q170_sql())
+def q170_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_words"),
+        F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.regexp_count(F.col("text"), F.lit("[aeiouyAEIOUY]+"))
+        .cast("bigint")
+        .alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    return counts.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w)).alias(
+            "flesch"
+        ),
+        (F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59)).alias(
+            "fk_grade"
+        ),
+    )

@@ -13,6 +13,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
 from ominimo_dynamic_data_pipeline_spark.streaming import ops as stream_ops
@@ -485,4 +486,74 @@ def q151_streaming_transcripts_e2e(
         "n_turns",
         "transcript",
         "truncated",
+    )
+
+
+# --------------------------------------------------------------------------
+# q168 — CUMULATIVE DISTINCT users per event_type by day: the audience-
+# growth curve every event pipeline reports, and a window shape Spark
+# plain does not have (COUNT(DISTINCT) OVER a running frame raises
+# DISTINCT_WINDOW_FUNCTION_UNSUPPORTED).  The operator composes it from
+# primitives Spark scales: first-seen day per (event_type, user) — ONE
+# wide shuffle with map-side partial dedup, the only stage that touches
+# |users| rows — then a per-day count and a running SUM over the tiny
+# (event_type, day) grid.  At 100 TB the window input is |types|x|days|
+# rows, not |events|; the oracle is DuckDB's NATIVE distinct-over-window,
+# so the gate checks the composition against an independent engine
+# implementation rather than a restatement of the same trick.  Days with
+# events but no new users stay present (grid left-join, 0-coalesced).
+# --------------------------------------------------------------------------
+@query(
+    "q168_cumulative_distinct_users",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    cum AS (
+        SELECT DISTINCT event_type, day,
+               CAST(COUNT(DISTINCT user_id) OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT)
+                   AS cum_users
+        FROM d
+    )
+    SELECT event_type,
+           STRFTIME(day, '%Y-%m-%d') AS day,
+           CAST(cum_users - COALESCE(LAG(cum_users) OVER (
+               PARTITION BY event_type ORDER BY day), 0) AS BIGINT)
+               AS n_new_users,
+           cum_users
+    FROM cum
+    """,
+)
+def q168_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    # One wide shuffle: each user's first-seen day per type (partial agg
+    # dedups map-side, so the exchange carries ~|distinct pairs| rows).
+    firsts = d.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("day")
+    )
+    new_per_day = firsts.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("nn")
+    )
+    # The (event_type, day) grid keeps zero-new-user days in the output;
+    # it is bounded by |types| x |days| regardless of event volume.
+    grid = d.select("event_type", "day").distinct()
+    joined = grid.join(new_per_day, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("nn", F.lit(0)).alias("nn")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("nn").cast("bigint").alias("n_new_users"),
+        F.sum("nn").over(w).cast("bigint").alias("cum_users"),
     )
