@@ -2158,3 +2158,175 @@ def q169_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exp_frac",
         (((obs - e) * (obs - e)) / e).alias("chi2_term"),
     ).orderBy("digit")
+
+
+# --------------------------------------------------------------------------
+# q171 — Spearman rank correlation (n_chars vs token count per lang):
+# the monotonic-association diagnostic analysts reach for when Pearson
+# (q48) is skew-distorted — and a window+moments composition Spark has
+# no builtin for.  Exactness route: tied ranks use the DOUBLED average
+# rank Dx = 2*min_rank + ties - 1, an exact INTEGER (halves never
+# materialize; doubling both vectors leaves the correlation invariant),
+# so the five moments are exact DECIMAL sums and the q161 precedent
+# applies — covariance/variance numerators route through their exact
+# decimal string into correctly-rounded strtod doubles, then ONE
+# division by a product of IEEE-exact sqrts.  Per-lang windows keep the
+# rank sort parallel across groups (no global sort); at 100 TB widen
+# the bigint rank products to DECIMAL before summing if a single lang
+# exceeds ~3e9 docs.  Degenerate zero-variance groups would yield
+# NaN/Inf identically in both engines (IEEE semantics).
+# --------------------------------------------------------------------------
+@query(
+    "q171_rank_correlation",
+    f"""
+    WITH base AS (
+        SELECT lang, n_chars AS x, CAST(len({SQL_TOKS}) AS BIGINT) AS y
+        FROM documents
+    ),
+    r AS (
+        SELECT lang,
+               CAST(2 * RANK() OVER (PARTITION BY lang ORDER BY x)
+                    + COUNT(*) OVER (PARTITION BY lang, x) - 1 AS BIGINT)
+                   AS dx,
+               CAST(2 * RANK() OVER (PARTITION BY lang ORDER BY y)
+                    + COUNT(*) OVER (PARTITION BY lang, y) - 1 AS BIGINT)
+                   AS dy
+        FROM base
+    ),
+    m AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(dx AS DECIMAL(18,0))) AS sx,
+               SUM(CAST(dy AS DECIMAL(18,0))) AS sy,
+               SUM(CAST(dx * dy AS DECIMAL(18,0))) AS sxy,
+               SUM(CAST(dx * dx AS DECIMAL(18,0))) AS sxx,
+               SUM(CAST(dy * dy AS DECIMAL(18,0))) AS syy
+        FROM r GROUP BY lang
+    )
+    SELECT lang, n,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+           / (SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+              * SQRT(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+               AS spearman_rho
+    FROM m
+    """,
+)
+def q171_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("y"),
+    )
+
+    def drank(col: str):
+        return (
+            2 * F.rank().over(Window.partitionBy("lang").orderBy(col))
+            + F.count(F.lit(1)).over(Window.partitionBy("lang", col))
+            - 1
+        ).cast("bigint")
+
+    r = base.select(
+        "lang", drank("x").alias("dx"), drank("y").alias("dy")
+    )
+    dx, dy = F.col("dx"), F.col("dy")
+    dec = "decimal(18,0)"
+    m = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dx.cast(dec)).alias("sx"),
+        F.sum(dy.cast(dec)).alias("sy"),
+        F.sum((dx * dy).cast(dec)).alias("sxy"),
+        F.sum((dx * dx).cast(dec)).alias("sxx"),
+        F.sum((dy * dy).cast(dec)).alias("syy"),
+    )
+    n = F.col("n")
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    num = as_d(n * F.col("sxy") - F.col("sx") * F.col("sy"))
+    vx = as_d(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = as_d(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    return m.select(
+        "lang",
+        "n",
+        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q174 — per-user inter-arrival cadence by event type: median/p90/p99
+# of the gap between a user's consecutive events of each type, plus the
+# exact mean — the arrival-process profile capacity planning and
+# bot-detection both start from.  Gaps are exact integer MICROSECONDS
+# (unix_micros vs epoch_us, the q15 twin pair) over a
+# (event_type, user_id) window — partitioning by user keeps the sort
+# parallel at 100 TB where a per-type-only window would single-thread
+# each type's full history.  Percentiles follow the q47 convention
+# (shared linear-interpolation definition, ROUND 6 absorbing last-ulp
+# interpolation noise); the mean is one division of exact bigints.  At
+# 100 TB swap the exact percentile for approx_percentile per q47's
+# contract note.
+# --------------------------------------------------------------------------
+@query(
+    "q174_event_cadence",
+    """
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(CAST(SUM(gap_us) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(gap_us) AS DOUBLE)
+               / CAST(1000000 AS DOUBLE) AS mean_gap_s,
+           ROUND(quantile_cont(gap_us / CAST(1000000 AS DOUBLE), 0.50), 6)
+               AS p50_s,
+           ROUND(quantile_cont(gap_us / CAST(1000000 AS DOUBLE), 0.90), 6)
+               AS p90_s,
+           ROUND(quantile_cont(gap_us / CAST(1000000 AS DOUBLE), 0.99), 6)
+               AS p99_s
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q174_event_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    # Percentiles interpolate in SECONDS, not micros: the engines'
+    # interpolation formulas differ in the last ulp, and at 1e11-micros
+    # magnitudes that ulp (~1e-4) survives a 6-decimal round (measured:
+    # p90 off by 6e-5).  At ~1e5-second magnitudes the ulp is ~1e-11 and
+    # the round absorbs it — the same magnitude regime q47 relies on.
+    # Each micros int is double-exact and the /1e6 is one correctly-
+    # rounded division, identical in both engines.
+    gap_s = F.col("gap_us") / F.lit(1000000).cast("double")
+    pcts = F.percentile(
+        gap_s, F.array(*[F.lit(p) for p in (0.50, 0.90, 0.99)])
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        # The micros sum passes 2^53 well before sf0.1, and wide-int ->
+        # double conversion is not identically rounded across engines;
+        # both sides route the exact integer through its decimal string
+        # into correctly-rounded strtod (the q161 precedent).
+        (
+            F.sum("gap_us").cast("string").cast("double")
+            / F.count("gap_us").cast("double")
+            / F.lit(1000000).cast("double")
+        ).alias("mean_gap_s"),
+        pcts.alias("pcts"),
+    ).select(
+        "event_type",
+        "n_gaps",
+        "mean_gap_s",
+        F.round(F.col("pcts")[0], 6).alias("p50_s"),
+        F.round(F.col("pcts")[1], 6).alias("p90_s"),
+        F.round(F.col("pcts")[2], 6).alias("p99_s"),
+    )

@@ -3604,3 +3604,198 @@ def q170_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fk_grade"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q172 — top collocations by LIFT (PMI without the log): for every
+# adjacent token pair seen >= 5 times, lift = P(ab) / (P(a)P(b)) =
+# (n_ab * N * N) / (M * n_a * n_b) — the collocation-mining signal
+# phrase/tokenizer pipelines use to promote multi-word units.  Dropping
+# the log makes the score cross-engine EXACT where PMI cannot be: every
+# count is an exact integer < 2^53, and both engines evaluate the same
+# left-associated double product/division chain with one IEEE-correct
+# rounding per op — no libm, no quantum-boundary hazard (the q163/q169
+# literal-table lesson applied by eliminating the transcendental
+# entirely; rank order is log-invariant anyway).  Top-50 with
+# deterministic (lift DESC, a, b) tie-break.  At 100 TB: two
+# map-side-combined count aggregations (bigrams, unigrams), two
+# equi-joins AQE can broadcast when the frequent-pair set is small, and
+# 1-row totals broadcast-crossjoined; the >=5 support filter prunes the
+# heavy tail before any join.
+# --------------------------------------------------------------------------
+_Q172_MIN_SUPPORT, _Q172_TOPK = 5, 50
+
+
+def _q172_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT {SQL_TOKS} AS tk FROM documents
+    ),
+    uni AS (
+        SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t
+    ),
+    bi AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM (
+            SELECT unnest([struct_pack(a := tk[i], b := tk[i+1])
+                           for i in range(1, len(tk))], recursive := true)
+            FROM toks
+        ) GROUP BY a, b
+        HAVING COUNT(*) >= {_Q172_MIN_SUPPORT}
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM uni
+    ),
+    mtot AS (
+        SELECT CAST(SUM(len(tk) - 1) AS BIGINT) AS big_m FROM toks
+        WHERE len(tk) > 0
+    ),
+    scored AS (
+        SELECT bi.a, bi.b, bi.n_ab, ua.n AS n_a, ub.n AS n_b,
+               (CAST(bi.n_ab AS DOUBLE) * CAST(tot.big_n AS DOUBLE)
+                * CAST(tot.big_n AS DOUBLE))
+               / (CAST(mtot.big_m AS DOUBLE) * CAST(ua.n AS DOUBLE)
+                  * CAST(ub.n AS DOUBLE)) AS lift
+        FROM bi
+        JOIN uni ua ON ua.term = bi.a
+        JOIN uni ub ON ub.term = bi.b
+        CROSS JOIN tot CROSS JOIN mtot
+    )
+    SELECT a, b, n_ab, n_a, n_b, lift FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, a, b) AS rk
+        FROM scored
+    ) WHERE rk <= {_Q172_TOPK}
+    """
+
+
+@query("q172_term_lift_pairs", _q172_sql())
+def q172_term_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(T.tokens(F.col("text")).alias("tk"))
+    uni = toks.select(F.explode("tk").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    nt = F.size("tk")
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, F.greatest(nt - 1, F.lit(0))),
+                F.slice("tk", 2, F.greatest(nt - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bi = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _Q172_MIN_SUPPORT)
+    )
+    tot = uni.agg(F.sum("n").cast("bigint").alias("big_n"))
+    mtot = toks.filter(nt > 0).agg(
+        F.sum(nt - 1).cast("bigint").alias("big_m")
+    )
+    ua = uni.select(F.col("term").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("term").alias("b"), F.col("n").alias("n_b"))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("big_n").cast("double")
+        * F.col("big_n").cast("double")
+    ) / (
+        F.col("big_m").cast("double")
+        * F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+    )
+    scored = (
+        bi.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mtot))
+        .withColumn("lift", lift)
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-k + driver merge, unlike a global row_number
+    # window which would single-partition every surviving pair.
+    return (
+        scored.orderBy(F.col("lift").desc(), "a", "b")
+        .limit(_Q172_TOPK)
+        .select("a", "b", "n_ab", "n_a", "n_b", "lift")
+    )
+
+
+# --------------------------------------------------------------------------
+# q173 — lang-ID EVALUATION against the labeled corpus: per-class
+# n_true / n_pred / n_correct with recall and precision — the
+# confusion-derived quality contract for q22's marker heuristic, in the
+# q163/q167 "evaluate the operator as a first-class query" line (a
+# 100 TB deployment tracks this before trusting lang routing for
+# mixture decisions).  Classes are the union of true and predicted
+# labels (full outer join), so systematic over-prediction (e.g. 'und')
+# shows up as n_true=0 rows; zero denominators go NULL via nullif in
+# BOTH engines rather than riding engine-specific 0/0 semantics.
+# Counts are exact ints; recall/precision are single divisions.  At
+# 100 TB: the prediction is a scan-riding projection (q22's shape), the
+# two aggregations are map-side-combined on ~|langs| keys.
+# --------------------------------------------------------------------------
+def _q173_sql() -> str:
+    return f"""
+    WITH pred AS ({_lang_sql()}),
+    rowt AS (
+        SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM pred GROUP BY lang
+    ),
+    colt AS (
+        SELECT lang_pred AS cls, CAST(COUNT(*) AS BIGINT) AS n_pred
+        FROM pred GROUP BY lang_pred
+    )
+    SELECT COALESCE(rowt.cls, colt.cls) AS cls,
+           COALESCE(n_true, 0) AS n_true,
+           COALESCE(n_pred, 0) AS n_pred,
+           COALESCE(n_correct, 0) AS n_correct,
+           CAST(COALESCE(n_correct, 0) AS DOUBLE)
+               / NULLIF(CAST(COALESCE(n_true, 0) AS DOUBLE), 0) AS recall,
+           CAST(COALESCE(n_correct, 0) AS DOUBLE)
+               / NULLIF(CAST(COALESCE(n_pred, 0) AS DOUBLE), 0) AS precision
+    FROM rowt FULL OUTER JOIN colt ON rowt.cls = colt.cls
+    """
+
+
+@query("q173_langid_confusion", _q173_sql())
+def q173_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pred = T.language_id(d.select("doc_id", "lang", "text")).select(
+        "lang", "lang_pred"
+    )
+    rowt = pred.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    colt = pred.groupBy(F.col("lang_pred").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    j = rowt.join(colt, "cls", "full_outer")
+    n_true = F.coalesce("n_true", F.lit(0))
+    n_pred = F.coalesce("n_pred", F.lit(0))
+    n_corr = F.coalesce("n_correct", F.lit(0))
+    return j.select(
+        "cls",
+        n_true.alias("n_true"),
+        n_pred.alias("n_pred"),
+        n_corr.alias("n_correct"),
+        (
+            n_corr.cast("double")
+            / F.nullif(n_true.cast("double"), F.lit(0.0))
+        ).alias("recall"),
+        (
+            n_corr.cast("double")
+            / F.nullif(n_pred.cast("double"), F.lit(0.0))
+        ).alias("precision"),
+    )

@@ -101,10 +101,11 @@ _FAMILY_REPS = {
     "aggregations": {"q10_order_status_rollup", "q39_order_grouping_sets",
                      "q46_status_pivot", "q47_price_percentiles",
                      "q161_price_quantity_ols", "q162_source_gini",
-                     "q169_benford_price_audit"},
+                     "q169_benford_price_audit", "q171_rank_correlation"},
     "windows": {"q06_top3_orders_per_customer", "q07_customer_order_running",
                 "q45_trailing_spend_window", "q157_cusum_changepoints",
-                "q166_ewma_daily_orders", "q168_cumulative_distinct_users"},
+                "q166_ewma_daily_orders", "q168_cumulative_distinct_users",
+                "q174_event_cadence"},
     "set_ops": {"q12_building_big_spenders", "q13_machinery_never_urgent",
                 "q20_all_account_keys", "q153_source_overlap_matrix"},
     "scalar_fns": {"q16_events_json_profile", "q18_order_date_features",
@@ -113,7 +114,8 @@ _FAMILY_REPS = {
     "validation": {"q50_validated_lineitem", "q156_k_anonymity_audit"},
     "text": {"q21_doc_quality", "q22_language_id", "q24_tfidf_top_terms",
              "q128_bpe_encode", "q154_dsir_importance", "q158_token_entropy",
-             "q165_tokenizer_fertility", "q170_readability_scores"},
+             "q165_tokenizer_fertility", "q170_readability_scores",
+             "q172_term_lift_pairs", "q173_langid_confusion"},
     "dedup": {"q25_exact_dedup", "q26_minhash_near_dups",
               "q36_simhash_near_dups", "q57_dedup_clusters",
               "q146_containment_near_dups", "q152_winnow_decontamination",

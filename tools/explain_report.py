@@ -242,6 +242,23 @@ SHOWCASE = {
         "+ aggregate fold as a pure projection, posexplode back — the "
         "recursive smoothing runs inside Catalyst, no Python stage."
     ),
+    "q168_cumulative_distinct_users": (
+        "Running COUNT(DISTINCT) composition: the only wide shuffle is "
+        "the (type, user) first-seen dedup with map-side partials; the "
+        "daily-count side broadcasts onto the (type, day) grid and the "
+        "running sum windows over |types|x|days| rows, not events."
+    ),
+    "q171_rank_correlation": (
+        "All four rank/tie-count windows share ONE hash-partition "
+        "exchange on lang; the moment aggregation is algebraic "
+        "(map-side partials), and the rho math is a 5-row projection."
+    ),
+    "q172_term_lift_pairs": (
+        "Final top-k compiles to TakeOrderedAndProject (distributed "
+        "per-partition top-50 + driver merge, no global window); "
+        "unigram sides broadcast onto the support-pruned bigram "
+        "counts; totals are 1-row IdentityBroadcast cross joins."
+    ),
     "q167_minhash_recall_calibration": (
         "Band-recall calibration: truth via the inverted-index "
         "equi-join (shared-shingle counts, no pairwise array join — "
