@@ -2330,3 +2330,374 @@ def q174_event_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pcts")[1], 6).alias("p90_s"),
         F.round(F.col("pcts")[2], 6).alias("p99_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# q177 — signup-cohort CONVERSION LATENCY: per signup week, how many
+# users converted to a first purchase and how fast (median/p90 days,
+# exact mean) — the product-analytics companion to q98's retention
+# grid, and the composition a feature store materializes for LTV
+# labels.  First-signup and first-qualifying-purchase are min-aggs
+# (map-side partials); the gap stays exact integer MICROS until the
+# single VARCHAR-routed division chain (the sum passes 2^53, the q174
+# rule), and percentiles interpolate in DAYS where last-ulp engine
+# differences die under the 6-decimal round (q47 regime).
+# Non-converters stay in the cohort row (rate denominator) and drop
+# out of the latency stats as NULLs identically in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "q177_cohort_conversion_latency",
+    """
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    fp AS (
+        SELECT su.user_id, su.signup_ts,
+               MIN(CASE WHEN p.ts >= su.signup_ts THEN p.ts END)
+                   AS first_purchase_ts
+        FROM su LEFT JOIN events p
+          ON p.user_id = su.user_id AND p.event_type = 'purchase'
+        GROUP BY su.user_id, su.signup_ts
+    ),
+    g AS (
+        SELECT STRFTIME(date_trunc('week', signup_ts), '%Y-%m-%d')
+                   AS cohort_week,
+               epoch_us(first_purchase_ts) - epoch_us(signup_ts) AS gap_us
+        FROM fp
+    )
+    SELECT cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_converted,
+           CAST(COUNT(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS conversion_rate,
+           CAST(CAST(SUM(gap_us) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(gap_us) AS DOUBLE)
+               / CAST(86400000000 AS DOUBLE) AS mean_days,
+           ROUND(quantile_cont(gap_us / CAST(86400000000 AS DOUBLE), 0.50), 6)
+               AS p50_days,
+           ROUND(quantile_cont(gap_us / CAST(86400000000 AS DOUBLE), 0.90), 6)
+               AS p90_days
+    FROM g GROUP BY cohort_week
+    """,
+)
+def q177_cohort_conversion_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    fp = (
+        su.join(pu, "user_id", "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.min(
+                F.when(F.col("ts") >= F.col("signup_ts"), F.col("ts"))
+            ).alias("first_purchase_ts")
+        )
+    )
+    gap_us = F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
+    g = fp.select(
+        F.date_format(F.date_trunc("week", "signup_ts"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        gap_us.alias("gap_us"),
+    )
+    day_us = F.lit(86400000000).cast("double")
+    gap_days = F.col("gap_us") / day_us
+    pcts = F.percentile(gap_days, F.array(F.lit(0.50), F.lit(0.90)))
+    return g.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+        F.count("gap_us").cast("bigint").alias("n_converted"),
+        (
+            F.count("gap_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("conversion_rate"),
+        (
+            F.sum("gap_us").cast("string").cast("double")
+            / F.count("gap_us").cast("double")
+            / day_us
+        ).alias("mean_days"),
+        pcts.alias("pcts"),
+    ).select(
+        "cohort_week",
+        "n_signups",
+        "n_converted",
+        "conversion_rate",
+        "mean_days",
+        F.round(F.col("pcts")[0], 6).alias("p50_days"),
+        F.round(F.col("pcts")[1], 6).alias("p90_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q179 — market-concentration audit: per-nation supplier revenue HHI
+# (Herfindahl–Hirschman index, the antitrust-standard Σ share² that
+# complements q162's Gini) plus the top-supplier share.  Exactness:
+# per-row revenue is DECIMAL(18,2)*(1-DECIMAL(18,2)) — exact 4-dp money
+# — summed exactly per supplier; the square happens on the supplier
+# aggregate DOWN-CAST to DECIMAL(19,4) so the product type widens to
+# exactly both engines' 38-digit multiply budget (DuckDB rejects
+# 38x38 and overflows an 18x18 target at this revenue scale); the
+# final HHI routes Σr² and R through their exact decimal strings into
+# strtod doubles (both exceed 2^53 at scale) and evaluates the
+# identical a/(b*b) tree.  At 100 TB: two map-side-combined aggregates
+# and a broadcast supplier→nation dimension join.
+# --------------------------------------------------------------------------
+@query(
+    "q179_market_concentration",
+    """
+    WITH r AS (
+        SELECT s_nationkey AS nk, l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               SUM(rev) AS tot,
+               SUM(CAST(rev AS DECIMAL(19,4))
+                   * CAST(rev AS DECIMAL(19,4))) AS sumsq,
+               MAX(rev) AS mx
+        FROM r GROUP BY nk
+    )
+    SELECT n.n_name AS nation, n_suppliers,
+           CAST(CAST(sumsq AS VARCHAR) AS DOUBLE)
+               / (CAST(CAST(tot AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(tot AS VARCHAR) AS DOUBLE)) AS hhi,
+           CAST(CAST(mx AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS top_share
+    FROM m JOIN nation n ON n.n_nationkey = m.nk
+    """,
+)
+def q179_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    r = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_nationkey").alias("nk"), "l_suppkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    rd = F.col("rev").cast("decimal(19,4)")
+    m = r.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("rev").alias("tot"),
+        F.sum(rd * rd).alias("sumsq"),
+        F.max("rev").alias("mx"),
+    )
+    as_d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    return (
+        m.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            m.nk == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            (as_d("sumsq") / (as_d("tot") * as_d("tot"))).alias("hhi"),
+            (as_d("mx") / as_d("tot")).alias("top_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q180 — RFM SEGMENTATION: users bucketed into recency / frequency /
+# monetary terciles (NTILE(3), identical definition in both engines,
+# deterministic (metric, user_id) orderings), then per-segment counts
+# and exact means — the standard audience-segmentation rollup, and the
+# label-generation shape for churn models.  Monetary sums quantize
+# event values to exact integer CENTS first (the corpus is 2-decimal;
+# a double sum would be partition-order dependent); recency is exact
+# integer micros from each user's last event to the corpus max (a
+# 1-row broadcast), floored to whole days.  At 100 TB: one per-user
+# aggregate, three tiny global NTILE windows over |users| rows — if
+# users outgrow a single window partition, swap NTILE for
+# percent_rank-over-approx-quantile cuts (q125's contract note).
+# --------------------------------------------------------------------------
+@query(
+    "q180_rfm_segments",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(ts) AS corpus_max FROM events),
+    f AS (
+        SELECT user_id, freq, cents,
+               CAST((epoch_us(corpus_max) - epoch_us(last_ts))
+                    // 86400000000 AS BIGINT) AS recency_days
+        FROM u CROSS JOIN mx
+    ),
+    b AS (
+        SELECT user_id, freq, cents, recency_days,
+               NTILE(3) OVER (ORDER BY recency_days, user_id) AS r_bucket,
+               NTILE(3) OVER (ORDER BY freq DESC, user_id) AS f_bucket,
+               NTILE(3) OVER (ORDER BY cents DESC, user_id) AS m_bucket
+        FROM f
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS avg_monetary,
+           CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_frequency,
+           CAST(CAST(SUM(recency_days) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_recency_days
+    FROM b GROUP BY r_bucket, f_bucket, m_bucket
+    """,
+)
+def q180_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents_row = F.round(F.col("value") * 100, 0).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(cents_row).cast("bigint").alias("cents"),
+        F.max("ts").alias("last_ts"),
+    )
+    mx = ev.agg(F.max("ts").alias("corpus_max"))
+    f = u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "freq",
+        "cents",
+        F.floor(
+            (F.unix_micros("corpus_max") - F.unix_micros("last_ts"))
+            / F.lit(86400000000)
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+    )
+    b = f.select(
+        "user_id",
+        "freq",
+        "cents",
+        "recency_days",
+        F.ntile(3)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .alias("r_bucket"),
+        F.ntile(3)
+        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
+        .alias("f_bucket"),
+        F.ntile(3)
+        .over(Window.orderBy(F.col("cents").desc(), "user_id"))
+        .alias("m_bucket"),
+    )
+    cnt_d = F.count(F.lit(1)).cast("double")
+    return b.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (
+            F.sum("cents").cast("bigint").cast("double")
+            / cnt_d
+            / F.lit(100).cast("double")
+        ).alias("avg_monetary"),
+        (F.sum("freq").cast("bigint").cast("double") / cnt_d).alias(
+            "avg_frequency"
+        ),
+        (F.sum("recency_days").cast("bigint").cast("double") / cnt_d).alias(
+            "avg_recency_days"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q181 — BURSTINESS (Fano factor) per event type: variance-to-mean of
+# per-minute arrival counts over the corpus's full minute span — ~1 for
+# a Poisson process, >>1 for bursty/bot traffic; the q95 anomaly
+# screen's aggregate twin.  Zero-minutes are handled WITHOUT a grid
+# explode: a minute with no events contributes nothing to either
+# moment, so Fano = (N*Σx² - T²) / (N*T) needs only the nonzero
+# per-minute counts plus the span length N from a 1-row broadcast —
+# the algebraic-moments trick that keeps the shuffle at |nonzero
+# minutes| rows.  Every moment is an exact integer (minute ids via
+# integral `div`, never a double path; the combination runs in
+# DECIMAL(19,0) products since t*t passes 2^63 at scale); the two
+# final operands route through decimal strings into one identical
+# division.
+# --------------------------------------------------------------------------
+@query(
+    "q181_event_burstiness",
+    """
+    WITH m AS (
+        SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT (MAX(epoch_us(ts)) // 60000000)
+               - (MIN(epoch_us(ts)) // 60000000) + 1 AS n_minutes
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(x) AS BIGINT) AS t,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(COUNT(*) AS BIGINT) AS nonzero_minutes
+        FROM m GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(span.n_minutes AS BIGINT) AS n_minutes,
+           t AS n_events,
+           nonzero_minutes,
+           CAST(CAST(t AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(span.n_minutes AS VARCHAR) AS DOUBLE)
+               AS mean_per_min,
+           CAST(CAST(CAST(span.n_minutes AS DECIMAL(19,0))
+                          * CAST(sxx AS DECIMAL(19,0))
+                          - CAST(t AS DECIMAL(19,0))
+                            * CAST(t AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(span.n_minutes AS DECIMAL(19,0))
+                           * CAST(t AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
+               AS fano
+    FROM agg CROSS JOIN span
+    """,
+)
+def q181_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 60000000").alias("minute"),
+    ).groupBy("event_type", "minute").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    span = ev.agg(
+        (
+            F.expr("max(unix_micros(ts)) div 60000000")
+            - F.expr("min(unix_micros(ts)) div 60000000")
+            + F.lit(1)
+        ).alias("n_minutes")
+    )
+    agg = m.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("t"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.count(F.lit(1)).cast("bigint").alias("nonzero_minutes"),
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    # t*t passes 2^63 long before 100 TB (t ~ 1e12 per type), so the
+    # moment combination runs in DECIMAL(19,0) products like q182.
+    dec = "decimal(19,0)"
+    nm = F.col("n_minutes")
+    nmd, td, sxxd = nm.cast(dec), F.col("t").cast(dec), F.col("sxx").cast(dec)
+    return agg.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        nm.cast("bigint").alias("n_minutes"),
+        F.col("t").alias("n_events"),
+        "nonzero_minutes",
+        (as_d(F.col("t")) / as_d(nm)).alias("mean_per_min"),
+        (as_d(nmd * sxxd - td * td) / as_d(nmd * td)).alias("fano"),
+    )

@@ -35,19 +35,22 @@ _merge(_an)
 # out when the catalog grew past 50).  tests/test_oracle_parity.py covers
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
-    # Round-6 final rotation: ALL 43 queries that have never had an
+    # Round-6 final rotation: the queries that have never had an
     # independent driver correctness round lead (q132-q141 landed after
-    # the r5 window was sampled; q142-q174 are new this round), followed
+    # the r5 window was sampled; q142-q176 are new this round), followed
     # by the 4 HUGEINT-oracle fixes (q55/q68/q70/q78 — red in r5 purely
     # from DuckDB's count_if/windowed-SUM HUGEINT rendering, now cast to
     # BIGINT; their re-verification proves the fix driver-green).  The
-    # last 3 slots keep >=1 entry per SURVEY.md §2.4 family (asserted by
+    # last 2 slots keep >=1 entry per SURVEY.md §2.4 family (asserted by
     # test_driver_window_covers_every_family): q31 multimodal + q89 SQL
-    # front end have no round-6 member, plus stalest-rep q07 (q04/q12/
-    # q18/q39 rotated out as q171-q174 landed; their families keep
-    # round-6 members in the window — joins q133/q134/q139/q142,
-    # aggregations q161/q162/q169/q171, set_ops q153, scalar_fns
-    # q138/q148).  Rotated-out queries stay hash-gated by
+    # front end have no round-6 member (q04/q07/q12/q18/q39 rotated out
+    # as q171-q175 landed; their families keep round-6 members in the
+    # window — joins q133/q134/q139/q142, aggregations q161/q162/q169/
+    # q171, windows q157/q166/q168/q174, set_ops q153, scalar_fns
+    # q138/q148).  q176-q182 are the catalog entries the packed window
+    # cannot hold (the q164 precedent last session): they stay
+    # hash-gated by the in-suite full-catalog oracle run until the
+    # next rotation frees slots.  Rotated-out queries stay hash-gated by
     # tests/test_oracle_parity.py every pytest run.
     "q132_temperature_mixture",
     "q133_asof_tolerance_attribution",
@@ -92,13 +95,13 @@ CORRECTNESS_WINDOW = [
     "q172_term_lift_pairs",
     "q173_langid_confusion",
     "q174_event_cadence",
+    "q175_embedding_norm_audit",
     "q55_sequence_packing",
     "q68_agg_surface",
     "q70_priority_mix_unpivot",
     "q78_status_priority_crosstab",
     "q31_payload_stats",
     "q89_product_nation_profit",
-    "q07_customer_order_running",
 ]
 
 

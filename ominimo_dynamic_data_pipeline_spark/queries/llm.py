@@ -3799,3 +3799,314 @@ def q173_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(n_pred.cast("double"), F.lit(0.0))
         ).alias("precision"),
     )
+
+
+# --------------------------------------------------------------------------
+# q175 — embedding HYGIENE audit per label: vector count, exact mean L2
+# norm, min/max norm, median norm, and the near-zero fraction — the
+# pre-flight check an ANN/semantic pipeline runs before trusting cosine
+# distances (zero or wildly-scaled vectors silently poison q29/q30/q44
+# and every IVF assignment).  Norm doubles are bit-identical across
+# engines (the q29 evidence: sequential fold == list_dot_product, one
+# IEEE sqrt; squares by multiplication, never pow).  The MEAN is where
+# naive float aggregation breaks — summation order varies per partition
+# — so norms quantize to exact integer MICRO-units first (a .5 tie
+# cannot arise from irrational sqrt outputs, and both engines round
+# positives half-away), sum exactly, divide once.  The median sits in
+# the q47 small-magnitude regime where a 6-decimal round absorbs
+# last-ulp interpolation.  At 100 TB: one narrow scan-riding projection
+# plus a map-side-combined aggregate on |labels| keys.
+# --------------------------------------------------------------------------
+@query(
+    "q175_embedding_norm_audit",
+    """
+    WITH n AS (
+        SELECT label,
+               SQRT(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(SUM(CAST(ROUND(nrm * 1000000, 0) AS BIGINT))
+                     AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
+               / CAST(1000000 AS DOUBLE) AS mean_norm,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm,
+           ROUND(quantile_cont(nrm, 0.50), 6) AS p50_norm,
+           CAST(SUM(CASE WHEN nrm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near_zero
+    FROM n
+    GROUP BY label
+    """,
+)
+def q175_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("embedding"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    n = e.select("label", nrm.alias("nrm"))
+    nq = F.round(F.col("nrm") * 1000000, 0).cast("bigint")
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.sum(nq).cast("bigint").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000).cast("double")
+        ).alias("mean_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.round(F.percentile("nrm", F.lit(0.50)), 6).alias("p50_norm"),
+        F.sum(F.when(F.col("nrm") < 0.000001, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near_zero"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q176 — duplicate-cluster SIZE DISTRIBUTION: how many near-dup
+# clusters of each size the corpus holds, plus the singleton row — the
+# one-table answer to "how duplicated is this corpus?" that a dedup
+# rollout reports before choosing keep-one-per-cluster (q49) vs
+# threshold tuning (q167).  Reuses the q57 machinery (q26 LSH pairs ->
+# iterative min-label components), then reduces clusters to a
+# |distinct sizes|-row histogram; the singleton count is total docs
+# minus clustered docs via two 1-row broadcast aggregates — no
+# re-scan of text, no driver collect.  All counts exact bigints.
+# --------------------------------------------------------------------------
+def _q176_sql() -> str:
+    cl = _dedup_clusters_sql().strip()
+    return f"""
+    WITH cl AS ({cl}),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM cl GROUP BY cluster_id
+    ),
+    hist AS (
+        SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY sz
+    ),
+    singles AS (
+        SELECT CAST(1 AS BIGINT) AS sz,
+               CAST((SELECT COUNT(*) FROM documents)
+                    - (SELECT COUNT(*) FROM cl) AS BIGINT) AS n_clusters
+    )
+    SELECT sz, n_clusters, CAST(sz * n_clusters AS BIGINT) AS n_docs
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+    """
+
+
+@query("q176_dup_cluster_sizes", _q176_sql())
+def q176_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(
+        d, threshold=0.5, cache_shingles=True,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
+    cl = D.dedup_clusters(pairs)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    hist = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    ncl = cl.agg(F.count(F.lit(1)).alias("n_clustered"))
+    singles = (
+        tot.crossJoin(F.broadcast(ncl))
+        .select(
+            F.lit(1).cast("bigint").alias("sz"),
+            (F.col("n_total") - F.col("n_clustered"))
+            .cast("bigint")
+            .alias("n_clusters"),
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .select(
+            "sz",
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q178 — VOCABULARY COVERAGE curve: what fraction of the corpus token
+# stream the top-100/1k/10k terms cover — the tokenizer-budget planning
+# number (how big a vocab before OOV mass is negligible) that pairs
+# with q165's fertility and q109's merge mining.  Scalable shape: the
+# vocab never sorts globally — the top-10k slice comes from a
+# distributed TakeOrdered (tf DESC, term), the row_number window runs
+# on that 10k-row frame only, and the k-thresholds explode from a
+# 3-literal array; the grand total is a 1-row broadcast.  Counts exact
+# bigints, coverage one double division.
+# --------------------------------------------------------------------------
+_Q178_KS = (100, 1000, 10000)
+
+
+def _q178_sql() -> str:
+    ks = ", ".join(str(k) for k in _Q178_KS)
+    return f"""
+    WITH uni AS (
+        SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT unnest({SQL_TOKS}) AS t FROM documents) GROUP BY t
+    ),
+    topk AS (
+        SELECT term, tf, ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rn
+        FROM (SELECT * FROM uni ORDER BY tf DESC, term LIMIT {max(_Q178_KS)})
+    ),
+    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_size FROM uni)
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(tf) AS BIGINT) AS tokens_covered,
+           CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)
+               / CAST(tot.total_tokens AS DOUBLE) AS coverage_frac,
+           tot.vocab_size
+    FROM topk CROSS JOIN tot CROSS JOIN (SELECT unnest([{ks}]) AS k)
+    WHERE rn <= k
+    GROUP BY k, tot.total_tokens, tot.vocab_size
+    """
+
+
+@query("q178_vocab_coverage", _q178_sql())
+def q178_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    # Distributed top-k (TakeOrderedAndProject); the row_number window
+    # then runs on the 10k-row slice only.
+    topk = uni.orderBy(F.col("tf").desc(), "term").limit(max(_Q178_KS))
+    topk = topk.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("tf").desc(), "term")),
+    )
+    tot = uni.agg(
+        F.sum("tf").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _Q178_KS])).alias("k")
+    )
+    return (
+        topk.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("k", "total_tokens", "vocab_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("tf").cast("bigint").alias("tokens_covered"),
+        )
+        .select(
+            "k",
+            "n_terms",
+            "tokens_covered",
+            (
+                F.col("tokens_covered").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage_frac"),
+            "vocab_size",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q182 — per-DIMENSION embedding statistics: mean, std, min/max and
+# zero counts for each of the 64 dims — q175's norm audit drilled into
+# coordinates (dead dims, collapsed variance, scaling bugs all show
+# here first, and IVF/PQ quality depends on them).  Coordinates
+# quantize to exact integer MICRO-units before any sum (float32→double
+# is exact, the scaled round is deterministic and both engines round
+# halves away from zero), so the moments are exact bigints; mean and
+# variance assemble via the VARCHAR→strtod route and one IEEE sqrt.
+# Spark's posexplode and DuckDB's parallel unnest(range)/unnest(list)
+# give identical 0-based dims.  At 100 TB: the explode is a narrow
+# 64x projection feeding a map-side-combined 64-key aggregate — the
+# shuffle carries 64 rows per task.
+# --------------------------------------------------------------------------
+@query(
+    "q182_embedding_dim_stats",
+    """
+    WITH c AS (
+        SELECT unnest(range(len(embedding))) AS dim,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ),
+    q AS (
+        SELECT dim, val,
+               CAST(ROUND(val * 1000000, 0) AS BIGINT) AS vq
+        FROM c
+    ),
+    m AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vq) AS BIGINT) AS s1,
+               CAST(SUM(vq * vq) AS BIGINT) AS s2,
+               MIN(val) AS min_val,
+               MAX(val) AS max_val,
+               CAST(SUM(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero
+        FROM q GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+               / CAST(1000000 AS DOUBLE) AS mean_val,
+           SQRT(CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0))
+                          - CAST(s1 AS DECIMAL(19,0))
+                            * CAST(s1 AS DECIMAL(19,0)) AS VARCHAR)
+                     AS DOUBLE))
+               / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE) AS std_val,
+           min_val, max_val, n_zero
+    FROM m
+    """,
+)
+def q182_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "valf")
+    ).select("dim", F.col("valf").cast("double").alias("val"))
+    vq = F.round(F.col("val") * 1000000, 0).cast("bigint")
+    m = c.withColumn("vq", vq).groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vq").cast("bigint").alias("s1"),
+        F.sum(F.col("vq") * F.col("vq")).cast("bigint").alias("s2"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum(F.when(F.col("val") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    as_d = lambda c_: c_.cast("string").cast("double")  # noqa: E731
+    # n*s2 wraps a bigint from sf0.1 up (5e3 vecs x 5e15), so the moment
+    # combination runs in DECIMAL(19,0)x(19,0) -> (38,0) — the widest
+    # product both engines accept (DuckDB rejects 38x38).
+    dec = "decimal(19,0)"
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    nd, s1d, s2d = n.cast(dec), s1.cast(dec), s2.cast(dec)
+    mil = F.lit(1000000).cast("double")
+    return m.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        (as_d(s1) / n.cast("double") / mil).alias("mean_val"),
+        (
+            F.sqrt(as_d(nd * s2d - s1d * s1d)) / n.cast("double") / mil
+        ).alias("std_val"),
+        "min_val",
+        "max_val",
+        "n_zero",
+    )

@@ -119,11 +119,11 @@ _FAMILY_REPS = {
     "dedup": {"q25_exact_dedup", "q26_minhash_near_dups",
               "q36_simhash_near_dups", "q57_dedup_clusters",
               "q146_containment_near_dups", "q152_winnow_decontamination",
-              "q167_minhash_recall_calibration"},
+              "q167_minhash_recall_calibration", "q176_dup_cluster_sizes"},
     "similarity": {"q29_knn_bruteforce", "q30_knn_lsh", "q44_knn_ivf",
                    "q129_semantic_decontamination",
                    "q155_hybrid_rrf_retrieval", "q160_mmr_rerank",
-                   "q163_retrieval_eval"},
+                   "q163_retrieval_eval", "q175_embedding_norm_audit"},
     "multimodal": {"q31_payload_stats", "q32_multimodal_features",
                    "q52_frame_samples"},
     "streaming": {"q33_tumbling_event_counts", "q34_user_sessions",

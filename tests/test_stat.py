@@ -127,3 +127,197 @@ def test_cusum_changepoint_rejects_bad_values(spark):
     )
     with pytest.raises(Exception, match="NULL in value_col"):
         cusum_changepoint(withnull, "g", "t", "x").collect()
+
+
+# --- round-6 additions: semantic pins independent of the DuckDB oracles ---
+
+
+def test_spearman_matches_python_reference(spark, sf_dir):
+    """q171's doubled-tie-rank moment algebra against a direct Python
+    computation of Spearman's rho (tie-averaged ranks, textbook formula)
+    on the same rows — an independent-semantics check, not a restatement
+    of the oracle SQL."""
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        q171_rank_correlation,
+    )
+
+    got = {
+        r["lang"]: (r["n"], r["spearman_rho"])
+        for r in q171_rank_correlation(spark, sf_dir).collect()
+    }
+
+    from ominimo_dynamic_data_pipeline_spark.llm.text import tokens as tok
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.col("n_chars").alias("x"),
+            F.size(tok(F.col("text"))).alias("y"),
+        )
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["x"], r["y"]))
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = avg
+            i = j
+        return ranks
+
+    for lang, pts in by_lang.items():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(pts)
+        mean_rx = sum(rx) / n
+        mean_ry = sum(ry) / n
+        cov = sum((a - mean_rx) * (b - mean_ry) for a, b in zip(rx, ry))
+        vx = sum((a - mean_rx) ** 2 for a in rx)
+        vy = sum((b - mean_ry) ** 2 for b in ry)
+        expect = cov / (vx**0.5 * vy**0.5)
+        gn, grho = got[lang]
+        assert gn == n
+        assert abs(grho - expect) < 1e-9, (lang, grho, expect)
+
+
+def test_benford_audit_is_consistent(spark, sf_dir):
+    """q169 invariants: fractions sum to 1 on both columns, counts sum to
+    the positive-price row count, chi2 terms are non-negative and match
+    the definition recomputed from the output's own columns."""
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        q169_benford_price_audit,
+    )
+
+    rows = q169_benford_price_audit(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    n_pos = li.filter(F.col("l_extendedprice") > 0).count()
+    assert sum(r["n"] for r in rows) == n_pos
+    assert abs(sum(r["obs_frac"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r["exp_frac"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        d = r["obs_frac"] - r["exp_frac"]
+        assert r["chi2_term"] >= 0
+        assert abs(r["chi2_term"] - d * d / r["exp_frac"]) < 1e-15
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    """q178: coverage grows with k, n_terms caps at min(k, vocab), and
+    the fraction is covered/total exactly."""
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        q178_vocab_coverage,
+    )
+
+    rows = sorted(
+        q178_vocab_coverage(spark, sf_dir).collect(), key=lambda r: r["k"]
+    )
+    prev_cov = -1.0
+    for r in rows:
+        assert r["n_terms"] == min(r["k"], r["vocab_size"])
+        assert r["coverage_frac"] >= prev_cov
+        prev_cov = r["coverage_frac"]
+    assert rows[-1]["coverage_frac"] <= 1.0
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """q179: 1/n <= HHI <= 1 and HHI >= top_share^2 (Cauchy-Schwarz)."""
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        q179_market_concentration,
+    )
+
+    for r in q179_market_concentration(spark, sf_dir).collect():
+        n = r["n_suppliers"]
+        assert 1.0 / n - 1e-12 <= r["hhi"] <= 1.0 + 1e-12
+        assert r["hhi"] >= r["top_share"] ** 2 - 1e-12
+        assert 0.0 <= r["top_share"] <= 1.0
+
+
+def test_rfm_terciles_balanced(spark, sf_dir):
+    """q180: each metric's tercile marginals are balanced within 1 user
+    (NTILE contract) and cover every user exactly once."""
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        q180_rfm_segments,
+    )
+
+    rows = q180_rfm_segments(spark, sf_dir).collect()
+    total = sum(r["n_users"] for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_users
+    for dim in ("r_bucket", "f_bucket", "m_bucket"):
+        marg: dict = {}
+        for r in rows:
+            marg[r[dim]] = marg.get(r[dim], 0) + r["n_users"]
+        assert set(marg) == {1, 2, 3}
+        assert max(marg.values()) - min(marg.values()) <= 1
+
+
+def test_fano_matches_python_reference(spark, sf_dir):
+    """q181's algebraic-moments Fano against a direct Python computation
+    over the zero-inclusive minute grid."""
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        q181_event_burstiness,
+    )
+
+    got = {
+        r["event_type"]: r for r in q181_event_burstiness(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_micros(ts) div 60000000").alias("m"))
+        .collect()
+    )
+    mins = [r["m"] for r in rows]
+    lo, hi = min(mins), max(mins)
+    n_minutes = hi - lo + 1
+    per_type: dict = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], {}).setdefault(r["m"], 0)
+        per_type[r["event_type"]][r["m"]] += 1
+    for et, counts in per_type.items():
+        xs = list(counts.values()) + [0] * (n_minutes - len(counts))
+        n = len(xs)
+        mean = sum(xs) / n
+        var = sum((x - mean) ** 2 for x in xs) / n
+        g = got[et]
+        assert g["n_minutes"] == n_minutes
+        assert g["n_events"] == sum(xs)
+        assert abs(g["mean_per_min"] - mean) < 1e-9
+        assert abs(g["fano"] - var / mean) < 1e-9, (et, g["fano"], var / mean)
+
+
+def test_dim_stats_match_python_reference(spark, sf_dir):
+    """q182's quantized integer moments against float64 statistics over
+    the collected embedding matrix (micro-quantization bounds the
+    divergence at the 1e-6 quantum)."""
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        q182_embedding_dim_stats,
+    )
+
+    got = {r["dim"]: r for r in q182_embedding_dim_stats(spark, sf_dir).collect()}
+    vecs = [
+        r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    ]
+    dim = len(vecs[0])
+    assert set(got) == set(range(dim))
+    for d in range(dim):
+        col = [float(v[d]) for v in vecs]
+        n = len(col)
+        mean = sum(col) / n
+        var = sum((x - mean) ** 2 for x in col) / n
+        g = got[d]
+        assert g["n"] == n
+        assert abs(g["mean_val"] - mean) < 2e-6
+        assert abs(g["std_val"] - var**0.5) < 2e-6
+        assert g["min_val"] == min(col) and g["max_val"] == max(col)

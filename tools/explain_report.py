@@ -259,6 +259,24 @@ SHOWCASE = {
         "unigram sides broadcast onto the support-pruned bigram "
         "counts; totals are 1-row IdentityBroadcast cross joins."
     ),
+    "q174_event_cadence": (
+        "Inter-arrival gaps: ONE exchange on (event_type, user_id) "
+        "feeds both the lag window and, after re-agg, the percentile "
+        "aggregate — per-user partitioning keeps the sort parallel "
+        "where a per-type window would single-thread each type."
+    ),
+    "q176_dup_cluster_sizes": (
+        "Cluster-size histogram: the q57 component machinery reduced "
+        "twice (cluster -> size, size -> count); the singleton row is "
+        "two 1-row IdentityBroadcast aggregates — no text re-scan, no "
+        "driver collect."
+    ),
+    "q178_vocab_coverage": (
+        "Coverage curve: the vocab never sorts globally — "
+        "TakeOrderedAndProject yields the 10k slice, the row_number "
+        "window runs on that slice only, k-thresholds explode from a "
+        "3-literal broadcast array."
+    ),
     "q167_minhash_recall_calibration": (
         "Band-recall calibration: truth via the inverted-index "
         "equi-join (shared-shingle counts, no pairwise array join — "
