@@ -47,7 +47,7 @@ CORRECTNESS_WINDOW = [
     # as q171-q175 landed; their families keep round-6 members in the
     # window — joins q133/q134/q139/q142, aggregations q161/q162/q169/
     # q171, windows q157/q166/q168/q174, set_ops q153, scalar_fns
-    # q138/q148).  q176-q182 are the catalog entries the packed window
+    # q138/q148).  q176-q184 are the catalog entries the packed window
     # cannot hold (the q164 precedent last session): they stay
     # hash-gated by the in-suite full-catalog oracle run until the
     # next rotation frees slots.  Rotated-out queries stay hash-gated by

