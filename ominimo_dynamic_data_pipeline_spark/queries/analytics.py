@@ -18,7 +18,10 @@ from pyspark.sql.window import Window
 
 from ominimo_dynamic_data_pipeline_spark.llm.text import tokens
 from ominimo_dynamic_data_pipeline_spark.queries.llm import SQL_TOKS
-from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+from ominimo_dynamic_data_pipeline_spark.queries.tables import (
+    exact_str_double,
+    load_table,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2106,8 +2109,10 @@ def _q169_sql() -> str:
     )
     return f"""
     WITH c AS (
-        SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
-        FROM lineitem WHERE l_extendedprice > 0
+        SELECT cents FROM (
+            SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+            FROM lineitem WHERE l_extendedprice > 0
+        ) WHERE cents >= 1
     ),
     counts AS (
         SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
@@ -2130,14 +2135,27 @@ def _q169_sql() -> str:
 @query("q169_benford_price_audit", _q169_sql())
 def q169_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cents = li.filter(F.col("l_extendedprice") > 0).select(
-        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents")
+    # cents == 0 (prices under half a cent) has no leading 1-9 digit;
+    # both engines drop such rows BEFORE counting so the chi-square
+    # denominator agrees too.
+    cents = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .filter(F.col("cents") >= 1)
     )
-    counts = cents.select(
-        F.substring(F.col("cents").cast("string"), 1, 1)
-        .cast("bigint")
-        .alias("digit")
-    ).groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    counts = (
+        cents.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
     exp_frac = F.lit(None).cast("double")
     for d, lit in _Q169_BENFORD.items():
         exp_frac = F.when(F.col("digit") == d, F.lit(float(lit))).otherwise(
@@ -2173,8 +2191,9 @@ def q169_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division by a product of IEEE-exact sqrts.  Per-lang windows keep the
 # rank sort parallel across groups (no global sort); at 100 TB widen
 # the bigint rank products to DECIMAL before summing if a single lang
-# exceeds ~3e9 docs.  Degenerate zero-variance groups would yield
-# NaN/Inf identically in both engines (IEEE semantics).
+# exceeds ~3e9 docs.  Degenerate zero-variance groups yield NULL
+# identically in both engines (non-ANSI Spark and DuckDB both return
+# NULL for double division by zero).
 # --------------------------------------------------------------------------
 @query(
     "q171_rank_correlation",
@@ -2239,7 +2258,7 @@ def q171_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((dy * dy).cast(dec)).alias("syy"),
     )
     n = F.col("n")
-    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    as_d = exact_str_double
     num = as_d(n * F.col("sxy") - F.col("sx") * F.col("sy"))
     vx = as_d(n * F.col("sxx") - F.col("sx") * F.col("sx"))
     vy = as_d(n * F.col("syy") - F.col("sy") * F.col("sy"))
@@ -2312,12 +2331,12 @@ def q174_event_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return g.groupBy("event_type").agg(
         F.count("gap_us").cast("bigint").alias("n_gaps"),
-        # The micros sum passes 2^53 well before sf0.1, and wide-int ->
-        # double conversion is not identically rounded across engines;
-        # both sides route the exact integer through its decimal string
-        # into correctly-rounded strtod (the q161 precedent).
+        # The micros sum passes 2^53 well before sf0.1 (string-routed,
+        # the q161 precedent) and would WRAP a 64-bit long at the 100 TB
+        # posture — so it accumulates in DECIMAL, like the oracle's
+        # HUGEINT sum.
         (
-            F.sum("gap_us").cast("string").cast("double")
+            exact_str_double(F.sum(F.col("gap_us").cast("decimal(19,0)")))
             / F.count("gap_us").cast("double")
             / F.lit(1000000).cast("double")
         ).alias("mean_gap_s"),
@@ -2418,7 +2437,7 @@ def q177_cohort_conversion_latency(
             / F.count(F.lit(1)).cast("double")
         ).alias("conversion_rate"),
         (
-            F.sum("gap_us").cast("string").cast("double")
+            exact_str_double(F.sum(F.col("gap_us").cast("decimal(19,0)")))
             / F.count("gap_us").cast("double")
             / day_us
         ).alias("mean_days"),
@@ -2497,7 +2516,7 @@ def q179_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rd * rd).alias("sumsq"),
         F.max("rev").alias("mx"),
     )
-    as_d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    as_d = exact_str_double
     return (
         m.join(
             F.broadcast(nat.select("n_nationkey", "n_name")),
@@ -2599,19 +2618,18 @@ def q180_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m_bucket"),
     )
     cnt_d = F.count(F.lit(1)).cast("double")
+    # Segment sums accumulate in DECIMAL: the cents sum wraps a 64-bit
+    # long at the 100 TB posture (oracle side is HUGEINT-exact).
+    dsum = lambda c: exact_str_double(  # noqa: E731
+        F.sum(F.col(c).cast("decimal(19,0)"))
+    )
     return b.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        (
-            F.sum("cents").cast("bigint").cast("double")
-            / cnt_d
-            / F.lit(100).cast("double")
-        ).alias("avg_monetary"),
-        (F.sum("freq").cast("bigint").cast("double") / cnt_d).alias(
-            "avg_frequency"
+        (dsum("cents") / cnt_d / F.lit(100).cast("double")).alias(
+            "avg_monetary"
         ),
-        (F.sum("recency_days").cast("bigint").cast("double") / cnt_d).alias(
-            "avg_recency_days"
-        ),
+        (dsum("freq") / cnt_d).alias("avg_frequency"),
+        (dsum("recency_days") / cnt_d).alias("avg_recency_days"),
     )
 
 
@@ -2687,7 +2705,7 @@ def q181_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.count(F.lit(1)).cast("bigint").alias("nonzero_minutes"),
     )
-    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    as_d = exact_str_double
     # t*t passes 2^63 long before 100 TB (t ~ 1e12 per type), so the
     # moment combination runs in DECIMAL(19,0) products like q182.
     dec = "decimal(19,0)"

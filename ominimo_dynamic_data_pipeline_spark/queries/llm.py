@@ -21,7 +21,10 @@ from ominimo_dynamic_data_pipeline_spark.llm import dedup as D
 from ominimo_dynamic_data_pipeline_spark.llm import multimodal as M
 from ominimo_dynamic_data_pipeline_spark.llm import similarity as S
 from ominimo_dynamic_data_pipeline_spark.llm import text as T
-from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+from ominimo_dynamic_data_pipeline_spark.queries.tables import (
+    exact_str_double,
+    load_table,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -3671,8 +3674,6 @@ def _q172_sql() -> str:
 
 @query("q172_term_lift_pairs", _q172_sql())
 def q172_term_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(T.tokens(F.col("text")).alias("tk"))
     uni = toks.select(F.explode("tk").alias("term")).groupBy("term").agg(
@@ -4092,7 +4093,7 @@ def q182_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_zero"),
     )
-    as_d = lambda c_: c_.cast("string").cast("double")  # noqa: E731
+    as_d = exact_str_double
     # n*s2 wraps a bigint from sf0.1 up (5e3 vecs x 5e15), so the moment
     # combination runs in DECIMAL(19,0)x(19,0) -> (38,0) — the widest
     # product both engines accept (DuckDB rejects 38x38).
@@ -4196,7 +4197,7 @@ def q184_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             (
-                F.col("score_nq").cast("string").cast("double")
+                exact_str_double(F.col("score_nq"))
                 / F.lit(1000000000).cast("double")
             ).alias("outlier_score"),
         )
