@@ -672,3 +672,91 @@ def token_entropy(
             scaled / (F.col("n_tokens") * nano_ln(F.col("n_tokens"))),
         ).alias("norm_entropy"),
     )
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple = ("doc_id",)
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per row (the q170
+    operator; see queries/llm.py q170 for the oracle-exactness notes).
+
+    Syllables are vowel-group runs counted on the RAW text with an
+    explicit [aeiouyAEIOUY] class (no lower() — JVM-vs-utf8proc case
+    mapping could merge runs); sentences are [.!?]+ runs floored at 1;
+    rows with zero words drop.  A single narrow codegen'd projection —
+    no shuffle, no UDF.
+    """
+    counts = df.select(
+        *keep_cols,
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.regexp_count(F.col(text_col), F.lit("[aeiouyAEIOUY]+"))
+        .cast("bigint")
+        .alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    return counts.select(
+        *keep_cols,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w)).alias(
+            "flesch"
+        ),
+        (F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59)).alias(
+            "fk_grade"
+        ),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", ks: tuple = (100, 1000, 10000)
+) -> DataFrame:
+    """Corpus token-coverage curve at the given vocab-size thresholds
+    (the q178 operator).  The vocab never sorts globally: the top-max(ks)
+    slice comes from a distributed TakeOrdered, the rank window runs on
+    that slice only, and the grand total is a 1-row broadcast."""
+    from pyspark.sql.window import Window
+
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    topk = uni.orderBy(F.col("tf").desc(), "term").limit(max(ks))
+    topk = topk.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("tf").desc(), "term"))
+    )
+    tot = uni.agg(
+        F.sum("tf").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    kdf = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in ks])).alias("k")
+    )
+    return (
+        topk.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(kdf))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("k", "total_tokens", "vocab_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("tf").cast("bigint").alias("tokens_covered"),
+        )
+        .select(
+            "k",
+            "n_terms",
+            "tokens_covered",
+            (
+                F.col("tokens_covered").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage_frac"),
+            "vocab_size",
+        )
+    )

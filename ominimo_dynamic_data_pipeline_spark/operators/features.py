@@ -468,3 +468,74 @@ def cusum_changepoint(
             .alias("direction"),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """RFM (recency/frequency/monetary) segmentation rollup — the q180
+    operator in reusable form.  Buckets come from NTILE with
+    deterministic (metric, user) orderings; monetary quantizes to exact
+    integer cents and recency to exact whole days before any sum; the
+    segment-level sums accumulate in DECIMAL (a 64-bit long wraps at
+    the 100 TB posture) and convert via the exact decimal-string route.
+    Swap NTILE for percent-rank-over-approx-quantile cuts if |users|
+    outgrows a single window partition (q125's contract note).
+    """
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import (
+        exact_str_double,
+    )
+
+    cents_row = F.round(F.col(value_col) * 100, 0).cast("bigint")
+    # TIMESTAMP_NTZ sources (the pipeline reader keeps them) must cast
+    # to TIMESTAMP for unix_micros; under the session's pinned UTC the
+    # cast is the wall-clock identity.
+    ts_ts = F.col(ts_col).cast("timestamp")
+    u = df.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(cents_row).cast("bigint").alias("cents"),
+        F.max(ts_ts).alias("last_ts"),
+    )
+    mx = df.agg(F.max(ts_ts).alias("corpus_max"))
+    f = u.crossJoin(F.broadcast(mx)).select(
+        user_col,
+        "freq",
+        "cents",
+        F.floor(
+            (F.unix_micros("corpus_max") - F.unix_micros("last_ts"))
+            / F.lit(86400000000)
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+    )
+    b = f.select(
+        user_col,
+        "freq",
+        "cents",
+        "recency_days",
+        F.ntile(n_buckets)
+        .over(Window.orderBy("recency_days", user_col))
+        .alias("r_bucket"),
+        F.ntile(n_buckets)
+        .over(Window.orderBy(F.col("freq").desc(), user_col))
+        .alias("f_bucket"),
+        F.ntile(n_buckets)
+        .over(Window.orderBy(F.col("cents").desc(), user_col))
+        .alias("m_bucket"),
+    )
+    cnt_d = F.count(F.lit(1)).cast("double")
+    dsum = lambda c: exact_str_double(  # noqa: E731
+        F.sum(F.col(c).cast("decimal(19,0)"))
+    )
+    return b.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (dsum("cents") / cnt_d / F.lit(100).cast("double")).alias(
+            "avg_monetary"
+        ),
+        (dsum("freq") / cnt_d).alias("avg_frequency"),
+        (dsum("recency_days") / cnt_d).alias("avg_recency_days"),
+    )

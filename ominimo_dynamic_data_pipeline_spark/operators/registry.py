@@ -1293,6 +1293,86 @@ def _op_cusum_changepoint(
     )
 
 
+@register_operator("readability")
+def _op_readability(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Flesch / Flesch-Kincaid readability scoring as a dataflow step
+    (the q170 operator; llm/text.py readability_scores).  Params:
+    ``text_col`` (default "text"), ``keep_cols`` (default ["doc_id"])."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import (
+        readability_scores,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    df = ctx.get(in_name)
+    keep = tuple(params.get("keep_cols", ["doc_id"]))
+    text_col = params.get("text_col", "text")
+    missing = [c for c in (*keep, text_col) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"readability: input '{in_name}' lacks columns {missing}"
+        )
+    ctx.put(
+        out_name, readability_scores(df, text_col=text_col, keep_cols=keep)
+    )
+
+
+@register_operator("vocab_coverage")
+def _op_vocab_coverage(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Corpus vocabulary-coverage curve as a dataflow step (the q178
+    operator; llm/text.py vocab_coverage).  Params: ``text_col``
+    (default "text"), ``ks`` (default [100, 1000, 10000], each > 0)."""
+    from ominimo_dynamic_data_pipeline_spark.llm.text import vocab_coverage
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    ks = tuple(params.get("ks", [100, 1000, 10000]))
+    if not ks or any((not isinstance(k, int)) or k <= 0 for k in ks):
+        raise ValueError(
+            f"vocab_coverage: ks must be positive ints, got {ks!r}"
+        )
+    df = ctx.get(in_name)
+    text_col = params.get("text_col", "text")
+    if text_col not in df.columns:
+        raise ValueError(
+            f"vocab_coverage: input '{in_name}' lacks column '{text_col}'"
+        )
+    ctx.put(out_name, vocab_coverage(df, text_col=text_col, ks=ks))
+
+
+@register_operator("rfm_segments")
+def _op_rfm_segments(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """RFM user segmentation as a dataflow step (the q180 operator;
+    operators/features.py rfm_segments).  Params: ``user_col``,
+    ``ts_col``, ``value_col`` (all required), ``n_buckets``
+    (default 3, >= 2)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        rfm_segments,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [k for k in ("user_col", "ts_col", "value_col")
+               if not params.get(k)]
+    if missing:
+        raise ValueError(f"rfm_segments requires params {missing}")
+    n_buckets = params.get("n_buckets", 3)
+    if not isinstance(n_buckets, int) or n_buckets < 2:
+        raise ValueError(
+            f"rfm_segments: n_buckets must be an int >= 2, got {n_buckets!r}"
+        )
+    ctx.put(
+        out_name,
+        rfm_segments(
+            ctx.get(in_name),
+            user_col=params["user_col"],
+            ts_col=params["ts_col"],
+            value_col=params["value_col"],
+            n_buckets=n_buckets,
+        ),
+    )
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

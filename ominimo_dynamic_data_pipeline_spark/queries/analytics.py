@@ -2583,53 +2583,13 @@ def q179_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q180_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        rfm_segments,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    cents_row = F.round(F.col("value") * 100, 0).cast("bigint")
-    u = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq"),
-        F.sum(cents_row).cast("bigint").alias("cents"),
-        F.max("ts").alias("last_ts"),
-    )
-    mx = ev.agg(F.max("ts").alias("corpus_max"))
-    f = u.crossJoin(F.broadcast(mx)).select(
-        "user_id",
-        "freq",
-        "cents",
-        F.floor(
-            (F.unix_micros("corpus_max") - F.unix_micros("last_ts"))
-            / F.lit(86400000000)
-        )
-        .cast("bigint")
-        .alias("recency_days"),
-    )
-    b = f.select(
-        "user_id",
-        "freq",
-        "cents",
-        "recency_days",
-        F.ntile(3)
-        .over(Window.orderBy("recency_days", "user_id"))
-        .alias("r_bucket"),
-        F.ntile(3)
-        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
-        .alias("f_bucket"),
-        F.ntile(3)
-        .over(Window.orderBy(F.col("cents").desc(), "user_id"))
-        .alias("m_bucket"),
-    )
-    cnt_d = F.count(F.lit(1)).cast("double")
-    # Segment sums accumulate in DECIMAL: the cents sum wraps a 64-bit
-    # long at the 100 TB posture (oracle side is HUGEINT-exact).
-    dsum = lambda c: exact_str_double(  # noqa: E731
-        F.sum(F.col(c).cast("decimal(19,0)"))
-    )
-    return b.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        (dsum("cents") / cnt_d / F.lit(100).cast("double")).alias(
-            "avg_monetary"
-        ),
-        (dsum("freq") / cnt_d).alias("avg_frequency"),
-        (dsum("recency_days") / cnt_d).alias("avg_recency_days"),
+    return rfm_segments(
+        ev, user_col="user_id", ts_col="ts", value_col="value", n_buckets=3
     )
 
 

@@ -3582,31 +3582,7 @@ def _q170_sql() -> str:
 @query("q170_readability_scores", _q170_sql())
 def q170_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    counts = d.select(
-        "doc_id",
-        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_words"),
-        F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
-        .cast("bigint")
-        .alias("n_sentences"),
-        F.regexp_count(F.col("text"), F.lit("[aeiouyAEIOUY]+"))
-        .cast("bigint")
-        .alias("n_syllables"),
-    ).filter(F.col("n_words") > 0)
-    w = F.col("n_words").cast("double")
-    s = F.col("n_sentences").cast("double")
-    y = F.col("n_syllables").cast("double")
-    return counts.select(
-        "doc_id",
-        "n_words",
-        "n_sentences",
-        "n_syllables",
-        (F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w)).alias(
-            "flesch"
-        ),
-        (F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59)).alias(
-            "fk_grade"
-        ),
-    )
+    return T.readability_scores(d, text_col="text", keep_cols=("doc_id",))
 
 
 # --------------------------------------------------------------------------
@@ -3982,48 +3958,8 @@ def _q178_sql() -> str:
 
 @query("q178_vocab_coverage", _q178_sql())
 def q178_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
-    uni = (
-        d.select(F.explode(T.tokens(F.col("text"))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    # Distributed top-k (TakeOrderedAndProject); the row_number window
-    # then runs on the 10k-row slice only.
-    topk = uni.orderBy(F.col("tf").desc(), "term").limit(max(_Q178_KS))
-    topk = topk.withColumn(
-        "rn",
-        F.row_number().over(Window.orderBy(F.col("tf").desc(), "term")),
-    )
-    tot = uni.agg(
-        F.sum("tf").cast("bigint").alias("total_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
-    )
-    ks = spark.range(1).select(
-        F.explode(F.array(*[F.lit(k) for k in _Q178_KS])).alias("k")
-    )
-    return (
-        topk.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(ks))
-        .filter(F.col("rn") <= F.col("k"))
-        .groupBy("k", "total_tokens", "vocab_size")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            F.sum("tf").cast("bigint").alias("tokens_covered"),
-        )
-        .select(
-            "k",
-            "n_terms",
-            "tokens_covered",
-            (
-                F.col("tokens_covered").cast("double")
-                / F.col("total_tokens").cast("double")
-            ).alias("coverage_frac"),
-            "vocab_size",
-        )
-    )
+    return T.vocab_coverage(d, text_col="text", ks=_Q178_KS)
 
 
 # --------------------------------------------------------------------------

@@ -917,3 +917,109 @@ def test_importance_curriculum_example_dataflow(spark):
     sources = sorted({r["source"] for r in rows})
     head = sorted(rows, key=lambda r: r["interleave_pos"])[: len(sources)]
     assert sorted({r["source"] for r in head}) == sources
+
+
+def test_corpus_quality_report_flow_golden(spark):
+    """The round-6 operators (q170/q178/q180 shapes) driven through
+    metadata: readability, vocab coverage, and RFM segments compile from
+    the example dataflow and pin to the exact values the catalog queries
+    produce from the same inputs."""
+    import json
+    from pathlib import Path
+
+    sf = "/root/testdata/sf0.01"
+    if not Path(sf).is_dir():
+        pytest.skip("sf0.01 testdata missing")
+    meta = json.loads(
+        (
+            Path(__file__).parent.parent
+            / "examples"
+            / "corpus_quality_report.json"
+        ).read_text()
+    )
+    flow = select_dataflow(meta, "corpus-quality-report")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    frames = compiled.frames
+
+    # readability: identical to the catalog query modulo the extra lang
+    # keep-col; spot-pin one doc against a direct recompute
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        q170_readability_scores,
+    )
+
+    got = {r["doc_id"]: r for r in frames["doc_readability"].collect()}
+    want = {r["doc_id"]: r for r in q170_readability_scores(spark, sf).collect()}
+    assert set(got) == set(want)
+    for did in list(want)[:25]:
+        assert got[did]["flesch"] == want[did]["flesch"]
+        assert got[did]["n_syllables"] == want[did]["n_syllables"]
+        assert "lang" in got[did].asDict()
+
+    # vocab coverage: equals the catalog query rows exactly
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        q178_vocab_coverage,
+    )
+
+    cov = sorted(
+        (r["k"], r["n_terms"], r["tokens_covered"], r["coverage_frac"])
+        for r in frames["coverage_curve"].collect()
+    )
+    cov_q = sorted(
+        (r["k"], r["n_terms"], r["tokens_covered"], r["coverage_frac"])
+        for r in q178_vocab_coverage(spark, sf).collect()
+    )
+    assert cov == cov_q
+
+    # rfm segments: marginals balanced within 1 (NTILE contract) and
+    # user total preserved
+    seg = frames["engagement_segments"].collect()
+    n_users = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in seg) == n_users
+    for dim in ("r_bucket", "f_bucket", "m_bucket"):
+        marg: dict = {}
+        for r in seg:
+            marg[r[dim]] = marg.get(r[dim], 0) + r["n_users"]
+        assert set(marg) == {1, 2, 3}
+        assert max(marg.values()) - min(marg.values()) <= 1
+
+
+def test_round6_registry_steps_validate_params(spark):
+    """The three round-6 steps fail fast with their own ValueErrors on
+    bad params instead of dying inside Catalyst."""
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        apply_transformations,
+    )
+
+    docs = spark.createDataFrame([(1, "hello there.")], "doc_id bigint, text string")
+
+    def step(tp, **params):
+        return {"name": "s", "type": tp, "params": {"input": "docs", **params}}
+
+    ctx = CompileContext(spark, frames={"docs": docs})
+    with pytest.raises(ValueError, match="lacks columns"):
+        apply_transformations(
+            ctx, {"transformations": [step("readability", keep_cols=["nope"])]}
+        )
+    with pytest.raises(ValueError, match="ks must be positive ints"):
+        apply_transformations(
+            ctx, {"transformations": [step("vocab_coverage", ks=[0])]}
+        )
+    with pytest.raises(ValueError, match="requires params"):
+        apply_transformations(
+            ctx, {"transformations": [step("rfm_segments", user_col="u")]}
+        )
+    with pytest.raises(ValueError, match="n_buckets"):
+        apply_transformations(
+            ctx,
+            {"transformations": [step(
+                "rfm_segments", user_col="u", ts_col="t", value_col="v",
+                n_buckets=1,
+            )]},
+        )
