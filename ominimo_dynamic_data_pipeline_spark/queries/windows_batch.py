@@ -565,11 +565,12 @@ def q168_cumulative_distinct_users(
 # — the path-analysis table product teams read next to q126's Markov
 # transitions, and the conversation-shape profile a transcript pipeline
 # (q149) mines.  Session cut: per-user lag gap compared in exact
-# integer MICROS, with the HALF-OPEN boundary F.session_window uses
-# (a gap of exactly 5 minutes starts a NEW session) — q34's Spark side
-# is session_window, so coupling tests against its counts stay exact
-# even on boundary-gap data; q34's lag-based SQL oracle uses the
-# strict > form, which differs only on that measure-zero boundary.  Path assembly is ordered
+# integer MICROS with the STRICT > boundary — empirically pinned
+# (tests/test_properties.py session-boundary test) to match
+# F.session_window, which MERGES an event arriving at exactly
+# last + gap (closed boundary); q34's lag-based oracle uses the same
+# strict form, so q183 path counts sum to q34's session count even on
+# exact-boundary data.  Path assembly is ordered
 # identically in both engines: Spark sorts collected
 # (ts, event_id, type) structs lexicographically; DuckDB string_aggs
 # with the same ORDER BY — (ts, event_id) is a total order, so the
@@ -584,7 +585,7 @@ def q168_cumulative_distinct_users(
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id)
-                        >= 300000000
+                        > 300000000
                     OR LAG(ts) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
@@ -623,7 +624,7 @@ def q183_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.when(
-            (gap >= 300000000) | F.lag("ts").over(w).isNull(), 1
+            (gap > 300000000) | F.lag("ts").over(w).isNull(), 1
         ).otherwise(0).alias("new_session"),
     )
     cum = (

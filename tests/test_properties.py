@@ -1180,3 +1180,109 @@ def test_ewma_fold_matches_python_recurrence(spark, series_list):
         for t, x in enumerate(series_vals):
             prev = float(x) if prev is None else 0.3 * x + 0.7 * prev
             assert out[(g, t)] == prev
+
+
+# --- round-6 continuation: cumulative-distinct and session-boundary props ---
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),          # event_type
+            st.integers(min_value=0, max_value=6),  # day offset
+            st.integers(min_value=0, max_value=9),  # user
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cumulative_distinct_matches_bruteforce(spark, rows):
+    """q168's first-seen + running-sum composition equals the brute-force
+    per-prefix distinct count on arbitrary (type, day, user) streams —
+    including days with events but no new users."""
+    import datetime
+
+    from ominimo_dynamic_data_pipeline_spark.queries.windows_batch import (
+        q168_cumulative_distinct_users,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(days=d, hours=1), u, et)
+        for i, (et, d, u) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, schema="event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        got = {
+            (r["event_type"], r["day"]): (r["n_new_users"], r["cum_users"])
+            for r in q168_cumulative_distinct_users(spark, td).collect()
+        }
+
+    days = {}
+    for et, d, u in rows:
+        days.setdefault(et, {}).setdefault(d, set()).add(u)
+    for et, by_day in days.items():
+        seen: set = set()
+        for d in sorted(by_day):
+            day_str = (base + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+            new = {u for u in by_day[d] if u not in seen}
+            seen |= by_day[d]
+            nn, cum = got[(et, day_str)]
+            assert nn == len(new), (et, d)
+            assert cum == len(seen), (et, d)
+    assert len(got) == sum(len(v) for v in days.values())
+
+
+def test_session_path_boundary_matches_session_window(spark):
+    """Boundary pin, settled EMPIRICALLY: F.session_window MERGES an
+    event arriving at exactly last + gap (closed boundary, verified
+    here — 3 events 300 s apart form ONE session), so q183's strict
+    `gap > 300e6` cut matches it and path multiplicities sum to
+    session_window's session count even on exact-boundary data."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ominimo_dynamic_data_pipeline_spark.queries.windows_batch import (
+        q183_top_session_paths,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # user 1: gaps of exactly 300s (boundary), user 2: gaps of 299s
+    data = []
+    eid = 0
+    for u, gap_s in ((1, 300), (2, 299)):
+        t = base
+        for _ in range(3):
+            data.append((eid, t, u, "click"))
+            eid += 1
+            t = t + datetime.timedelta(seconds=gap_s)
+    df = spark.createDataFrame(
+        data, schema="event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    n_sw = (
+        df.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), "user_id"
+        )
+        .count()
+        .count()
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        paths = q183_top_session_paths(spark, td).collect()
+    assert sum(r["n"] for r in paths) == n_sw
+    # one merged session per user: closed-boundary semantics
+    assert n_sw == 2
+    assert {r["path"] for r in paths} == {"click>click>click"}
