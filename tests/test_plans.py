@@ -505,3 +505,58 @@ def test_q160_mmr_python_stage_touches_pools_only(q):
     p = plan_of(q("q160_mmr_rerank"), "simple")
     assert p.count("FlatMapGroupsInPandas") == 1
     assert "Cartesian" not in p
+
+
+# --- round-6 continuation additions (q168-q184 shapes) ---------------------
+
+
+def test_q168_grid_join_broadcasts_and_single_window_exchange(q):
+    # the daily-count side must broadcast onto the (type, day) grid, and
+    # the running sum must be the only window exchange (on event_type)
+    p = plan_of(q("q168_cumulative_distinct_users"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Window (") == 1
+
+
+def test_q172_topk_is_take_ordered_not_global_window(q):
+    # the final top-50 must compile to a distributed TakeOrdered, never a
+    # single-partition row_number window over every surviving pair
+    p = plan_of(q("q172_term_lift_pairs"))
+    assert "TakeOrderedAndProject" in p
+    assert "Window (" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q178_vocab_slice_take_ordered(q):
+    # the vocab never sorts globally: top-max(ks) via TakeOrdered, the
+    # rank window runs on that bounded slice only
+    p = plan_of(q("q178_vocab_coverage"))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Window (") == 1
+
+
+def test_q179_dims_broadcast(q):
+    # supplier->nation dimension joins broadcast; the fact side never
+    # sort-merges against a dim
+    p = plan_of(q("q179_market_concentration"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q184_stats_frame_broadcasts(q):
+    # the 64-row dim-stats frame must broadcast onto the exploded
+    # coordinates, and the top-20 is a distributed TakeOrdered
+    p = plan_of(q("q184_embedding_outliers"))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q174_single_exchange_feeds_lag_and_percentile(q):
+    # ONE hash exchange on (event_type, user_id) feeds the lag window;
+    # the percentile re-agg must not add a second wide shuffle of rows
+    # beyond the keyed aggregate
+    p = plan_of(q("q174_event_cadence"))
+    assert "hashpartitioning(event_type" in p
+    assert p.count("Window (") == 1
