@@ -663,3 +663,184 @@ def q183_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q185 — WINDOW FUNNEL (view -> click -> purchase within 7 days of the
+# first view): the ordered-step conversion primitive product analytics
+# runs next to q126's transitions and q183's paths, with ClickHouse
+# windowFunnel's greedy-earliest semantics — each step's timestamp is
+# the MIN event time at or after the previous step, and every step must
+# land within the horizon anchored at step 1.  All time comparisons are
+# exact integer MICROS (q183 precedent) with an INCLUSIVE horizon and
+# >= step ordering (a click sharing the first view's timestamp counts)
+# so both engines evaluate the identical integer predicates.  Scale
+# shape: ONE exchange on user_id, then three unbounded-frame window
+# passes that reuse the partitioning (no sort — frames are
+# whole-partition MINs), then a per-user agg and a single-row reduce.
+# The funnel-time total accumulates in DECIMAL(38,0) and lands as a
+# DOUBLE via the exact decimal-string route (sum of per-user
+# micro-gaps passes 2^63 at the 100 TB posture; DuckDB's HUGEINT sum
+# takes the same VARCHAR->strtod road).  Conversion rates are single
+# divisions of exact counts.
+# --------------------------------------------------------------------------
+_Q185_HORIZON_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "q185_window_funnel",
+    f"""
+    WITH base AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    w1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM base
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= t1
+                                AND us - t1 <= {_Q185_HORIZON_US}
+                           THEN us END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= t2
+                                AND us - t1 <= {_Q185_HORIZON_US}
+                           THEN us END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ),
+    pu AS (
+        SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM w3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t1) AS BIGINT) AS n_view,
+           CAST(COUNT(t2) AS BIGINT) AS n_click,
+           CAST(COUNT(t3) AS BIGINT) AS n_purchase,
+           CAST(COUNT(t2) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE)
+               AS click_rate,
+           CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t2) AS DOUBLE)
+               AS purchase_rate,
+           CAST(CAST(SUM(t3 - t1) AS VARCHAR) AS DOUBLE) AS sum_funnel_us
+    FROM pu
+    """,
+)
+def q185_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = base.withColumn(
+        "t1",
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("us"))
+        ).over(wu),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") >= F.col("t1"))
+                & (F.col("us") - F.col("t1") <= _Q185_HORIZON_US),
+                F.col("us"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") >= F.col("t2"))
+                & (F.col("us") - F.col("t1") <= _Q185_HORIZON_US),
+                F.col("us"),
+            )
+        ).over(wu),
+    )
+    pu = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import (
+        exact_str_double,
+    )
+
+    return pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t1").cast("bigint").alias("n_view"),
+        F.count("t2").cast("bigint").alias("n_click"),
+        F.count("t3").cast("bigint").alias("n_purchase"),
+        (
+            F.count("t2").cast("double") / F.count("t1").cast("double")
+        ).alias("click_rate"),
+        (
+            F.count("t3").cast("double") / F.count("t2").cast("double")
+        ).alias("purchase_rate"),
+        exact_str_double(
+            F.sum((F.col("t3") - F.col("t1")).cast("decimal(38,0)"))
+        ).alias("sum_funnel_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q186 — ACTIVITY STREAKS: per-user longest run of consecutive active
+# days (the classic gaps-and-islands engagement metric next to q174's
+# cadence and q180's RFM).  Island key = epoch-day ordinal minus the
+# per-user day ROW_NUMBER — constant within a consecutive run because
+# distinct days make both strictly increase by 1 together; all
+# arithmetic is exact integers so the grouping keys agree
+# byte-for-byte across engines.  Scale shape: the (user, day) distinct
+# is a partial-agg shuffle that carries ~|active user-days| rows (not
+# event volume); the window + both rollups then share the user_id
+# partitioning.  Output is one row per user — bounded by the user
+# dimension, not event count.
+# --------------------------------------------------------------------------
+@query(
+    "q186_activity_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+        SELECT user_id, day,
+               (day - DATE '1970-01-01')
+                   - ROW_NUMBER() OVER (
+                         PARTITION BY user_id ORDER BY day) AS grp
+        FROM days
+    ),
+    st AS (
+        SELECT user_id, grp, COUNT(*) AS len
+        FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM st GROUP BY user_id
+    """,
+)
+def q186_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "grp",
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    st = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return st.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )

@@ -375,3 +375,103 @@ def test_embedding_outliers_match_python_reference(spark, sf_dir):
         # engine mu/sigma come from micro-quantized sums: up to ~1e-6
         # per-dim input error, amplified by /sigma and 64 dims
         assert abs(r["outlier_score"] - scores[r["vec_id"]]) < 1e-3
+
+
+def test_window_funnel_matches_python_reference(spark, sf_dir):
+    """q185's greedy-earliest funnel (min step time at/after the previous
+    step, inclusive 7-day horizon anchored at step 1) against a direct
+    Python recompute over the collected events — guards the intent (not
+    just cross-engine agreement, which identical integer predicates
+    already force)."""
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+    from ominimo_dynamic_data_pipeline_spark.queries.windows_batch import (
+        _Q185_HORIZON_US,
+        q185_window_funnel,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["event_type"]))
+    n_view = n_click = n_purchase = 0
+    sum_funnel = 0
+    for evs in by_user.values():
+        t1 = min((us for us, t in evs if t == "view"), default=None)
+        if t1 is None:
+            continue
+        n_view += 1
+        t2 = min(
+            (
+                us
+                for us, t in evs
+                if t == "click" and us >= t1 and us - t1 <= _Q185_HORIZON_US
+            ),
+            default=None,
+        )
+        if t2 is None:
+            continue
+        n_click += 1
+        t3 = min(
+            (
+                us
+                for us, t in evs
+                if t == "purchase"
+                and us >= t2
+                and us - t1 <= _Q185_HORIZON_US
+            ),
+            default=None,
+        )
+        if t3 is None:
+            continue
+        n_purchase += 1
+        sum_funnel += t3 - t1
+    row = q185_window_funnel(spark, sf_dir).collect()[0]
+    assert row["n_users"] == len(by_user)
+    assert row["n_view"] == n_view
+    assert row["n_click"] == n_click
+    assert row["n_purchase"] == n_purchase
+    assert row["sum_funnel_us"] == float(sum_funnel)
+    assert abs(row["click_rate"] - n_click / n_view) < 1e-15
+    assert abs(row["purchase_rate"] - n_purchase / n_click) < 1e-15
+
+
+def test_activity_streaks_match_python_reference(spark, sf_dir):
+    """q186's gaps-and-islands streaks against a per-user Python
+    recompute from the distinct active-day sets."""
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+    from ominimo_dynamic_data_pipeline_spark.queries.windows_batch import (
+        q186_activity_streaks,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    days: dict[int, set] = {}
+    for r in rows:
+        days.setdefault(r["user_id"], set()).add(r["day"].toordinal())
+    expected = {}
+    for uid, ds in days.items():
+        sorted_days = sorted(ds)
+        streaks = [1]
+        for prev, cur in zip(sorted_days, sorted_days[1:]):
+            if cur == prev + 1:
+                streaks[-1] += 1
+            else:
+                streaks.append(1)
+        expected[uid] = (len(ds), len(streaks), max(streaks))
+    got = {
+        r["user_id"]: (
+            r["n_active_days"],
+            r["n_streaks"],
+            r["longest_streak"],
+        )
+        for r in q186_activity_streaks(spark, sf_dir).collect()
+    }
+    assert got == expected
