@@ -2679,3 +2679,75 @@ def q181_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (as_d(F.col("t")) / as_d(nm)).alias("mean_per_min"),
         (as_d(nmd * sxxd - td * td) / as_d(nmd * td)).alias("fano"),
     )
+
+
+# --------------------------------------------------------------------------
+# q187 — PARETO FRONTIER (skyline) per brand: parts not dominated by any
+# same-brand part on (retailprice lower-better, size higher-better) — the
+# multi-objective shortlist query behind supplier selection and config
+# tuning (Börzsönyi et al., "The Skyline Operator", ICDE 2001).  The 2-D
+# case needs no pairwise join: within each brand, a part is on the
+# frontier iff no strictly-cheaper part has >= its size and no
+# same-or-cheaper part has > its size — two running MAX(size) window
+# frames over the price order, ONE exchange + sort per brand vs the
+# quadratic NOT EXISTS.  Prices compare as exact integer CENTS (the q169
+# route: 2-decimal doubles scale to integers exactly after ROUND), so
+# tie semantics are identical across engines; identical (price, size)
+# twins do NOT dominate each other (no strict inequality) and both stay
+# on the frontier.  The oracle deliberately runs the INDEPENDENT
+# quadratic NOT EXISTS formulation — a different algorithm reaching the
+# same set.  Output doubles are raw parquet values (no arithmetic).
+# --------------------------------------------------------------------------
+@query(
+    "q187_pareto_frontier_parts",
+    """
+    SELECT a.p_brand, a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_brand = a.p_brand
+          AND CAST(ROUND(b.p_retailprice * 100) AS BIGINT)
+              <= CAST(ROUND(a.p_retailprice * 100) AS BIGINT)
+          AND b.p_size >= a.p_size
+          AND (CAST(ROUND(b.p_retailprice * 100) AS BIGINT)
+                   < CAST(ROUND(a.p_retailprice * 100) AS BIGINT)
+               OR b.p_size > a.p_size)
+    )
+    """,
+)
+def q187_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    # Running MAX(size) over everything strictly cheaper / same-or-cheaper:
+    # RANGE frames on the exact integer cents make "strictly cheaper" a
+    # -1 bound (ties share a RANGE frame, so ROWS would be wrong here).
+    w_strict = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.max("p_size").over(w_strict).alias("max_size_cheaper"),
+        F.max("p_size").over(w_le).alias("max_size_le"),
+    )
+    return flagged.where(
+        (
+            F.col("max_size_cheaper").isNull()
+            | (F.col("max_size_cheaper") < F.col("p_size"))
+        )
+        & (F.col("max_size_le") == F.col("p_size"))
+    ).select("p_brand", "p_partkey", "p_retailprice", "p_size")

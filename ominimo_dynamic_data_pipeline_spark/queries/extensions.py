@@ -1331,3 +1331,64 @@ def q156_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_Q156_K,
         sensitive_col="c_mktsegment",
     )
+
+
+# --------------------------------------------------------------------------
+# q188 — SymSpell fuzzy self-join via DELETION-NEIGHBORHOOD blocking:
+# all customer-name pairs within Levenshtein distance 1 in one segment.
+# Complements q118's heuristic last-word blocking with the EXHAUSTIVE
+# scheme for d <= 1 (Garbe's SymSpell): D(x) = {x} + every
+# single-character deletion of x; any pair at distance <= 1 shares a
+# member of D (substitution -> the common deletion at the differing
+# position; insertion/deletion -> the shorter string itself), so an
+# equi-join on the variant key finds EVERY candidate — recall 1.0 by
+# construction, no pairwise scan.  Distance-2 collisions (e.g. the
+# transposition ab/ba sharing deletions) are removed by the cheap
+# Levenshtein verify, and DISTINCT collapses pairs that share several
+# variants.  Scale shape: the exploded index is |names| x (len+1)
+# rows — linear, text-vocabulary-bound (names, never raw rows) — and
+# the join is a hash equi-join on the variant string; at 100 TB a hot
+# variant bucket is capped the way the MinHash band join caps buckets.
+# The oracle deliberately runs the INDEPENDENT quadratic formulation
+# (segment-bounded cross pair scan + levenshtein).
+# --------------------------------------------------------------------------
+@query(
+    "q188_symspell_name_pairs",
+    """
+    WITH n AS (
+        SELECT c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM n a JOIN n b ON a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q188_symspell_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    names = c.where(F.col("c_mktsegment") == "BUILDING").select("c_name")
+    variants = F.expr(
+        """
+        array_union(
+            array(c_name),
+            transform(sequence(1, length(c_name)),
+                      i -> concat(substring(c_name, 1, i - 1),
+                                  substring(c_name, i + 1,
+                                            length(c_name) - i))))
+        """
+    )
+    ex = names.select("c_name", F.explode(variants).alias("v"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "v")
+        .where(F.col("a.c_name") < F.col("b.c_name"))
+        .select(
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "dist",
+        F.levenshtein("name_a", "name_b").cast("bigint"),
+    ).where(F.col("dist") <= 1)

@@ -475,3 +475,78 @@ def test_activity_streaks_match_python_reference(spark, sf_dir):
         for r in q186_activity_streaks(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_pareto_frontier_matches_brute_force(spark, sf_dir):
+    """q187's sort-sweep skyline against the O(n^2) dominance definition
+    recomputed in Python (cents-exact price ties, strict-somewhere)."""
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        q187_pareto_frontier_parts,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    parts = [
+        (r["p_brand"], r["p_partkey"],
+         round(r["p_retailprice"] * 100), r["p_size"])
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    by_brand: dict[str, list] = {}
+    for brand, key, cents, size in parts:
+        by_brand.setdefault(brand, []).append((key, cents, size))
+    expected = set()
+    for brand, rows in by_brand.items():
+        for key, cents, size in rows:
+            dominated = any(
+                c2 <= cents and s2 >= size and (c2 < cents or s2 > size)
+                for _, c2, s2 in rows
+            )
+            if not dominated:
+                expected.add((brand, key))
+    got = {
+        (r["p_brand"], r["p_partkey"])
+        for r in q187_pareto_frontier_parts(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_symspell_pairs_match_brute_force(spark, sf_dir):
+    """q188's deletion-neighborhood join against the quadratic Python
+    scan — proves the blocking is exhaustive for distance <= 1 (recall
+    1.0) and the verify step kills distance-2 collisions."""
+    from ominimo_dynamic_data_pipeline_spark.queries.extensions import (
+        q188_symspell_name_pairs,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    names = sorted(
+        r["c_name"]
+        for r in load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_name")
+        .collect()
+    )
+    expected = {
+        (a, b, _lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if _lev(a, b) <= 1
+    }
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in q188_symspell_name_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
