@@ -15,7 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+from ominimo_dynamic_data_pipeline_spark.queries.tables import (
+    exact_str_double,
+    load_table,
+)
 from ominimo_dynamic_data_pipeline_spark.streaming import ops as stream_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -767,10 +770,6 @@ def q185_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t2").alias("t2"),
         F.max("t3").alias("t3"),
     )
-    from ominimo_dynamic_data_pipeline_spark.queries.tables import (
-        exact_str_double,
-    )
-
     return pu.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.count("t1").cast("bigint").alias("n_view"),
@@ -843,4 +842,154 @@ def q186_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("bigint").alias("n_active_days"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.max("len").cast("bigint").alias("longest_streak"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q189 — ROLLING 7-DAY DISTINCT ACTIVE USERS per observed day: the
+# sliding-window twin of q168's cumulative distinct, and the distinct
+# version of q136's sliding counts — the WAU curve dashboards plot.
+# Spark has no COUNT(DISTINCT) OVER a moving frame, so the engine uses
+# the bounded-fanout expansion: each distinct (user, day) covers the 7
+# window-end days it contributes to (explode of a 7-element sequence —
+# fanout is the constant window length, never data-dependent), dedupes
+# (user, end-day), and counts per OBSERVED day (broadcast semi-join
+# against the tiny day dimension drops synthetic end days past the
+# span).  The shuffle carries <= 7x|active user-days| rows — linear.
+# The oracle is genuinely INDEPENDENT: DuckDB's native
+# COUNT(DISTINCT) OVER (RANGE 6 PRECEDING) evaluates the same window
+# by a completely different mechanism.  All keys are exact
+# integers/dates; the count is exact BIGINT.
+# --------------------------------------------------------------------------
+@query(
+    "q189_rolling_7d_active_users",
+    """
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    o AS (
+        SELECT user_id, day, day - DATE '1970-01-01' AS dord FROM d
+    ),
+    w AS (
+        SELECT day, COUNT(DISTINCT user_id) OVER (
+                   ORDER BY dord
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS users_7d
+        FROM o
+    )
+    SELECT DISTINCT STRFTIME(day, '%Y-%m-%d') AS day,
+           CAST(users_7d AS BIGINT) AS users_7d
+    FROM w
+    """,
+)
+def q189_rolling_7d_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    obs = ud.select("day").distinct()
+    cov = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select(
+        "user_id", F.date_add("day", F.col("i")).alias("day")
+    ).distinct()
+    return (
+        cov.join(F.broadcast(obs), "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users_7d"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q190 — TIME-WEIGHTED AVERAGE value per user (step-hold TWAP): each
+# event's value holds until the user's next event; the average weights
+# each value by its holding duration — the standard exposure metric
+# where q166's EWMA is the smoothing one.  Exact cross-engine: values
+# quantize to integer MICRO-UNITS (2-decimal inputs scale exactly;
+# the proven micro-unit-sum route), durations are integer micros from
+# unix_micros, and the value x duration products accumulate in
+# DECIMAL(38,0) (v_us ~ 1e8 times gap ~ 1e11 passes 2^63 per TERM) —
+# both engines then divide the same two decimal-string doubles once.
+# Single-event users have zero held time and are excluded (HAVING
+# span > 0) rather than given an arbitrary convention.  Scale shape:
+# ONE exchange on user_id, a LEAD window pass, then a per-user agg
+# reusing the partitioning.
+# --------------------------------------------------------------------------
+@query(
+    "q190_user_value_twap",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS v_us
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, v_us,
+               LEAD(us) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id) - us
+                   AS gap_us
+        FROM e
+    ),
+    a AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(CASE WHEN gap_us IS NOT NULL
+                        THEN CAST(v_us AS DECIMAL(19,0))
+                             * CAST(gap_us AS DECIMAL(19,0)) END)
+                   AS num,
+               CAST(SUM(gap_us) AS BIGINT) AS span_us
+        FROM g GROUP BY user_id
+        HAVING CAST(SUM(gap_us) AS BIGINT) > 0
+    )
+    SELECT user_id, n_events, span_us,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(span_us AS DECIMAL(19,0)) * 1000000
+                           AS VARCHAR) AS DOUBLE) AS twap
+    FROM a
+    """,
+)
+def q190_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = e.select(
+        "user_id",
+        "v_us",
+        (F.lead("us").over(w) - F.col("us")).alias("gap_us"),
+    )
+    dec = "decimal(19,0)"
+    a = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("gap_us").isNotNull(),
+                    F.col("v_us").cast(dec) * F.col("gap_us").cast(dec),
+                )
+            ).alias("num"),
+            F.sum("gap_us").cast("bigint").alias("span_us"),
+        )
+        .where(F.col("span_us") > 0)
+    )
+    return a.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        (
+            exact_str_double(F.col("num"))
+            / exact_str_double(F.col("span_us").cast(dec) * 1000000)
+        ).alias("twap"),
     )

@@ -550,3 +550,79 @@ def test_symspell_pairs_match_brute_force(spark, sf_dir):
         for r in q188_symspell_name_pairs(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_rolling_7d_users_match_python_reference(spark, sf_dir):
+    """q189's explode-based sliding distinct against a direct per-day set
+    recompute."""
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+    from ominimo_dynamic_data_pipeline_spark.queries.windows_batch import (
+        q189_rolling_7d_active_users,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    active: dict = {}
+    for r in rows:
+        active.setdefault(r["day"].toordinal(), set()).add(r["user_id"])
+    expected = {}
+    for d in active:
+        users = set()
+        for back in range(7):
+            users |= active.get(d - back, set())
+        expected[d] = len(users)
+    import datetime
+
+    got = {
+        datetime.date.fromisoformat(r["day"]).toordinal(): r["users_7d"]
+        for r in q189_rolling_7d_active_users(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_user_twap_matches_python_reference(spark, sf_dir):
+    """q190's decimal-exact step-hold TWAP against a Python recompute in
+    exact integer arithmetic (micro-unit values x micro durations)."""
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+    from ominimo_dynamic_data_pipeline_spark.queries.windows_batch import (
+        q190_user_value_twap,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            F.round(F.col("value") * 1000000).cast("bigint").alias("v_us"),
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], r["v_us"])
+        )
+    expected = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        num = 0
+        span = 0
+        for (us, _, v), (nxt, _, _) in zip(evs, evs[1:]):
+            num += v * (nxt - us)
+            span += nxt - us
+        if span > 0:
+            expected[uid] = (len(evs), span, num / (span * 1000000))
+    got = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twap"])
+        for r in q190_user_value_twap(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for uid, (n, span, twap) in expected.items():
+        gn, gspan, gtwap = got[uid]
+        assert (gn, gspan) == (n, span)
+        assert abs(gtwap - twap) < 1e-12 * max(1.0, abs(twap))
