@@ -539,3 +539,319 @@ def rfm_segments(
         (dsum("freq") / cnt_d).alias("avg_frequency"),
         (dsum("recency_days") / cnt_d).alias("avg_recency_days"),
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    horizon_us: int,
+) -> DataFrame:
+    """Greedy-earliest ordered funnel (the q185 operator, generalized to
+    N steps): per user, ``step_<i>_us`` is the MIN event time (exact
+    integer micros) of step i at/after step i-1's time, with every step
+    inside the INCLUSIVE ``horizon_us`` window anchored at step 1 —
+    ClickHouse windowFunnel semantics.  One exchange on ``user_col``;
+    each step adds an unbounded-frame window MIN that reuses the
+    partitioning (no sort).  Aggregate the returned per-user frame for
+    funnel level counts."""
+    if len(steps) < 2:
+        raise ValueError(f"window_funnel: need >= 2 steps, got {list(steps)!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"window_funnel: steps must be distinct: {list(steps)!r}")
+    if not isinstance(horizon_us, int) or horizon_us <= 0:
+        raise ValueError(
+            f"window_funnel: horizon_us must be a positive int, got {horizon_us!r}"
+        )
+    missing = [c for c in (user_col, ts_col, type_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"window_funnel: input lacks columns {missing}")
+    wu = Window.partitionBy(user_col)
+    cur = df.select(
+        user_col,
+        F.col(type_col).alias("_ftype"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_fus"),
+    )
+    prev_name = None
+    out_cols = []
+    for i, step in enumerate(steps, 1):
+        name = f"step_{i}_us"
+        cond = F.col("_ftype") == step
+        if prev_name is not None:
+            cond = (
+                cond
+                & (F.col("_fus") >= F.col(prev_name))
+                & (F.col("_fus") - F.col("step_1_us") <= horizon_us)
+            )
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col("_fus"))).over(wu))
+        out_cols.append(name)
+        prev_name = name
+    return cur.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in out_cols]
+    )
+
+
+def activity_streaks(
+    df: DataFrame, entity_col: str, ts_col: str
+) -> DataFrame:
+    """Gaps-and-islands consecutive-day streaks per entity (the q186
+    operator): island key = exact epoch-day ordinal minus the per-entity
+    day ROW_NUMBER.  Returns one row per entity with ``n_active_days``,
+    ``n_streaks``, ``longest_streak`` (all bigint).  The (entity, day)
+    distinct is a partial-agg shuffle bounded by active entity-days;
+    the window and both rollups share the entity partitioning."""
+    missing = [c for c in (entity_col, ts_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"activity_streaks: input lacks columns {missing}")
+    days = df.select(
+        entity_col,
+        F.col(ts_col).cast("timestamp").cast("date").alias("_day"),
+    ).distinct()
+    w = Window.partitionBy(entity_col).orderBy("_day")
+    isl = days.withColumn(
+        "_grp",
+        F.datediff("_day", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    st = isl.groupBy(entity_col, "_grp").agg(F.count(F.lit(1)).alias("_len"))
+    return st.groupBy(entity_col).agg(
+        F.sum("_len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("_len").cast("bigint").alias("longest_streak"),
+    )
+
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def pareto_frontier(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """2-D skyline (the q187 operator; Börzsönyi et al., ICDE 2001):
+    rows not dominated within their ``by`` group on (``minimize_col``
+    lower-better, ``maximize_col`` higher-better).  Sort-sweep form —
+    two running MAX frames over the minimize order, ONE exchange + sort
+    per group instead of the quadratic pair scan.  ``minimize_col``
+    MUST be integral (quantize floats to cents/micros first — float
+    ties are exactly the cross-engine trap this contract blocks);
+    identical (min, max) twins do not dominate each other and both
+    survive.  Returns the input columns filtered to the frontier."""
+    missing = [
+        c for c in (minimize_col, maximize_col, *by) if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"pareto_frontier: input lacks columns {missing}")
+    mtype = dict(df.dtypes)[minimize_col]
+    if mtype not in _INTEGRAL_TYPES:
+        raise ValueError(
+            f"pareto_frontier: minimize_col '{minimize_col}' must be an "
+            f"integral type for exact RANGE ties, got {mtype} — quantize "
+            "(e.g. cents) first"
+        )
+    w_strict = (
+        Window.partitionBy(*by)
+        .orderBy(minimize_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.partitionBy(*by)
+        .orderBy(minimize_col)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = df.withColumn(
+        "_max_strict", F.max(maximize_col).over(w_strict)
+    ).withColumn("_max_le", F.max(maximize_col).over(w_le))
+    return flagged.where(
+        (
+            F.col("_max_strict").isNull()
+            | (F.col("_max_strict") < F.col(maximize_col))
+        )
+        & (F.col("_max_le") == F.col(maximize_col))
+    ).drop("_max_strict", "_max_le")
+
+
+def _deletions_sql(expr: str) -> str:
+    """SQL for the array of every single-character deletion of ``expr``."""
+    return (
+        f"transform(sequence(1, length({expr})), i -> "
+        f"concat(substring({expr}, 1, i - 1), "
+        f"substring({expr}, i + 1, length({expr}) - i)))"
+    )
+
+
+def symspell_pairs(
+    df: DataFrame, string_col: str, max_distance: int = 1
+) -> DataFrame:
+    """All DISTINCT-value pairs of ``string_col`` within Levenshtein
+    distance ``max_distance`` (1 or 2) via SymSpell deletion-neighborhood
+    blocking (the q188 operator; Garbe's SymSpell): any pair at distance
+    <= d shares a member of D_d(x) = {x} + every deletion of up to d
+    characters, so an equi-join on the variant key has recall 1.0 by
+    construction — no pairwise scan, no heuristic block key.  False
+    candidates (e.g. transpositions at d=1) die in the cheap Levenshtein
+    verify; DISTINCT collapses pairs sharing several variants.  Scale:
+    the index is |values| x O(len^d) rows — vocabulary-bound and linear
+    in the dictionary, never in corpus rows; cap hot variant buckets the
+    way the MinHash band join does if the value distribution is
+    adversarial.  Returns (value_a, value_b, dist) with value_a <
+    value_b."""
+    if max_distance not in (1, 2):
+        raise ValueError(
+            f"symspell_pairs: max_distance must be 1 or 2, got {max_distance!r}"
+        )
+    if string_col not in df.columns:
+        raise ValueError(f"symspell_pairs: input lacks column '{string_col}'")
+    names = (
+        df.select(F.col(string_col).alias("_val"))
+        .where(F.col("_val").isNotNull())
+        .distinct()
+    )
+    d1 = _deletions_sql("_val")
+    if max_distance == 1:
+        variants = f"array_distinct(concat(array(_val), {d1}))"
+    else:
+        variants = (
+            f"array_distinct(concat(array(_val), {d1}, "
+            f"flatten(transform({d1}, v -> {_deletions_sql('v')}))))"
+        )
+    ex = names.select("_val", F.explode(F.expr(variants)).alias("_v"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "_v")
+        .where(F.col("a._val") < F.col("b._val"))
+        .select(
+            F.col("a._val").alias("value_a"),
+            F.col("b._val").alias("value_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "dist", F.levenshtein("value_a", "value_b").cast("bigint")
+    ).where(F.col("dist") <= max_distance)
+
+
+def rolling_distinct(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing ``window_days``-day distinct-entity count per OBSERVED
+    day (the q189 operator) — Spark has no COUNT(DISTINCT) OVER a moving
+    frame, so each distinct (entity, day) is exploded to the
+    ``window_days`` window-end days it contributes to (constant fanout,
+    never data-dependent), deduped, and counted; a broadcast semi-join
+    against the tiny observed-day dimension drops synthetic end days.
+    Shuffle carries <= window_days x |active entity-days| rows.
+    Returns (day DATE, n_distinct bigint)."""
+    if not isinstance(window_days, int) or window_days < 1:
+        raise ValueError(
+            f"rolling_distinct: window_days must be a positive int, "
+            f"got {window_days!r}"
+        )
+    missing = [c for c in (entity_col, ts_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"rolling_distinct: input lacks columns {missing}")
+    ud = df.select(
+        entity_col,
+        F.col(ts_col).cast("timestamp").cast("date").alias("_day"),
+    ).distinct()
+    obs = ud.select("_day").distinct()
+    cov = (
+        ud.select(
+            entity_col,
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias(
+                "_i"
+            ),
+            "_day",
+        )
+        .select(entity_col, F.date_add("_day", F.col("_i")).alias("_day"))
+        .distinct()
+    )
+    return (
+        cov.join(F.broadcast(obs), "_day")
+        .groupBy("_day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+        .select(F.col("_day").alias("day"), "n_distinct")
+    )
+
+
+def twap(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    value_scale: int = 1_000_000,
+) -> DataFrame:
+    """Step-hold time-weighted average of ``value_col`` per group (the
+    q190 operator): each value holds until the group's next event and is
+    weighted by its holding duration.  Exact cross-engine arithmetic:
+    values quantize to integer units (``value_scale``), durations are
+    integer micros, and value x duration products accumulate in
+    DECIMAL(38,0) before ONE decimal-string division.  Groups whose
+    held time is zero (single event / all-tied timestamps) are excluded.
+    Pass ``tiebreak_cols`` (a unique key) whenever timestamps can tie —
+    without a total order the holder among tied events is
+    nondeterministic.  One exchange on ``group_col``; the LEAD window
+    and the rollup share it."""
+    if not isinstance(value_scale, int) or value_scale < 1:
+        raise ValueError(
+            f"twap: value_scale must be a positive int, got {value_scale!r}"
+        )
+    missing = [
+        c
+        for c in (group_col, ts_col, value_col, *tiebreak_cols)
+        if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"twap: input lacks columns {missing}")
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import (
+        exact_str_double,
+    )
+
+    e = df.select(
+        group_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.round(F.col(value_col) * value_scale)
+        .cast("bigint")
+        .alias("_v"),
+        *tiebreak_cols,
+    )
+    w = Window.partitionBy(group_col).orderBy("_us", *tiebreak_cols)
+    g = e.select(
+        group_col,
+        "_v",
+        (F.lead("_us").over(w) - F.col("_us")).alias("_gap"),
+    )
+    dec = "decimal(19,0)"
+    a = (
+        g.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("_gap").isNotNull(),
+                    F.col("_v").cast(dec) * F.col("_gap").cast(dec),
+                )
+            ).alias("_num"),
+            F.sum("_gap").cast("bigint").alias("span_us"),
+        )
+        .where(F.col("span_us") > 0)
+    )
+    return a.select(
+        group_col,
+        "n_events",
+        "span_us",
+        (
+            exact_str_double(F.col("_num"))
+            / exact_str_double(
+                F.col("span_us").cast(dec) * F.lit(value_scale)
+            )
+        ).alias("twap"),
+    )

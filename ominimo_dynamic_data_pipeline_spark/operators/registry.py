@@ -1373,6 +1373,191 @@ def _op_rfm_segments(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     )
 
 
+@register_operator("window_funnel")
+def _op_window_funnel(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Greedy-earliest N-step funnel as a dataflow step (the q185
+    operator; operators/features.py window_funnel).  Params:
+    ``user_col``, ``ts_col``, ``type_col``, ``steps`` (>= 2 distinct
+    strings) — all required; ``horizon_days`` (default 7, > 0) or
+    ``horizon_us``."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        window_funnel,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [k for k in ("user_col", "ts_col", "type_col", "steps")
+               if not params.get(k)]
+    if missing:
+        raise ValueError(f"window_funnel requires params {missing}")
+    funnel_steps = params["steps"]
+    if (not isinstance(funnel_steps, (list, tuple))
+            or any(not isinstance(x, str) for x in funnel_steps)):
+        raise ValueError(
+            f"window_funnel: steps must be a list of strings, "
+            f"got {funnel_steps!r}"
+        )
+    if "horizon_us" in params:
+        horizon_us = params["horizon_us"]
+    else:
+        horizon_days = params.get("horizon_days", 7)
+        if not isinstance(horizon_days, int) or horizon_days <= 0:
+            raise ValueError(
+                f"window_funnel: horizon_days must be a positive int, "
+                f"got {horizon_days!r}"
+            )
+        horizon_us = horizon_days * 86_400_000_000
+    ctx.put(
+        out_name,
+        window_funnel(
+            ctx.get(in_name),
+            user_col=params["user_col"],
+            ts_col=params["ts_col"],
+            type_col=params["type_col"],
+            steps=tuple(funnel_steps),
+            horizon_us=horizon_us,
+        ),
+    )
+
+
+@register_operator("activity_streaks")
+def _op_activity_streaks(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Consecutive-day streak rollup as a dataflow step (the q186
+    operator; operators/features.py activity_streaks).  Params:
+    ``entity_col``, ``ts_col`` (both required)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        activity_streaks,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [k for k in ("entity_col", "ts_col") if not params.get(k)]
+    if missing:
+        raise ValueError(f"activity_streaks requires params {missing}")
+    ctx.put(
+        out_name,
+        activity_streaks(
+            ctx.get(in_name),
+            entity_col=params["entity_col"],
+            ts_col=params["ts_col"],
+        ),
+    )
+
+
+@register_operator("pareto_frontier")
+def _op_pareto_frontier(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """2-D skyline filter as a dataflow step (the q187 operator;
+    operators/features.py pareto_frontier).  Params: ``minimize_col``,
+    ``maximize_col`` (required; minimize must be integral — quantize
+    first), ``by`` (optional group columns, default none)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        pareto_frontier,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [k for k in ("minimize_col", "maximize_col")
+               if not params.get(k)]
+    if missing:
+        raise ValueError(f"pareto_frontier requires params {missing}")
+    by = params.get("by", [])
+    if not isinstance(by, (list, tuple)):
+        raise ValueError(f"pareto_frontier: by must be a list, got {by!r}")
+    ctx.put(
+        out_name,
+        pareto_frontier(
+            ctx.get(in_name),
+            minimize_col=params["minimize_col"],
+            maximize_col=params["maximize_col"],
+            by=tuple(by),
+        ),
+    )
+
+
+@register_operator("fuzzy_pairs")
+def _op_fuzzy_pairs(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """SymSpell deletion-neighborhood fuzzy pair mining as a dataflow
+    step (the q188 operator; operators/features.py symspell_pairs).
+    Params: ``string_col`` (required), ``max_distance`` (1 or 2,
+    default 1)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        symspell_pairs,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    if not params.get("string_col"):
+        raise ValueError("fuzzy_pairs requires param 'string_col'")
+    max_distance = params.get("max_distance", 1)
+    ctx.put(
+        out_name,
+        symspell_pairs(
+            ctx.get(in_name),
+            string_col=params["string_col"],
+            max_distance=max_distance,
+        ),
+    )
+
+
+@register_operator("rolling_distinct")
+def _op_rolling_distinct(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Trailing-window distinct-entity curve as a dataflow step (the
+    q189 operator; operators/features.py rolling_distinct).  Params:
+    ``entity_col``, ``ts_col`` (required), ``window_days`` (default 7,
+    >= 1)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        rolling_distinct,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [k for k in ("entity_col", "ts_col") if not params.get(k)]
+    if missing:
+        raise ValueError(f"rolling_distinct requires params {missing}")
+    ctx.put(
+        out_name,
+        rolling_distinct(
+            ctx.get(in_name),
+            entity_col=params["entity_col"],
+            ts_col=params["ts_col"],
+            window_days=params.get("window_days", 7),
+        ),
+    )
+
+
+@register_operator("twap")
+def _op_twap(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Step-hold time-weighted average as a dataflow step (the q190
+    operator; operators/features.py twap).  Params: ``group_col``,
+    ``ts_col``, ``value_col`` (required), ``tiebreak_cols`` (list,
+    default []; pass a unique key when timestamps can tie),
+    ``value_scale`` (default 1000000)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import twap
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [k for k in ("group_col", "ts_col", "value_col")
+               if not params.get(k)]
+    if missing:
+        raise ValueError(f"twap requires params {missing}")
+    tiebreak = params.get("tiebreak_cols", [])
+    if not isinstance(tiebreak, (list, tuple)):
+        raise ValueError(
+            f"twap: tiebreak_cols must be a list, got {tiebreak!r}"
+        )
+    ctx.put(
+        out_name,
+        twap(
+            ctx.get(in_name),
+            group_col=params["group_col"],
+            ts_col=params["ts_col"],
+            value_col=params["value_col"],
+            tiebreak_cols=tuple(tiebreak),
+            value_scale=params.get("value_scale", 1_000_000),
+        ),
+    )
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

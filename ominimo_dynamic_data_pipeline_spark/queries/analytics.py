@@ -2716,6 +2716,10 @@ def q181_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q187_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        pareto_frontier,
+    )
+
     p = load_table(spark, sf_dir, "part").select(
         "p_brand",
         "p_partkey",
@@ -2723,31 +2727,6 @@ def q187_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
     )
-    # Running MAX(size) over everything strictly cheaper / same-or-cheaper:
-    # RANGE frames on the exact integer cents make "strictly cheaper" a
-    # -1 bound (ties share a RANGE frame, so ROWS would be wrong here).
-    w_strict = (
-        Window.partitionBy("p_brand")
-        .orderBy("cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_le = (
-        Window.partitionBy("p_brand")
-        .orderBy("cents")
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
-    flagged = p.select(
-        "p_brand",
-        "p_partkey",
-        "p_retailprice",
-        "p_size",
-        F.max("p_size").over(w_strict).alias("max_size_cheaper"),
-        F.max("p_size").over(w_le).alias("max_size_le"),
-    )
-    return flagged.where(
-        (
-            F.col("max_size_cheaper").isNull()
-            | (F.col("max_size_cheaper") < F.col("p_size"))
-        )
-        & (F.col("max_size_le") == F.col("p_size"))
+    return pareto_frontier(
+        p, minimize_col="cents", maximize_col="p_size", by=("p_brand",)
     ).select("p_brand", "p_partkey", "p_retailprice", "p_size")

@@ -1365,30 +1365,14 @@ def q156_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q188_symspell_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        symspell_pairs,
+    )
+
     c = load_table(spark, sf_dir, "customer")
     names = c.where(F.col("c_mktsegment") == "BUILDING").select("c_name")
-    variants = F.expr(
-        """
-        array_union(
-            array(c_name),
-            transform(sequence(1, length(c_name)),
-                      i -> concat(substring(c_name, 1, i - 1),
-                                  substring(c_name, i + 1,
-                                            length(c_name) - i))))
-        """
-    )
-    ex = names.select("c_name", F.explode(variants).alias("v"))
-    pairs = (
-        ex.alias("a")
-        .join(ex.alias("b"), "v")
-        .where(F.col("a.c_name") < F.col("b.c_name"))
-        .select(
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
-        )
-        .distinct()
-    )
-    return pairs.withColumn(
+    return symspell_pairs(names, string_col="c_name", max_distance=1).select(
+        F.col("value_a").alias("name_a"),
+        F.col("value_b").alias("name_b"),
         "dist",
-        F.levenshtein("name_a", "name_b").cast("bigint"),
-    ).where(F.col("dist") <= 1)
+    )

@@ -732,57 +732,33 @@ _Q185_HORIZON_US = 7 * 24 * 3600 * 1_000_000
     """,
 )
 def q185_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        window_funnel,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id")
-    base = ev.select(
-        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    pu = window_funnel(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        steps=("view", "click", "purchase"),
+        horizon_us=_Q185_HORIZON_US,
     )
-    s1 = base.withColumn(
-        "t1",
-        F.min(
-            F.when(F.col("event_type") == "view", F.col("us"))
-        ).over(wu),
-    )
-    s2 = s1.withColumn(
-        "t2",
-        F.min(
-            F.when(
-                (F.col("event_type") == "click")
-                & (F.col("us") >= F.col("t1"))
-                & (F.col("us") - F.col("t1") <= _Q185_HORIZON_US),
-                F.col("us"),
-            )
-        ).over(wu),
-    )
-    s3 = s2.withColumn(
-        "t3",
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & (F.col("us") >= F.col("t2"))
-                & (F.col("us") - F.col("t1") <= _Q185_HORIZON_US),
-                F.col("us"),
-            )
-        ).over(wu),
-    )
-    pu = s3.groupBy("user_id").agg(
-        F.max("t1").alias("t1"),
-        F.max("t2").alias("t2"),
-        F.max("t3").alias("t3"),
-    )
+    t1, t2, t3 = "step_1_us", "step_2_us", "step_3_us"
     return pu.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.count("t1").cast("bigint").alias("n_view"),
-        F.count("t2").cast("bigint").alias("n_click"),
-        F.count("t3").cast("bigint").alias("n_purchase"),
+        F.count(t1).cast("bigint").alias("n_view"),
+        F.count(t2).cast("bigint").alias("n_click"),
+        F.count(t3).cast("bigint").alias("n_purchase"),
         (
-            F.count("t2").cast("double") / F.count("t1").cast("double")
+            F.count(t2).cast("double") / F.count(t1).cast("double")
         ).alias("click_rate"),
         (
-            F.count("t3").cast("double") / F.count("t2").cast("double")
+            F.count(t3).cast("double") / F.count(t2).cast("double")
         ).alias("purchase_rate"),
         exact_str_double(
-            F.sum((F.col("t3") - F.col("t1")).cast("decimal(38,0)"))
+            F.sum((F.col(t3) - F.col(t1)).cast("decimal(38,0)"))
         ).alias("sum_funnel_us"),
     )
 
@@ -825,24 +801,12 @@ def q185_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q186_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        activity_streaks,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
-    isl = days.withColumn(
-        "grp",
-        F.datediff("day", F.lit("1970-01-01").cast("date"))
-        - F.row_number().over(w),
-    )
-    st = isl.groupBy("user_id", "grp").agg(
-        F.count(F.lit(1)).alias("len")
-    )
-    return st.groupBy("user_id").agg(
-        F.sum("len").cast("bigint").alias("n_active_days"),
-        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
-        F.max("len").cast("bigint").alias("longest_streak"),
-    )
+    return activity_streaks(ev, entity_col="user_id", ts_col="ts")
 
 
 # --------------------------------------------------------------------------
@@ -885,25 +849,17 @@ def q186_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q189_rolling_7d_active_users(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        rolling_distinct,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
-    obs = ud.select("day").distinct()
-    cov = ud.select(
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
-        "day",
-    ).select(
-        "user_id", F.date_add("day", F.col("i")).alias("day")
-    ).distinct()
-    return (
-        cov.join(F.broadcast(obs), "day")
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("users_7d"))
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d"
-        )
+    out = rolling_distinct(
+        ev, entity_col="user_id", ts_col="ts", window_days=7
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_distinct").alias("users_7d"),
     )
 
 
@@ -956,40 +912,13 @@ def q189_rolling_7d_active_users(
     """,
 )
 def q190_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import twap
+
     ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "user_id",
-        F.unix_micros("ts").alias("us"),
-        "event_id",
-        F.round(F.col("value") * 1000000).cast("bigint").alias("v_us"),
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    g = e.select(
-        "user_id",
-        "v_us",
-        (F.lead("us").over(w) - F.col("us")).alias("gap_us"),
-    )
-    dec = "decimal(19,0)"
-    a = (
-        g.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(
-                F.when(
-                    F.col("gap_us").isNotNull(),
-                    F.col("v_us").cast(dec) * F.col("gap_us").cast(dec),
-                )
-            ).alias("num"),
-            F.sum("gap_us").cast("bigint").alias("span_us"),
-        )
-        .where(F.col("span_us") > 0)
-    )
-    return a.select(
-        "user_id",
-        "n_events",
-        "span_us",
-        (
-            exact_str_double(F.col("num"))
-            / exact_str_double(F.col("span_us").cast(dec) * 1000000)
-        ).alias("twap"),
+    return twap(
+        ev,
+        group_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_cols=("event_id",),
     )

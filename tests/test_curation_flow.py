@@ -1023,3 +1023,187 @@ def test_round6_registry_steps_validate_params(spark):
                 n_buckets=1,
             )]},
         )
+
+
+def test_engagement_report_flow_golden(spark):
+    """The q185-q190 behavioral operators driven through metadata: every
+    step compiles from examples/engagement_report.json and pins to the
+    catalog queries' values on the same inputs (the queries delegate to
+    the same operator bodies, so this closes the metadata->operator
+    wiring, not just the math)."""
+    import json
+    from pathlib import Path
+
+    sf = "/root/testdata/sf0.01"
+    if not Path(sf).is_dir():
+        pytest.skip("sf0.01 testdata missing")
+    meta = json.loads(
+        (Path(__file__).parent.parent / "examples" / "engagement_report.json")
+        .read_text()
+    )
+    flow = select_dataflow(meta, "engagement-report")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    frames = compiled.frames
+
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        q187_pareto_frontier_parts,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.extensions import (
+        q188_symspell_name_pairs,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.windows_batch import (
+        q185_window_funnel,
+        q186_activity_streaks,
+        q189_rolling_7d_active_users,
+        q190_user_value_twap,
+    )
+
+    # funnel per-user step times aggregate to q185's level counts
+    fu = frames["funnel_steps"]
+    agg = fu.agg(
+        F.count("step_1_us").alias("v"),
+        F.count("step_2_us").alias("c"),
+        F.count("step_3_us").alias("p"),
+    ).collect()[0]
+    q = q185_window_funnel(spark, sf).collect()[0]
+    assert (agg["v"], agg["c"], agg["p"]) == (
+        q["n_view"], q["n_click"], q["n_purchase"]
+    )
+
+    # streak rollup row-for-row equals q186
+    got = {
+        r["user_id"]: (r["n_active_days"], r["n_streaks"], r["longest_streak"])
+        for r in frames["user_streaks"].collect()
+    }
+    want = {
+        r["user_id"]: (r["n_active_days"], r["n_streaks"], r["longest_streak"])
+        for r in q186_activity_streaks(spark, sf).collect()
+    }
+    assert got == want
+
+    # rolling distinct curve equals q189 (step emits DATE, query formats)
+    got = {
+        r["day"].isoformat(): r["n_distinct"]
+        for r in frames["weekly_actives"].collect()
+    }
+    want = {
+        r["day"]: r["users_7d"]
+        for r in q189_rolling_7d_active_users(spark, sf).collect()
+    }
+    assert got == want
+
+    # TWAP equals q190
+    got = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twap"])
+        for r in frames["user_exposure"].collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twap"])
+        for r in q190_user_value_twap(spark, sf).collect()
+    }
+    assert got == want
+
+    # frontier keys equal q187's (step keeps the quantize column; the
+    # query projects it away)
+    got = {
+        (r["p_brand"], r["p_partkey"])
+        for r in frames["price_size_frontier"].collect()
+    }
+    want = {
+        (r["p_brand"], r["p_partkey"])
+        for r in q187_pareto_frontier_parts(spark, sf).collect()
+    }
+    assert got == want
+
+    # fuzzy pairs over ALL customers contain q188's segment-restricted
+    # pairs (same operator, wider input domain)
+    got = {
+        (r["value_a"], r["value_b"], r["dist"])
+        for r in frames["name_near_matches"].collect()
+    }
+    want = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in q188_symspell_name_pairs(spark, sf).collect()
+    }
+    assert want <= got
+    assert all(d == 1 for _, _, d in got)
+
+
+def test_new_step_param_validation(spark):
+    """Fail-fast contracts of the q185-q190 steps: missing params,
+    non-integral skyline keys, and bad step lists all raise the
+    operator-prefixed ValueError."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        pareto_frontier,
+        symspell_pairs,
+        twap,
+        window_funnel,
+    )
+
+    ev = spark.range(3).select(
+        F.col("id").alias("user_id"),
+        F.current_timestamp().alias("ts"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.5).alias("value"),
+    )
+    with pytest.raises(ValueError, match="window_funnel: need >= 2 steps"):
+        window_funnel(ev, "user_id", "ts", "event_type", ("view",), 1)
+    with pytest.raises(ValueError, match="steps must be distinct"):
+        window_funnel(
+            ev, "user_id", "ts", "event_type", ("view", "view"), 1
+        )
+    with pytest.raises(ValueError, match="horizon_us must be a positive"):
+        window_funnel(
+            ev, "user_id", "ts", "event_type", ("view", "click"), 0
+        )
+    with pytest.raises(ValueError, match="lacks columns"):
+        window_funnel(
+            ev, "user_id", "ts", "nope", ("view", "click"), 1
+        )
+    with pytest.raises(ValueError, match="must be an integral type"):
+        pareto_frontier(ev, minimize_col="value", maximize_col="user_id")
+    with pytest.raises(ValueError, match="max_distance must be 1 or 2"):
+        symspell_pairs(ev, "event_type", max_distance=3)
+    with pytest.raises(ValueError, match="value_scale must be a positive"):
+        twap(ev, "user_id", "ts", "value", value_scale=0)
+
+
+def test_symspell_distance_two_matches_brute_force(spark):
+    """max_distance=2 (depth-2 deletion neighborhood) against the
+    quadratic scan on a crafted dictionary containing substitutions,
+    transpositions, double edits, and distance-3 decoys."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        symspell_pairs,
+    )
+
+    words = [
+        "table", "cable", "tible", "tale", "tables", "stables",
+        "ab", "ba", "abcd", "badc", "xyz", "xxyyz", "spark", "shark",
+        "sprk", "park", "",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    ws = sorted(set(words))
+    expected = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(ws)
+        for b in ws[i + 1 :]
+        if lev(a, b) <= 2
+    }
+    got = {
+        (r["value_a"], r["value_b"], r["dist"])
+        for r in symspell_pairs(df, "w", max_distance=2).collect()
+    }
+    assert got == expected
