@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ominimo_dynamic_data_pipeline_spark.llm.text import normalize_text, tokens
 
@@ -943,6 +944,64 @@ def dedup_clusters(
             break
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection per near-dup cluster (the q191
+    operator): for each cluster from ``dedup_clusters``, keep the member
+    with the highest ``score_col`` (ties -> lowest ``id_col``) — the
+    "keep best of cluster" step a curation pipeline runs after
+    clustering, instead of ``dedup_corpus``'s keep-lowest-id greedy.
+
+    Returns (cluster_col, rep_<id_col>, n_members, score_kept,
+    score_dropped).  Scale shape: ``clusters`` is bounded by the pair
+    budget (never corpus-sized), so the score join touches only
+    clustered ids and broadcasts; the argmax is one window pass and the
+    totals one keyed aggregate, both partitioned by the cluster id.
+    Dropped-score totals accumulate in DECIMAL (bigint wraps at the
+    100 TB posture) and surface as exact BIGINT."""
+    missing = [c for c in (id_col, cluster_col) if c not in clusters.columns]
+    if missing:
+        raise ValueError(
+            f"cluster_representatives: clusters frame lacks columns {missing}"
+        )
+    missing = [c for c in (id_col, score_col) if c not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"cluster_representatives: docs frame lacks columns {missing}"
+        )
+    j = clusters.join(docs.select(id_col, score_col), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    rep = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            cluster_col,
+            F.col(id_col).alias(f"rep_{id_col}"),
+            F.col(score_col).cast("bigint").alias("score_kept"),
+        )
+    )
+    agg = j.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.col(score_col).cast("decimal(19,0)")).alias("_total"),
+    )
+    return rep.join(agg, cluster_col).select(
+        cluster_col,
+        f"rep_{id_col}",
+        "n_members",
+        "score_kept",
+        (F.col("_total") - F.col("score_kept"))
+        .cast("bigint")
+        .alias("score_dropped"),
     )
 
 

@@ -2730,3 +2730,94 @@ def q187_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier(
         p, minimize_col="cents", maximize_col="p_size", by=("p_brand",)
     ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
+
+
+# --------------------------------------------------------------------------
+# q192 — TIME-DECAY touch attribution: every click/view in the 7 days
+# before a same-user purchase earns that purchase's value decayed by
+# 0.5 per whole day of lag — the marketing-attribution model between
+# q61's all-touch window and last-touch.  The decay is EXACT integer
+# arithmetic, not pow(): lag buckets to whole days by integral div, and
+# the weight 0.5^k is carried as the integer numerator 2^(6-k) over the
+# common denominator 64 (a 7-entry CASE literal, the Benford-table
+# precedent) — credited value accumulates as v_cents * 2^(6-k) in
+# DECIMAL(38,0) and surfaces through ONE decimal-string division by
+# 6400 (64ths of cents -> currency).  Strict < 7d bound keeps k in
+# 0..6 in both engines.  Scale shape: user-keyed equi-join with a range
+# residual (the q61 shape) — at 100 TB the purchase side is the small
+# fraction and the join shuffles on user_id only.
+# --------------------------------------------------------------------------
+_Q192_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "q192_time_decay_attribution",
+    f"""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS p_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, epoch_us(ts) AS t_us, event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+        SELECT t.event_type,
+               p.v_cents * (CASE (p.p_us - t.t_us) // 86400000000
+                            WHEN 0 THEN 64 WHEN 1 THEN 32 WHEN 2 THEN 16
+                            WHEN 3 THEN 8 WHEN 4 THEN 4 WHEN 5 THEN 2
+                            WHEN 6 THEN 1 END) AS credited_64
+        FROM p JOIN t ON t.user_id = p.user_id
+                     AND t.t_us < p.p_us
+                     AND p.p_us - t.t_us < {_Q192_WEEK_US}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(CAST(SUM(credited_64) AS VARCHAR) AS DOUBLE) / 6400.0
+               AS credited_value
+    FROM pairs GROUP BY event_type
+    """,
+)
+def q192_time_decay_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.unix_micros("ts").alias("t_us"), "event_type"
+    )
+    k = F.expr("(p_us - t_us) div 86400000000")
+    wnum = (
+        F.when(k == 0, 64)
+        .when(k == 1, 32)
+        .when(k == 2, 16)
+        .when(k == 3, 8)
+        .when(k == 4, 4)
+        .when(k == 5, 2)
+        .when(k == 6, 1)
+    )
+    pairs = (
+        p.join(t, "user_id")
+        .where(
+            (F.col("t_us") < F.col("p_us"))
+            & (F.col("p_us") - F.col("t_us") < _Q192_WEEK_US)
+        )
+        .select(
+            "event_type",
+            (F.col("v_cents") * wnum).alias("credited_64"),
+        )
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        (
+            exact_str_double(
+                F.sum(F.col("credited_64").cast("decimal(19,0)"))
+            )
+            / F.lit(6400.0)
+        ).alias("credited_value"),
+    )

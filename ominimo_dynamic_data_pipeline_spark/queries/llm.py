@@ -854,10 +854,11 @@ def q49_dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph (iterative min-label propagation on Spark; the oracle computes the
 # same components with a recursive CTE — min reachable id per node).
 # --------------------------------------------------------------------------
-def _dedup_clusters_sql() -> str:
+def _clusters_cte() -> str:
+    """Shared recursive-CTE text computing (doc_id, cluster_id) — used by
+    the q57 oracle and composed further by q191."""
     pairs = _minhash_sql().strip()
-    return f"""
-    WITH RECURSIVE pairs AS ({pairs}),
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
@@ -868,9 +869,17 @@ def _dedup_clusters_sql() -> str:
         SELECT id, id FROM nodes
         UNION
         SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
-    )
-    SELECT id AS doc_id, MIN(label) AS cluster_id
-    FROM reach GROUP BY id
+    ),
+    clusters AS (
+        SELECT id AS doc_id, MIN(label) AS cluster_id
+        FROM reach GROUP BY id
+    )"""
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+    {_clusters_cte()}
+    SELECT doc_id, cluster_id FROM clusters
     """
 
 
@@ -882,6 +891,61 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=MINHASH_MAX_BUCKET,
     )
     return D.dedup_clusters(pairs)
+
+
+# --------------------------------------------------------------------------
+# q191 — CANONICAL DOC PER NEAR-DUP CLUSTER: the "keep best of cluster"
+# curation step that follows q57's clustering — instead of
+# dedup_corpus's keep-lowest-id greedy, each cluster keeps its
+# highest-n_chars member (ties -> lowest doc_id) and accounts for the
+# characters dropped.  The Spark side composes the q57 machinery with
+# llm/dedup.py cluster_representatives (pair-budget-bounded cluster
+# frame -> score join touches only clustered ids, one window argmax +
+# one keyed aggregate); the oracle extends the same recursive-CTE
+# clusters with an independent ROW_NUMBER pick and HUGEINT-safe sums.
+# --------------------------------------------------------------------------
+def _q191_sql() -> str:
+    return f"""
+    {_clusters_cte()},
+    j AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars
+        FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS rn
+        FROM j
+    ),
+    agg AS (
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM j GROUP BY cluster_id
+    )
+    SELECT r.cluster_id,
+           r.doc_id AS rep_doc_id,
+           a.n_members,
+           CAST(r.n_chars AS BIGINT) AS score_kept,
+           CAST(a.total_chars - r.n_chars AS BIGINT) AS score_dropped
+    FROM ranked r JOIN agg a USING (cluster_id)
+    WHERE r.rn = 1
+    """
+
+
+@query("q191_cluster_canonical_docs", _q191_sql())
+def q191_cluster_canonical_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(
+        d, threshold=0.5, cache_shingles=True,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
+    clusters = D.dedup_clusters(pairs)
+    return D.cluster_representatives(
+        clusters, d, id_col="doc_id", score_col="n_chars"
+    )
 
 
 # --------------------------------------------------------------------------

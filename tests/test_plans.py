@@ -560,3 +560,76 @@ def test_q174_single_exchange_feeds_lag_and_percentile(q):
     p = plan_of(q("q174_event_cadence"))
     assert "hashpartitioning(event_type" in p
     assert p.count("Window (") == 1
+
+
+def test_q185_funnel_single_wide_exchange(q):
+    # ONE exchange on user_id feeds all three step-window passes (no
+    # sort — unbounded frames) and the per-user rollup; the only other
+    # exchange is the single-row final reduce. No join anywhere.
+    p = plan_of(q("q185_window_funnel"))
+    assert p.count("Exchange (") == 2
+    assert "hashpartitioning(user_id" in p
+    assert p.count("Window (") == 3
+    assert "Join" not in p
+    # the only sort is WindowExec's required partition-key ordering,
+    # shared by all three step passes — never one sort per step
+    assert p.count("Sort (") == 1
+
+
+def test_q186_streaks_rollups_reuse_user_partitioning(q):
+    # distinct (user, day) partial-agg shuffle + the user_id window
+    # exchange; both island rollups must reuse the window's
+    # partitioning (no third exchange)
+    p = plan_of(q("q186_activity_streaks"))
+    assert p.count("Exchange (") == 2
+    assert "hashpartitioning(user_id" in p
+    assert "Join" not in p
+
+
+def test_q187_skyline_single_exchange_no_join(q):
+    # the sort-sweep must never materialize pairs: one exchange + one
+    # sort per brand feeds both RANGE frames
+    p = plan_of(q("q187_pareto_frontier_parts"))
+    assert p.count("Exchange (") == 1
+    assert "hashpartitioning(p_brand" in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q188_symspell_equi_joins_no_cartesian(q):
+    # deletion-neighborhood blocking must reach the join as an equi
+    # hash join on the variant key — never a cartesian/NL pair scan
+    p = plan_of(q("q188_symspell_name_pairs"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
+def test_q189_rolling_distinct_day_dim_broadcasts(q):
+    # the observed-day dimension must broadcast onto the exploded
+    # coverage frame; the explode is a Generate, not a join
+    p = plan_of(q("q189_rolling_7d_active_users"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Generate" in p
+
+
+def test_q190_twap_single_exchange(q):
+    # ONE exchange on user_id: the LEAD window sorts within partitions
+    # and the per-user rollup reuses the partitioning
+    p = plan_of(q("q190_user_value_twap"))
+    assert p.count("Exchange (") == 1
+    assert "hashpartitioning(user_id" in p
+    assert "Join" not in p
+
+
+def test_q192_attribution_joins_on_user_key(q):
+    # the 7-day decay join must reach execution as a user_id equi-join
+    # with the range bound as residual — never a cartesian pair scan;
+    # the CASE weight table stays a pure projection (no pow/UDF)
+    p = plan_of(q("q192_time_decay_attribution"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "user_id" in p

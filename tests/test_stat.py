@@ -626,3 +626,87 @@ def test_user_twap_matches_python_reference(spark, sf_dir):
         gn, gspan, gtwap = got[uid]
         assert (gn, gspan) == (n, span)
         assert abs(gtwap - twap) < 1e-12 * max(1.0, abs(twap))
+
+
+def test_cluster_representatives_match_python_reference(spark, sf_dir):
+    """q191's per-cluster argmax + drop accounting against a Python
+    recompute from the q57 cluster assignment and the documents table."""
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        q57_dedup_clusters,
+        q191_cluster_canonical_docs,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q57_dedup_clusters(spark, sf_dir).collect()
+    }
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    members: dict = {}
+    for doc, cl in clusters.items():
+        members.setdefault(cl, []).append(doc)
+    expected = {}
+    for cl, docs in members.items():
+        rep = min(docs, key=lambda d: (-chars[d], d))
+        total = sum(chars[d] for d in docs)
+        expected[cl] = (rep, len(docs), chars[rep], total - chars[rep])
+    got = {
+        r["cluster_id"]: (
+            r["rep_doc_id"], r["n_members"], r["score_kept"],
+            r["score_dropped"],
+        )
+        for r in q191_cluster_canonical_docs(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_time_decay_attribution_matches_python_reference(spark, sf_dir):
+    """q192's powers-of-half credit against an exact integer Python
+    recompute (weight numerators over the common denominator 64)."""
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        _Q192_WEEK_US,
+        q192_time_decay_attribution,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+        )
+        .collect()
+    )
+    purchases = [(r["user_id"], r["us"], r["v_cents"]) for r in ev
+                 if r["event_type"] == "purchase"]
+    touches: dict = {}
+    for r in ev:
+        if r["event_type"] in ("click", "view"):
+            touches.setdefault(r["user_id"], []).append(
+                (r["us"], r["event_type"])
+            )
+    sums = {"click": 0, "view": 0}
+    counts = {"click": 0, "view": 0}
+    for uid, pus, v in purchases:
+        for tus, ttype in touches.get(uid, ()):
+            if tus < pus and pus - tus < _Q192_WEEK_US:
+                k = (pus - tus) // 86400000000
+                sums[ttype] += v * (1 << (6 - k))
+                counts[ttype] += 1
+    got = {
+        r["event_type"]: (r["n_touches"], r["credited_value"])
+        for r in q192_time_decay_attribution(spark, sf_dir).collect()
+    }
+    expected = {
+        t: (counts[t], sums[t] / 6400.0)
+        for t in ("click", "view")
+        if counts[t]
+    }
+    assert got == expected

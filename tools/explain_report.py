@@ -277,6 +277,37 @@ SHOWCASE = {
         "window runs on that slice only, k-thresholds explode from a "
         "3-literal broadcast array."
     ),
+    "q185_window_funnel": (
+        "Window funnel: ONE exchange on user_id feeds all three "
+        "step-window MIN passes (unbounded frames share a single "
+        "partition-key sort) and the per-user rollup; the only other "
+        "exchange is the 1-row final reduce.  No join anywhere."
+    ),
+    "q187_pareto_frontier_parts": (
+        "Pareto frontier: the 2-D skyline is ONE exchange + one sort "
+        "per brand feeding two running-MAX RANGE frames on exact "
+        "integer cents — never a pairwise join (the oracle runs the "
+        "quadratic NOT EXISTS independently)."
+    ),
+    "q188_symspell_name_pairs": (
+        "SymSpell pairs: the deletion-neighborhood index is a Generate "
+        "(explode) per side and the candidate join is an equi hash "
+        "join on the variant key — cartesian-free with recall 1.0 for "
+        "d<=1 by construction; Levenshtein verifies survivors."
+    ),
+    "q189_rolling_7d_active_users": (
+        "Rolling distinct actives: constant 7-day fanout Generate, "
+        "dedup, then a broadcast semi-join against the tiny "
+        "observed-day dim — shuffles carry <= 7x|active user-days| "
+        "rows; DuckDB's native moving COUNT(DISTINCT) is the "
+        "independent oracle."
+    ),
+    "q190_user_value_twap": (
+        "Step-hold TWAP: ONE exchange on user_id — the LEAD window "
+        "sorts within partitions and the per-user DECIMAL(38,0) "
+        "rollup reuses the partitioning; one decimal-string division "
+        "at the end."
+    ),
     "q167_minhash_recall_calibration": (
         "Band-recall calibration: truth via the inverted-index "
         "equi-join (shared-shingle counts, no pairwise array join — "
