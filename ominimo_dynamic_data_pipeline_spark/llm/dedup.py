@@ -978,30 +978,34 @@ def cluster_representatives(
             f"cluster_representatives: docs frame lacks columns {missing}"
         )
     j = clusters.join(docs.select(id_col, score_col), id_col)
+    # one exchange: the argmax row_number and the member/total stats are
+    # all window aggregates over the same cluster partition (an explicit
+    # groupBy branch would re-evaluate the join and add a join-back)
     w = Window.partitionBy(cluster_col).orderBy(
         F.col(score_col).desc(), F.col(id_col)
     )
-    rep = (
-        j.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
+    wc = Window.partitionBy(cluster_col)
+    return (
+        j.select(
             cluster_col,
             F.col(id_col).alias(f"rep_{id_col}"),
             F.col(score_col).cast("bigint").alias("score_kept"),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("n_members"),
+            F.sum(F.col(score_col).cast("decimal(19,0)"))
+            .over(wc)
+            .alias("_total"),
         )
-    )
-    agg = j.groupBy(cluster_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        F.sum(F.col(score_col).cast("decimal(19,0)")).alias("_total"),
-    )
-    return rep.join(agg, cluster_col).select(
-        cluster_col,
-        f"rep_{id_col}",
-        "n_members",
-        "score_kept",
-        (F.col("_total") - F.col("score_kept"))
-        .cast("bigint")
-        .alias("score_dropped"),
+        .where(F.col("_rn") == 1)
+        .select(
+            cluster_col,
+            f"rep_{id_col}",
+            "n_members",
+            "score_kept",
+            (F.col("_total") - F.col("score_kept"))
+            .cast("bigint")
+            .alias("score_dropped"),
+        )
     )
 
 

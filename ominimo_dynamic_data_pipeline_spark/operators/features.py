@@ -552,8 +552,12 @@ def window_funnel(
     """Greedy-earliest ordered funnel (the q185 operator, generalized to
     N steps): per user, ``step_<i>_us`` is the MIN event time (exact
     integer micros) of step i at/after step i-1's time, with every step
-    inside the INCLUSIVE ``horizon_us`` window anchored at step 1 —
-    ClickHouse windowFunnel semantics.  One exchange on ``user_col``;
+    inside the INCLUSIVE ``horizon_us`` window anchored at the user's
+    FIRST step-1 event.  First-anchor semantics, deliberately simpler
+    than ClickHouse's windowFunnel: that algorithm re-anchors on later
+    step-1 events and can find chains this one reports as level 1 (a
+    user whose first view never converts but whose later view does).
+    One exchange on ``user_col``;
     each step adds an unbounded-frame window MIN that reuses the
     partitioning (no sort).  Aggregate the returned per-user frame for
     funnel level counts."""
@@ -757,10 +761,17 @@ def rolling_distinct(
     missing = [c for c in (entity_col, ts_col) if c not in df.columns]
     if missing:
         raise ValueError(f"rolling_distinct: input lacks columns {missing}")
-    ud = df.select(
-        entity_col,
-        F.col(ts_col).cast("timestamp").cast("date").alias("_day"),
-    ).distinct()
+    # NULL entities are skipped — COUNT(DISTINCT x) semantics (and the
+    # q189 oracle's moving COUNT(DISTINCT)), which a bare .distinct()
+    # would otherwise count as one extra "entity" per covered day
+    ud = (
+        df.where(F.col(entity_col).isNotNull())
+        .select(
+            entity_col,
+            F.col(ts_col).cast("timestamp").cast("date").alias("_day"),
+        )
+        .distinct()
+    )
     obs = ud.select("_day").distinct()
     cov = (
         ud.select(

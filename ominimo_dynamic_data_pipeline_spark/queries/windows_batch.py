@@ -671,10 +671,12 @@ def q183_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q185 — WINDOW FUNNEL (view -> click -> purchase within 7 days of the
 # first view): the ordered-step conversion primitive product analytics
-# runs next to q126's transitions and q183's paths, with ClickHouse
-# windowFunnel's greedy-earliest semantics — each step's timestamp is
-# the MIN event time at or after the previous step, and every step must
-# land within the horizon anchored at step 1.  All time comparisons are
+# runs next to q126's transitions and q183's paths, with greedy-earliest
+# FIRST-ANCHOR semantics — each step's timestamp is the MIN event time
+# at or after the previous step, and every step must land within the
+# horizon anchored at the user's FIRST step-1 event (ClickHouse's
+# windowFunnel re-anchors on later step-1 events; this deliberately
+# simpler contract is stated in the operator docstring).  All time comparisons are
 # exact integer MICROS (q183 precedent) with an INCLUSIVE horizon and
 # >= step ordering (a click sharing the first view's timestamp counts)
 # so both engines evaluate the identical integer predicates.  Scale

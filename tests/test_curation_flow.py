@@ -1184,16 +1184,7 @@ def test_symspell_distance_two_matches_brute_force(spark):
     ]
     df = spark.createDataFrame([(w,) for w in words], ["w"])
 
-    def lev(a, b):
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(
-                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-                )
-            prev = cur
-        return prev[-1]
+    from conftest import lev_reference as lev
 
     ws = sorted(set(words))
     expected = {
@@ -1207,3 +1198,24 @@ def test_symspell_distance_two_matches_brute_force(spark):
         for r in symspell_pairs(df, "w", max_distance=2).collect()
     }
     assert got == expected
+
+
+def test_rolling_distinct_skips_null_entities(spark):
+    """COUNT(DISTINCT) semantics: a NULL entity must not count as a
+    distinct member of any window (the q189 oracle's moving
+    COUNT(DISTINCT) skips NULLs; a bare .distinct() would not)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        rolling_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "2024-01-01"), (1, "2024-01-01"), (2, "2024-01-02")],
+        "user_id bigint, d string",
+    ).select("user_id", F.to_timestamp("d").alias("ts"))
+    got = {
+        r["day"].isoformat(): r["n_distinct"]
+        for r in rolling_distinct(
+            df, entity_col="user_id", ts_col="ts", window_days=2
+        ).collect()
+    }
+    assert got == {"2024-01-01": 1, "2024-01-02": 2}

@@ -511,16 +511,7 @@ def test_pareto_frontier_matches_brute_force(spark, sf_dir):
     assert got == expected
 
 
-def _lev(a: str, b: str) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(
-                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            )
-        prev = cur
-    return prev[-1]
+from conftest import lev_reference as _lev
 
 
 def test_symspell_pairs_match_brute_force(spark, sf_dir):
