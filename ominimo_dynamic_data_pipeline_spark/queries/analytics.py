@@ -2821,3 +2821,210 @@ def q192_time_decay_attribution(
             / F.lit(6400.0)
         ).alias("credited_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q193 — WINSORIZED robust balance stats per market segment: clip
+# account balances at the rank-picked p05/p95 (percentile_DISC by
+# construction — the threshold IS a data value at rank ceil(p*n) in
+# the (cents, custkey) total order, so there is no interpolation to
+# diverge cross-engine) and report the clipped mean — the
+# outlier-robust feature-prep step next to q83's MAD screen.  All
+# arithmetic exact: integer cents, DECIMAL accumulation, one
+# decimal-string division per mean.  Scale shape: ONE exchange on the
+# segment key feeds the rank window, the in-partition threshold
+# broadcast (two conditional MAX frames), and the final rollup.  At
+# very high per-group cardinality swap the rank pick for the KLL
+# sketch (q121/q125 contract note).
+# --------------------------------------------------------------------------
+@query(
+    "q193_winsorized_balances",
+    """
+    WITH c AS (
+        SELECT c_mktsegment, c_custkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY cents, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM c
+    ),
+    thresholds AS (
+        SELECT *,
+               MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.05 * n) AS BIGINT))
+                        THEN cents END)
+                   OVER (PARTITION BY c_mktsegment) AS lo,
+               MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                        THEN cents END)
+                   OVER (PARTITION BY c_mktsegment) AS hi
+        FROM ranked
+    )
+    SELECT c_mktsegment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(lo) AS BIGINT) AS lo_cents,
+           CAST(MAX(hi) AS BIGINT) AS hi_cents,
+           CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(CAST(SUM(LEAST(GREATEST(cents, lo), hi)) AS VARCHAR)
+                    AS DOUBLE)
+               / CAST(MAX(n) AS DOUBLE) / 100.0 AS winsorized_mean
+    FROM thresholds GROUP BY c_mktsegment
+    """,
+)
+def q193_winsorized_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number()
+        .over(seg.orderBy("cents", "c_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(seg).alias("n"),
+    )
+    lo_rank = F.greatest(F.lit(1), F.ceil(0.05 * F.col("n")).cast("bigint"))
+    hi_rank = F.ceil(0.95 * F.col("n")).cast("bigint")
+    th = ranked.select(
+        "c_mktsegment",
+        "cents",
+        "n",
+        F.max(F.when(F.col("rn") == lo_rank, F.col("cents")))
+        .over(seg)
+        .alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("cents")))
+        .over(seg)
+        .alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return th.groupBy("c_mktsegment").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.max("lo").cast("bigint").alias("lo_cents"),
+        F.max("hi").cast("bigint").alias("hi_cents"),
+        F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        (
+            exact_str_double(F.sum(clipped.cast("decimal(19,0)")))
+            / F.max("n").cast("double")
+            / F.lit(100.0)
+        ).alias("winsorized_mean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q194 — INCREMENTAL SNAPSHOT DIFF: classify every customer's
+# per-key aggregate state between two as-of cutoffs (orders before
+# 1997-01-01 vs before 1998-01-01) as added / changed / unchanged /
+# removed and account for the revenue delta — the audit a maintained
+# incremental materialization runs after each merge (q72 is the
+# row-level SCD-1 merge; this is the classified state diff).  Exact
+# arithmetic throughout: revenue in integer cents summed in DECIMAL,
+# deltas as exact BIGINT differences, classification on exact
+# (count, cents) equality.  Scale shape: both snapshots partial-agg
+# down to one row per customer BEFORE the full-outer join, so the
+# join carries |customers| rows regardless of order volume; the final
+# rollup is a 4-value key.  'removed' is structurally possible
+# (deletes in a real CDC feed) and empty on this append-only data —
+# asserted by the oracle agreeing on the 3 non-empty classes.
+# --------------------------------------------------------------------------
+@query(
+    "q194_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_custkey
+    ),
+    new AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey
+    ),
+    diff AS (
+        SELECT CASE WHEN o.o_custkey IS NULL THEN 'added'
+                    WHEN n.o_custkey IS NULL THEN 'removed'
+                    WHEN o.n_orders = n.n_orders AND o.cents = n.cents
+                         THEN 'unchanged'
+                    ELSE 'changed' END AS change_type,
+               COALESCE(n.n_orders, 0) - COALESCE(o.n_orders, 0)
+                   AS d_orders,
+               COALESCE(n.cents, 0) - COALESCE(o.cents, 0) AS d_cents
+        FROM old o FULL OUTER JOIN new n ON o.o_custkey = n.o_custkey
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(d_orders) AS BIGINT) AS delta_orders,
+           CAST(CAST(SUM(CAST(d_cents AS DECIMAL(19,0))) AS VARCHAR)
+                AS DOUBLE) / 100.0 AS delta_revenue
+    FROM diff GROUP BY change_type
+    """,
+)
+def q194_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents_row = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(cents_row).cast("bigint").alias("cents"),
+            )
+        )
+
+    old = snap("1997-01-01")
+    new = snap("1998-01-01")
+    j = old.alias("o").join(
+        new.alias("n"),
+        F.col("o.o_custkey") == F.col("n.o_custkey"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("o.o_custkey").isNull(), "added")
+        .when(F.col("n.o_custkey").isNull(), "removed")
+        .when(
+            (F.col("o.n_orders") == F.col("n.n_orders"))
+            & (F.col("o.cents") == F.col("n.cents")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    diff = j.select(
+        change.alias("change_type"),
+        (
+            F.coalesce(F.col("n.n_orders"), F.lit(0))
+            - F.coalesce(F.col("o.n_orders"), F.lit(0))
+        ).alias("d_orders"),
+        (
+            F.coalesce(F.col("n.cents"), F.lit(0))
+            - F.coalesce(F.col("o.cents"), F.lit(0))
+        ).alias("d_cents"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("d_orders").cast("bigint").alias("delta_orders"),
+        (
+            exact_str_double(F.sum(F.col("d_cents").cast("decimal(19,0)")))
+            / F.lit(100.0)
+        ).alias("delta_revenue"),
+    )

@@ -633,3 +633,22 @@ def test_q192_attribution_joins_on_user_key(q):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "user_id" in p
+
+
+def test_q193_winsorize_single_exchange(q):
+    # rank, in-partition threshold broadcast, and the rollup all share
+    # ONE exchange on the segment key; no join-back for the thresholds
+    p = plan_of(q("q193_winsorized_balances"))
+    assert p.count("Exchange (") == 1
+    assert "hashpartitioning(c_mktsegment" in p
+    assert "Join" not in p
+
+
+def test_q194_diff_aggregates_before_join(q):
+    # both snapshots reduce to one row per customer BEFORE the
+    # full-outer join (partial HashAggregates under the join, the
+    # cutoff filters pushed to the scans)
+    p = plan_of(q("q194_snapshot_diff"))
+    assert "FullOuter" in p or "full_outer" in p.lower()
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in p
+    assert "CartesianProduct" not in p

@@ -701,3 +701,112 @@ def test_time_decay_attribution_matches_python_reference(spark, sf_dir):
         if counts[t]
     }
     assert got == expected
+
+
+def test_winsorized_balances_match_python_reference(spark, sf_dir):
+    """q193's rank-disc thresholds + clipped mean against a Python
+    recompute in exact integer cents."""
+    import math
+
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        q193_winsorized_balances,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    segs: dict = {}
+    for r in rows:
+        segs.setdefault(r["c_mktsegment"], []).append(
+            (r["cents"], r["c_custkey"])
+        )
+    expected = {}
+    for seg, vals in segs.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[max(1, math.ceil(0.05 * n)) - 1][0]
+        hi = vals[math.ceil(0.95 * n) - 1][0]
+        clipped = [min(max(c, lo), hi) for c, _ in vals]
+        expected[seg] = (
+            n, lo, hi,
+            sum(1 for c, _ in vals if c < lo),
+            sum(1 for c, _ in vals if c > hi),
+            sum(clipped) / n / 100.0,
+        )
+    got = {
+        r["c_mktsegment"]: (
+            r["n_customers"], r["lo_cents"], r["hi_cents"],
+            r["n_clipped_low"], r["n_clipped_high"], r["winsorized_mean"],
+        )
+        for r in q193_winsorized_balances(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for seg in expected:
+        *ints_e, mean_e = expected[seg]
+        *ints_g, mean_g = got[seg]
+        assert ints_g == ints_e
+        assert abs(mean_g - mean_e) < 1e-9
+
+
+def test_snapshot_diff_matches_python_reference(spark, sf_dir):
+    """q194's classified per-customer state diff against a Python
+    recompute from the raw orders."""
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        q194_snapshot_diff,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    import datetime
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    c1 = datetime.datetime(1997, 1, 1)
+    c2 = datetime.datetime(1998, 1, 1)
+    old: dict = {}
+    new: dict = {}
+    for r in rows:
+        if r["o_orderdate"] < c1:
+            n, c = old.get(r["o_custkey"], (0, 0))
+            old[r["o_custkey"]] = (n + 1, c + r["c"])
+        if r["o_orderdate"] < c2:
+            n, c = new.get(r["o_custkey"], (0, 0))
+            new[r["o_custkey"]] = (n + 1, c + r["c"])
+    agg: dict = {}
+    for k in set(old) | set(new):
+        o, n = old.get(k), new.get(k)
+        if o is None:
+            t = "added"
+        elif n is None:
+            t = "removed"
+        elif o == n:
+            t = "unchanged"
+        else:
+            t = "changed"
+        cnt, d_ord, d_c = agg.get(t, (0, 0, 0))
+        agg[t] = (
+            cnt + 1,
+            d_ord + (n[0] if n else 0) - (o[0] if o else 0),
+            d_c + (n[1] if n else 0) - (o[1] if o else 0),
+        )
+    got = {
+        r["change_type"]: (
+            r["n_customers"], r["delta_orders"], r["delta_revenue"],
+        )
+        for r in q194_snapshot_diff(spark, sf_dir).collect()
+    }
+    expected = {t: (c, d, dc / 100.0) for t, (c, d, dc) in agg.items()}
+    assert got == expected
