@@ -1376,3 +1376,115 @@ def q188_symspell_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_b").alias("name_b"),
         "dist",
     )
+
+
+# --------------------------------------------------------------------------
+# q196 — DELETION-CASCADE audit (right-to-be-forgotten simulation): a
+# deterministic customer cohort (custkey % 97 = 0) is erased and the
+# cascade follows the FK edges customer -> orders -> lineitem; the
+# audit reports, per table, how many rows the cascade removes, how
+# many remain, and the exact value removed (integer cents through a
+# DECIMAL accumulator).  This is the privacy-pipeline companion to
+# q156's k-anonymity audit — the count you verify BEFORE issuing the
+# actual deletes.  Scale shape: each cascade level is a semi-join on
+# the parent's key set (the deletion cohort is tiny relative to the
+# corpus, so the semi-join build side broadcasts; counts/sums are
+# partial-aggregated).  The three per-table audit rows union.
+# --------------------------------------------------------------------------
+@query(
+    "q196_deletion_cascade_audit",
+    """
+    WITH del_c AS (
+        SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer WHERE c_custkey % 97 = 0
+    ),
+    del_o AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+    ),
+    del_l AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)
+    )
+    SELECT 'customer' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_deleted,
+           CAST((SELECT COUNT(*) FROM customer) - COUNT(*) AS BIGINT)
+               AS n_remaining,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_removed
+    FROM del_c
+    UNION ALL
+    SELECT 'orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) - COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+    FROM del_o
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(COUNT(*) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) - COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+    FROM del_l
+    """,
+)
+def q196_deletion_cascade_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(19,0)"
+
+    del_c = c.where(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    del_o = o.join(
+        F.broadcast(del_c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    del_l = li.join(
+        F.broadcast(del_o.select("o_orderkey")),
+        li.l_orderkey == del_o.o_orderkey,
+        "left_semi",
+    ).select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+
+    def audit(name: str, deleted: DataFrame, full: DataFrame) -> DataFrame:
+        total = full.agg(
+            F.count(F.lit(1)).cast("bigint").alias("_total")
+        )
+        return (
+            deleted.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_deleted"),
+                F.coalesce(
+                    F.sum(F.col("cents").cast(dec)), F.lit(0).cast(dec)
+                )
+                .cast("bigint")
+                .alias("cents_removed"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_deleted",
+                (F.col("_total") - F.col("n_deleted"))
+                .cast("bigint")
+                .alias("n_remaining"),
+                "cents_removed",
+            )
+        )
+
+    return (
+        audit("customer", del_c, c)
+        .unionByName(audit("orders", del_o, o))
+        .unionByName(audit("lineitem", del_l, li))
+    )

@@ -949,6 +949,70 @@ def q191_cluster_canonical_docs(
 
 
 # --------------------------------------------------------------------------
+# q195 — NEAR-DUP RATE BY SOURCE PAIR: the curation report that tells
+# you WHICH sources copy from which — q26's near-dup pairs joined to
+# each side's source label and rolled up to an (source_a, source_b)
+# matrix with within-source pairs on the diagonal.  The pair frame is
+# budget-bounded (band join + bucket caps), so the two source lookups
+# are joins against a 2-column projection of documents and the rollup
+# key is tiny; source labels order canonically (least/greatest) so
+# (web, wiki) and (wiki, web) are one cell.  The oracle composes the
+# same minhash SQL with the identical canonical-pair rollup.
+# --------------------------------------------------------------------------
+def _q195_sql() -> str:
+    pairs = _minhash_sql().strip()
+    return f"""
+    WITH pairs AS ({pairs}),
+    lab AS (
+        SELECT p.id_a, p.id_b, da.source AS src_a, db.source AS src_b
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT LEAST(src_a, src_b) AS source_a,
+           GREATEST(src_a, src_b) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    """
+
+
+@query("q195_near_dup_source_matrix", _q195_sql())
+def q195_near_dup_source_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(
+        d, threshold=0.5, cache_shingles=True,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "id_b",
+        )
+    )
+    return (
+        lab.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
 # q61 — multi-touch interval attribution, batch twin of the stream-stream
 # interval join (streaming/ops.interval_click_attribution): ALL same-user
 # clicks within 1 hour strictly before each purchase.  The streaming run

@@ -652,3 +652,14 @@ def test_q194_diff_aggregates_before_join(q):
     assert "FullOuter" in p or "full_outer" in p.lower()
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in p
     assert "CartesianProduct" not in p
+
+
+def test_q196_cascade_semi_joins_broadcast(q):
+    # each cascade level must stay a LeftSemi with a broadcast build
+    # side (the deletion cohort is tiny); never an inner join that
+    # duplicates fact rows, never a shuffle of the fact side for the
+    # cohort lookup
+    p = plan_of(q("q196_deletion_cascade_audit"))
+    assert "LeftSemi" in p
+    assert p.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in p

@@ -810,3 +810,72 @@ def test_snapshot_diff_matches_python_reference(spark, sf_dir):
     }
     expected = {t: (c, d, dc / 100.0) for t, (c, d, dc) in agg.items()}
     assert got == expected
+
+
+def test_near_dup_source_matrix_consistent_with_q26(spark, sf_dir):
+    """q195: the source-pair rollup must account for exactly q26's pair
+    set (labels looked up from documents, canonical order)."""
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        q26_minhash_near_dups,
+        q195_near_dup_source_matrix,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    expected: dict = {}
+    for r in q26_minhash_near_dups(spark, sf_dir).collect():
+        a, b = sorted((src[r["id_a"]], src[r["id_b"]]))
+        expected[(a, b)] = expected.get((a, b), 0) + 1
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in q195_near_dup_source_matrix(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_deletion_cascade_matches_python_reference(spark, sf_dir):
+    """q196: cascade counts and removed cents against a direct Python
+    recompute over the three collected tables."""
+    from ominimo_dynamic_data_pipeline_spark.queries.extensions import (
+        q196_deletion_cascade_audit,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("bigint").alias("c")
+    ).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    ).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    ).collect()
+    del_c = {r["c_custkey"] for r in cust if r["c_custkey"] % 97 == 0}
+    del_o = {r["o_orderkey"] for r in orders if r["o_custkey"] in del_c}
+    expected = {
+        "customer": (
+            len(del_c), len(cust) - len(del_c),
+            sum(r["c"] for r in cust if r["c_custkey"] in del_c),
+        ),
+        "orders": (
+            len(del_o), len(orders) - len(del_o),
+            sum(r["c"] for r in orders if r["o_orderkey"] in del_o),
+        ),
+        "lineitem": (
+            sum(1 for r in li if r["l_orderkey"] in del_o),
+            sum(1 for r in li if r["l_orderkey"] not in del_o),
+            sum(r["c"] for r in li if r["l_orderkey"] in del_o),
+        ),
+    }
+    got = {
+        r["table_name"]: (r["n_deleted"], r["n_remaining"], r["cents_removed"])
+        for r in q196_deletion_cascade_audit(spark, sf_dir).collect()
+    }
+    assert got == expected
