@@ -1558,6 +1558,70 @@ def _op_twap(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     )
 
 
+@register_operator("dedup_clusters")
+def _op_dedup_clusters(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Connected-components cluster assignment as a dataflow step (the
+    q57 operator; llm/dedup.py dedup_clusters).  ``input`` is a pair
+    frame with (id_a, id_b) columns (e.g. a near_dup_pairs step's
+    output); params: ``id_col`` (default "doc_id", names the output id
+    column), ``max_iterations`` (default 50, >= 1)."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import dedup_clusters
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    max_iterations = params.get("max_iterations", 50)
+    if not isinstance(max_iterations, int) or max_iterations < 1:
+        raise ValueError(
+            f"dedup_clusters: max_iterations must be a positive int, "
+            f"got {max_iterations!r}"
+        )
+    pairs = ctx.get(in_name)
+    missing = [c for c in ("id_a", "id_b") if c not in pairs.columns]
+    if missing:
+        raise ValueError(
+            f"dedup_clusters: input '{in_name}' lacks columns {missing}"
+        )
+    ctx.put(
+        out_name,
+        dedup_clusters(
+            pairs,
+            id_col=params.get("id_col", "doc_id"),
+            max_iterations=max_iterations,
+        ),
+    )
+
+
+@register_operator("cluster_representatives")
+def _op_cluster_representatives(
+    ctx: CompileContext, step: Mapping[str, Any]
+) -> None:
+    """Keep-best-of-cluster selection as a dataflow step (the q191
+    operator; llm/dedup.py cluster_representatives).  ``input`` is the
+    (id, cluster) assignment frame (e.g. a dedup_clusters step's
+    output); params: ``docs`` (scored frame name, required),
+    ``id_col`` (default "doc_id"), ``cluster_col`` (default
+    "cluster_id"), ``score_col`` (default "n_chars")."""
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        cluster_representatives,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    docs_name = params.get("docs")
+    if not docs_name:
+        raise ValueError("cluster_representatives requires params.docs")
+    ctx.put(
+        out_name,
+        cluster_representatives(
+            ctx.get(in_name),
+            ctx.get(docs_name),
+            id_col=params.get("id_col", "doc_id"),
+            cluster_col=params.get("cluster_col", "cluster_id"),
+            score_col=params.get("score_col", "n_chars"),
+        ),
+    )
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

@@ -1219,3 +1219,92 @@ def test_rolling_distinct_skips_null_entities(spark):
         ).collect()
     }
     assert got == {"2024-01-01": 1, "2024-01-02": 2}
+
+
+def test_cluster_canonical_chain_from_metadata(spark):
+    """near_dup_pairs -> dedup_clusters -> cluster_representatives as a
+    pure-metadata chain, pinned to q191's catalog values."""
+    sf = "/root/testdata/sf0.01"
+    meta = {
+        "dataflows": [
+            {
+                "name": "canonical-docs",
+                "sources": [
+                    {
+                        "name": "docs",
+                        "path": f"{sf}/documents.parquet",
+                        "format": "PARQUET",
+                    }
+                ],
+                "transformations": [
+                    {
+                        "name": "pairs",
+                        "type": "near_dup_pairs",
+                        "params": {"input": "docs", "threshold": 0.5},
+                    },
+                    {
+                        "name": "clusters",
+                        "type": "dedup_clusters",
+                        "params": {"input": "pairs"},
+                    },
+                    {
+                        "name": "canonical",
+                        "type": "cluster_representatives",
+                        "params": {
+                            "input": "clusters",
+                            "docs": "docs",
+                            "score_col": "n_chars",
+                        },
+                    },
+                ],
+            }
+        ]
+    }
+    flow = select_dataflow(meta, "canonical-docs")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        q191_cluster_canonical_docs,
+    )
+
+    got = {
+        r["cluster_id"]: (r["rep_doc_id"], r["n_members"], r["score_kept"])
+        for r in compiled.frames["canonical"].collect()
+    }
+    want = {
+        r["cluster_id"]: (r["rep_doc_id"], r["n_members"], r["score_kept"])
+        for r in q191_cluster_canonical_docs(spark, sf).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="requires params.docs"):
+        compile_dataflow(
+            spark,
+            {
+                "name": "bad",
+                "sources": flow["sources"],
+                "transformations": [
+                    {
+                        "name": "canonical",
+                        "type": "cluster_representatives",
+                        "params": {"input": "docs"},
+                    }
+                ],
+            },
+        )
+    with pytest.raises(ValueError, match="lacks columns"):
+        compiled2 = compile_dataflow(
+            spark,
+            {
+                "name": "bad2",
+                "sources": flow["sources"],
+                "transformations": [
+                    {
+                        "name": "clusters",
+                        "type": "dedup_clusters",
+                        "params": {"input": "docs"},
+                    }
+                ],
+            },
+        )
+        run_dataflow(compiled2, write=False)
