@@ -1311,3 +1311,84 @@ def mmr_rerank(
         )
 
     return cand.groupBy("query_id").applyInPandas(kernel, schema)
+
+
+def principal_share_from_moments(
+    m2: dict, s1: dict, n: int, dim: int, scale: int
+) -> dict:
+    """Spectral summary from EXACT integer second moments (shared by the
+    q197 engine path and its oracle builder, so the eigen step is
+    bit-identical given identical moments; the MOMENTS are computed
+    independently on each side).  ``m2[(i, j)]`` (i <= j) and ``s1[i]``
+    are sums of scale-quantized integer coordinates; the covariance
+    numerator n*S2 - S1_i*S1_j is formed in exact Python ints before the
+    single correctly-rounded float conversion."""
+    import numpy as np
+
+    c = np.empty((dim, dim), dtype=np.float64)
+    denom = float(n) * float(n) * float(scale) * float(scale)
+    for i in range(dim):
+        for j in range(i, dim):
+            num = n * m2[(i, j)] - s1[i] * s1[j]
+            c[i, j] = c[j, i] = float(num) / denom
+    vals, vecs = np.linalg.eigh(c)
+    trace = float(vals.sum())
+    top = float(vals[-1])
+    second = float(vals[-2]) if dim > 1 else 0.0
+    v = vecs[:, -1]
+    top_dims = sorted(range(dim), key=lambda d: (-abs(float(v[d])), d))[:3]
+    return {
+        "n_vectors": int(n),
+        "dim": int(dim),
+        "total_variance": round(trace, 9),
+        "top_share": round(top / trace, 9),
+        "second_share": round(second / trace, 9),
+        "top_dim_1": int(top_dims[0]),
+        "top_dim_2": int(top_dims[1]),
+        "top_dim_3": int(top_dims[2]),
+    }
+
+
+def embedding_principal_share(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> dict:
+    """Distributed EXACT covariance moments + driver-side spectral
+    summary (the q197 operator): detects principal-subspace collapse —
+    a corpus whose top eigenvalue share approaches 1 has embeddings on
+    a line, invisible to q182's per-dimension stats.  Coordinates
+    quantize to integer micro-units; the d*(d+1)/2 pairwise products
+    partial-aggregate map-side so the exchange carries ~d^2 rows per
+    partition regardless of corpus size, and the driver collects
+    exactly d^2/2 + d moment cells (bounded by the DIMENSION, never the
+    data — the q44 centroid precedent).  The d x d eigensolve is
+    driver-side numpy on an exactly-reproducible matrix."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
+    base = df.select(q.alias("_qv"))
+    flat = base.select("_qv", F.posexplode("_qv").alias("i", "vi"))
+    tri = flat.select(
+        "i", "vi", F.posexplode("_qv").alias("j", "vj")
+    ).where(F.col("j") >= F.col("i"))
+    m2_rows = (
+        tri.groupBy("i", "j")
+        .agg(
+            F.sum(
+                (F.col("vi") * F.col("vj")).cast("decimal(38,0)")
+            ).alias("s2")
+        )
+        .collect()
+    )
+    s1_rows = (
+        flat.groupBy("i")
+        .agg(F.sum(F.col("vi").cast("decimal(38,0)")).alias("s1"))
+        .collect()
+    )
+    n = df.count()
+    m2 = {(r["i"], r["j"]): int(r["s2"]) for r in m2_rows}
+    s1 = {r["i"]: int(r["s1"]) for r in s1_rows}
+    return principal_share_from_moments(m2, s1, n, dim, scale)

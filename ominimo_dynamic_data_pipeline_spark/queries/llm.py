@@ -1013,6 +1013,102 @@ def q195_near_dup_source_matrix(
 
 
 # --------------------------------------------------------------------------
+# q197 — PRINCIPAL-SUBSPACE audit of the embedding corpus: top/second
+# eigenvalue shares of the covariance + the top component's dominant
+# dimensions — detects subspace collapse (embeddings on a line/plane)
+# that q182's per-dimension stats cannot see.  Engine path: coordinates
+# quantize to integer micro-units and the d(d+1)/2 pairwise products
+# partial-aggregate to EXACT DECIMAL moments (the exchange carries
+# ~d^2 rows per partition at any corpus size); the driver collects the
+# dimension-bounded moment cells and runs one 64x64 numpy eigensolve
+# on an exactly-reproducible matrix.  Oracle: the moments are
+# recomputed INDEPENDENTLY in DuckDB SQL (lateral range unnest +
+# HUGEINT product sums) at import and fed to the SAME shared spectral
+# helper (llm/similarity.py principal_share_from_moments — the q44
+# shared-numpy precedent), rendered as a literal row.  If the builder
+# fails the entry degrades to rows-only.
+# --------------------------------------------------------------------------
+_Q197_SCALE = 1_000_000
+
+
+def _q197_sql() -> str | None:
+    try:
+        import duckdb
+
+        from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+            principal_share_from_moments,
+        )
+
+        con = duckdb.connect()
+        src = f"{_ORACLE_SF_DIR}/embeddings.parquet"
+        # scalar range() + unnest — DuckDB's range TABLE function cannot
+        # take lateral column arguments
+        m2_rows = con.execute(
+            f"""
+            WITH q AS (
+                SELECT [CAST(ROUND(CAST(x AS DOUBLE) * {_Q197_SCALE})
+                             AS BIGINT) for x in embedding] AS qv
+                FROM '{src}'
+            ),
+            f AS (SELECT qv, unnest(range(1, 65)) AS i FROM q),
+            g AS (SELECT qv, i, qv[i] AS vi FROM f),
+            p AS (SELECT i, unnest(range(i, 65)) AS j, vi, qv FROM g),
+            pp AS (SELECT i, j, vi * qv[j] AS prod FROM p)
+            SELECT i, j, SUM(prod) AS s2 FROM pp GROUP BY i, j
+            """
+        ).fetchall()
+        s1_rows = con.execute(
+            f"""
+            WITH q AS (
+                SELECT [CAST(ROUND(CAST(x AS DOUBLE) * {_Q197_SCALE})
+                             AS BIGINT) for x in embedding] AS qv
+                FROM '{src}'
+            ),
+            f AS (SELECT qv, unnest(range(1, 65)) AS i FROM q)
+            SELECT i, SUM(qv[i]) AS s1 FROM f GROUP BY 1
+            """
+        ).fetchall()
+        n = con.execute(f"SELECT COUNT(*) FROM '{src}'").fetchone()[0]
+        m2 = {(i - 1, j - 1): int(v) for i, j, v in m2_rows}
+        s1 = {i - 1: int(v) for i, v in s1_rows}
+        out = principal_share_from_moments(m2, s1, int(n), 64, _Q197_SCALE)
+        return f"""
+        SELECT CAST({out["n_vectors"]} AS BIGINT) AS n_vectors,
+               CAST({out["dim"]} AS BIGINT) AS dim,
+               CAST({out["total_variance"]!r} AS DOUBLE) AS total_variance,
+               CAST({out["top_share"]!r} AS DOUBLE) AS top_share,
+               CAST({out["second_share"]!r} AS DOUBLE) AS second_share,
+               CAST({out["top_dim_1"]} AS BIGINT) AS top_dim_1,
+               CAST({out["top_dim_2"]} AS BIGINT) AS top_dim_2,
+               CAST({out["top_dim_3"]} AS BIGINT) AS top_dim_3
+        """
+    except Exception:  # degrade to rows-only, the q44 contract
+        return None
+
+
+@query("q197_embedding_principal_share", _q197_sql())
+def q197_embedding_principal_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        embedding_principal_share,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = embedding_principal_share(
+        e, vec_col="embedding", dim=64, scale=_Q197_SCALE
+    )
+    return spark.createDataFrame(
+        [out],
+        schema=(
+            "n_vectors bigint, dim bigint, total_variance double, "
+            "top_share double, second_share double, top_dim_1 bigint, "
+            "top_dim_2 bigint, top_dim_3 bigint"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # q61 — multi-touch interval attribution, batch twin of the stream-stream
 # interval join (streaming/ops.interval_click_attribution): ALL same-user
 # clicks within 1 hour strictly before each purchase.  The streaming run

@@ -879,3 +879,39 @@ def test_deletion_cascade_matches_python_reference(spark, sf_dir):
         for r in q196_deletion_cascade_audit(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_principal_share_matches_float_reference(spark, sf_dir):
+    """q197's quantized-exact spectral shares against a straight float64
+    numpy covariance eigensolve over the raw vectors — a third
+    computation path (no quantization), so tolerance covers only the
+    micro-unit rounding."""
+    import numpy as np
+
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        q197_embedding_principal_share,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    c = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(c)
+    trace = vals.sum()
+    got = q197_embedding_principal_share(spark, sf_dir).collect()[0]
+    assert got["n_vectors"] == x.shape[0]
+    assert got["dim"] == 64
+    assert abs(got["total_variance"] - trace) < 1e-6 * max(1.0, trace)
+    assert abs(got["top_share"] - vals[-1] / trace) < 5e-3
+    assert abs(got["second_share"] - vals[-2] / trace) < 5e-3
+    assert 0.0 < got["second_share"] <= got["top_share"] <= 1.0
+    v = vecs[:, -1]
+    ref_dims = sorted(range(64), key=lambda d: (-abs(v[d]), d))[:3]
+    # dominant dimension agrees with the float reference (later ranks can
+    # legitimately swap under quantization when loadings tie closely)
+    assert got["top_dim_1"] == ref_dims[0]
+    assert len({got["top_dim_1"], got["top_dim_2"], got["top_dim_3"]}) == 3
