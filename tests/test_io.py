@@ -346,3 +346,89 @@ def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
     assert got == {("a", 99), ("b", 3), ("c", 4)}  # a replaced, b/c intact
     with pytest.raises(ValueError, match="requires partitionBy"):
         write_sink(patch, {"path": path, "saveMode": "overwrite_partitions"})
+
+
+def test_bucketed_sink_join_is_exchange_free(spark, tmp_path):
+    """bucketBy sink: two tables bucketed on the same key join WITHOUT
+    any exchange — the write-once, join-many layout the 100 TB posture
+    pays one shuffle for at write time."""
+    from ominimo_dynamic_data_pipeline_spark.io.writer import write_sink
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_customer")
+    write_sink(
+        orders,
+        {
+            "input": "orders",
+            "paths": [str(tmp_path / "bt_orders")],
+            "format": "parquet",
+            "table": "bt_orders",
+            "bucketBy": {"buckets": 8, "cols": ["o_custkey"]},
+            "sortBy": ["o_custkey"],
+        },
+    )
+    write_sink(
+        cust,
+        {
+            "input": "customer",
+            "paths": [str(tmp_path / "bt_customer")],
+            "format": "parquet",
+            "table": "bt_customer",
+            "bucketBy": {"buckets": 8, "cols": ["c_custkey"]},
+            "sortBy": ["c_custkey"],
+        },
+    )
+    bo = spark.table("bt_orders")
+    bc = spark.table("bt_customer")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        from tests.test_plans import plan_of  # reuse the plan renderer
+    except ImportError:
+        from test_plans import plan_of  # pytest rootdir import mode
+    finally:
+        pass
+    try:
+        p = plan_of(j)
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p
+        # and the result is right
+        assert j.count() == orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
+
+
+def test_bucketed_sink_validation(spark, tmp_path):
+    from ominimo_dynamic_data_pipeline_spark.io.writer import write_sink
+
+    df = spark.range(3)
+    base = {
+        "input": "x",
+        "paths": [str(tmp_path / "t")],
+        "format": "parquet",
+    }
+    with pytest.raises(ValueError, match="buckets must be a positive int"):
+        write_sink(df, {**base, "table": "t1",
+                        "bucketBy": {"buckets": 0, "cols": ["id"]}})
+    with pytest.raises(ValueError, match="at least one column"):
+        write_sink(df, {**base, "table": "t1",
+                        "bucketBy": {"buckets": 4, "cols": []}})
+    with pytest.raises(ValueError, match="requires a 'table' name"):
+        write_sink(df, {**base, "bucketBy": {"buckets": 4, "cols": ["id"]}})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_sink(df, {**base, "table": "t1", "zorderBy": ["id", "id"],
+                        "bucketBy": {"buckets": 4, "cols": ["id"]}})
+    with pytest.raises(ValueError, match="at most one path"):
+        write_sink(df, {**base, "table": "t1",
+                        "paths": [str(tmp_path / "a"), str(tmp_path / "b")],
+                        "bucketBy": {"buckets": 4, "cols": ["id"]}})
