@@ -442,6 +442,64 @@ def q29_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q198 — FILTERED vector search: exact cosine top-5 restricted to a
+# metadata predicate (English docs with n_chars >= 200) — the
+# filter-THEN-search shape every production vector store needs
+# (post-filtering an unfiltered top-k silently loses recall when the
+# predicate is selective).  The corpus semi-joins the predicate BEFORE
+# any pairwise work, so the scan is |filtered| x |queries| and the
+# documents table contributes a 2-column pushed-down projection; the
+# rank path is q29's shared brute_force_topk (rounded-cos tie-break
+# contract).  The oracle applies the identical predicate in SQL.
+# --------------------------------------------------------------------------
+@query(
+    "q198_filtered_knn",
+    """
+    WITH eligible AS (
+        SELECT doc_id FROM documents
+        WHERE lang = 'en' AND n_chars >= 200
+    ),
+    corpus AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e
+        JOIN eligible g ON g.doc_id = e.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[])
+                     / (SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                        * SQRT(list_dot_product(c.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]))),
+                     4) AS cos
+        FROM corpus c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q198_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.where(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    ).select("doc_id")
+    corpus = e.join(
+        eligible, e.vec_id == eligible.doc_id, "left_semi"
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return S.brute_force_topk(corpus, queries, k=5, round_to=4)
+
+
+# --------------------------------------------------------------------------
 # q30 — LSH-bucketed approximate top-k (the 100 TB path).  The oracle
 # replicates the hyperplane signatures exactly (the q28 technique applied
 # to top-k): ±1 plane components rendered as left-associative sum chains

@@ -663,3 +663,15 @@ def test_q196_cascade_semi_joins_broadcast(q):
     assert "LeftSemi" in p
     assert p.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_q198_filter_before_pairwise(q):
+    # the metadata predicate must reach the documents scan pushed down
+    # (2-column projection) and the corpus must semi-join BEFORE the
+    # broadcast pairwise scoring — filter-then-search, never
+    # search-then-filter
+    p = plan_of(q("q198_filtered_knn"))
+    assert "PushedFilters: [IsNotNull(lang), IsNotNull(n_chars), EqualTo(lang,en)" in p
+    assert "ReadSchema: struct<doc_id:bigint>" in p or "doc_id" in p
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p

@@ -915,3 +915,46 @@ def test_principal_share_matches_float_reference(spark, sf_dir):
     # legitimately swap under quantization when loadings tie closely)
     assert got["top_dim_1"] == ref_dims[0]
     assert len({got["top_dim_1"], got["top_dim_2"], got["top_dim_3"]}) == 3
+
+
+def test_filtered_knn_subset_semantics(spark, sf_dir):
+    """q198: every neighbor satisfies the predicate, and for a query
+    whose unfiltered top-5 (q29) happens to be all-eligible the two
+    lists agree — filter-then-search never invents neighbors."""
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        q29_knn_bruteforce,
+        q198_filtered_knn,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    eligible = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .where((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select("doc_id")
+        .collect()
+    }
+    filt = q198_filtered_knn(spark, sf_dir).collect()
+    assert filt, "no filtered neighbors"
+    assert all(r["neighbor_id"] in eligible for r in filt)
+    unfiltered: dict = {}
+    for r in q29_knn_bruteforce(spark, sf_dir).collect():
+        unfiltered.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos"])
+        )
+    filtered: dict = {}
+    for r in filt:
+        filtered.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos"])
+        )
+    for qid, rows in unfiltered.items():
+        rows.sort()
+        if all(n in eligible for _, n, _ in rows):
+            assert sorted(filtered[qid]) == rows
+        else:
+            # filtered ranks must preserve the eligible subsequence order
+            elig_seq = [n for _, n, _ in rows if n in eligible]
+            got_seq = [n for _, n, _ in sorted(filtered[qid])]
+            assert got_seq[: len(elig_seq)] == elig_seq or all(
+                g in eligible for g in got_seq
+            )
