@@ -308,6 +308,28 @@ SHOWCASE = {
         "rollup reuses the partitioning; one decimal-string division "
         "at the end."
     ),
+    "q193_winsorized_balances": (
+        "Winsorize: rank window, in-partition threshold broadcast "
+        "(two conditional MAX frames), and the rollup all share ONE "
+        "exchange on the segment key — no join-back for thresholds."
+    ),
+    "q194_snapshot_diff": (
+        "Snapshot diff: both as-of snapshots partial-aggregate to one "
+        "row per customer BEFORE the full-outer join (cutoff filters "
+        "pushed to the scans), so the join carries |customers| rows at "
+        "any order volume."
+    ),
+    "q196_deletion_cascade_audit": (
+        "Deletion cascade: each FK level is a broadcast LeftSemi (the "
+        "cohort is tiny), counts/sums partial-aggregate; the three "
+        "audit rows union."
+    ),
+    "q198_filtered_knn": (
+        "Filtered KNN: the metadata predicate is pushed to the "
+        "documents scan (2-column projection) and semi-joins the "
+        "corpus BEFORE the broadcast pairwise scoring — "
+        "filter-then-search."
+    ),
     "q167_minhash_recall_calibration": (
         "Band-recall calibration: truth via the inverted-index "
         "equi-join (shared-shingle counts, no pairwise array join — "
