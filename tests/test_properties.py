@@ -1286,3 +1286,140 @@ def test_session_path_boundary_matches_session_window(spark):
     # one merged session per user: closed-boundary semantics
     assert n_sw == 2
     assert {r["path"] for r in paths} == {"click>click>click"}
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation operators: brute-force equivalence under generated
+# inputs (the fixed-data pins in test_stat.py cover the catalog data;
+# these cover the edge shapes random generation finds — exact-boundary
+# timestamps, all-tied prices, single-event users, mutated strings).
+# ---------------------------------------------------------------------------
+
+_funnel_event = st.tuples(
+    st.integers(min_value=0, max_value=3),          # user
+    st.integers(min_value=0, max_value=20),         # coarse time unit
+    st.sampled_from(["view", "click", "purchase", "other"]),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_funnel_event, min_size=1, max_size=40))
+def test_window_funnel_matches_greedy_reference(spark, events):
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        window_funnel,
+    )
+
+    horizon = 5_000_000  # 5 coarse units of 1s each, in micros
+    data = [
+        (u, t * 1_000_000, typ) for u, t, typ in events
+    ]
+    df = spark.createDataFrame(
+        [(u, us, typ) for u, us, typ in data],
+        schema="user_id bigint, us bigint, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_type",
+    )
+    got = {
+        r["user_id"]: (r["step_1_us"], r["step_2_us"], r["step_3_us"])
+        for r in window_funnel(
+            df,
+            user_col="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            steps=("view", "click", "purchase"),
+            horizon_us=horizon,
+        ).collect()
+    }
+    by_user: dict = {}
+    for u, us, typ in data:
+        by_user.setdefault(u, []).append((us, typ))
+    for u, evs in by_user.items():
+        t1 = min((us for us, t in evs if t == "view"), default=None)
+        t2 = t3 = None
+        if t1 is not None:
+            t2 = min(
+                (us for us, t in evs
+                 if t == "click" and us >= t1 and us - t1 <= horizon),
+                default=None,
+            )
+        if t2 is not None:
+            t3 = min(
+                (us for us, t in evs
+                 if t == "purchase" and us >= t2 and us - t1 <= horizon),
+                default=None,
+            )
+        assert got[u] == (t1, t2, t3), (u, evs)
+
+
+_sky_row = st.tuples(
+    st.integers(min_value=0, max_value=6),   # price (heavy ties)
+    st.integers(min_value=0, max_value=6),   # size
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_sky_row, min_size=1, max_size=30))
+def test_pareto_frontier_matches_quadratic_reference(spark, rows):
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        pareto_frontier,
+    )
+
+    data = [(i, p, z) for i, (p, z) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, schema="rid bigint, price bigint, size bigint"
+    )
+    got = {
+        r["rid"]
+        for r in pareto_frontier(
+            df, minimize_col="price", maximize_col="size"
+        ).collect()
+    }
+    expected = {
+        i
+        for i, p, z in data
+        if not any(
+            p2 <= p and z2 >= z and (p2 < p or z2 > z)
+            for _, p2, z2 in data
+        )
+    }
+    assert got == expected, (sorted(data), sorted(got), sorted(expected))
+
+
+_word = st.text(alphabet="abc", min_size=0, max_size=5)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_word, min_size=1, max_size=12))
+def test_symspell_d1_matches_quadratic_reference(spark, words):
+    from conftest import lev_reference
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        symspell_pairs,
+    )
+
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        (r["value_a"], r["value_b"], r["dist"])
+        for r in symspell_pairs(df, "w", max_distance=1).collect()
+    }
+    ws = sorted(set(words))
+    expected = {
+        (a, b, lev_reference(a, b))
+        for i, a in enumerate(ws)
+        for b in ws[i + 1 :]
+        if lev_reference(a, b) <= 1
+    }
+    assert got == expected, (ws, sorted(got), sorted(expected))
