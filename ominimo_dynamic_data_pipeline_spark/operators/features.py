@@ -866,3 +866,223 @@ def twap(
             )
         ).alias("twap"),
     )
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Time-decay touch attribution (the q192 operator): every touch
+    event in the ``horizon_days`` before a same-user conversion earns
+    the conversion's value decayed by 0.5 per whole day of lag.  The
+    decay is EXACT integer arithmetic, never pow(): lag buckets to
+    whole days by integral division and the weight 0.5^k rides as the
+    integer numerator 2^(H-1-k) over the common denominator 2^(H-1);
+    credit accumulates in DECIMAL and surfaces through ONE
+    decimal-string division.  Returns (touch type, n_touches,
+    credited_value).  Scale shape: user-keyed equi-join with the range
+    bound as residual; the conversion side is the small fraction."""
+    if not isinstance(horizon_days, int) or not 1 <= horizon_days <= 62:
+        raise ValueError(
+            f"time_decay_attribution: horizon_days must be 1..62 "
+            f"(bigint weight numerators), got {horizon_days!r}"
+        )
+    if not touch_types:
+        raise ValueError("time_decay_attribution: touch_types is empty")
+    if conversion_type in set(touch_types):
+        raise ValueError(
+            "time_decay_attribution: conversion_type cannot also be a "
+            "touch type"
+        )
+    missing = [
+        c
+        for c in (user_col, ts_col, type_col, value_col)
+        if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"time_decay_attribution: input lacks columns {missing}"
+        )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import (
+        exact_str_double,
+    )
+
+    horizon_us = horizon_days * 86_400_000_000
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    conv = df.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        ts_us.alias("_cus"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("_vc"),
+    )
+    touch = df.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("_u"),
+        ts_us.alias("_tus"),
+        F.col(type_col).alias("touch_type"),
+    )
+    k = F.floor((F.col("_cus") - F.col("_tus")) / F.lit(86_400_000_000))
+    wnum = F.lit(None).cast("bigint")
+    for kk in range(horizon_days):
+        wnum = F.when(k == kk, F.lit(1 << (horizon_days - 1 - kk))).otherwise(
+            wnum
+        )
+    denom = float((1 << (horizon_days - 1)) * 100)
+    pairs = (
+        conv.join(touch, "_u")
+        .where(
+            (F.col("_tus") < F.col("_cus"))
+            & (F.col("_cus") - F.col("_tus") < horizon_us)
+        )
+        .select("touch_type", (F.col("_vc") * wnum).alias("_credit"))
+    )
+    return pairs.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        (
+            exact_str_double(F.sum(F.col("_credit").cast("decimal(19,0)")))
+            / F.lit(denom)
+        ).alias("credited_value"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    scale: int = 100,
+) -> DataFrame:
+    """Winsorized robust mean per group (the q193 operator): clip at
+    the rank-picked DISC thresholds — the threshold IS a data value at
+    rank ceil(p*n) in the (value, tiebreak) total order, so there is
+    no interpolation to diverge across engines — and report the
+    clipped mean from exact integer units.  ONE exchange on the group
+    key.  Swap the rank pick for the KLL sketch at very high per-group
+    cardinality (q121/q125 contract note)."""
+    if not (0.0 < lower < upper <= 1.0):
+        raise ValueError(
+            f"winsorized_stats: need 0 < lower < upper <= 1, got "
+            f"({lower!r}, {upper!r})"
+        )
+    if not isinstance(scale, int) or scale < 1:
+        raise ValueError(
+            f"winsorized_stats: scale must be a positive int, got {scale!r}"
+        )
+    missing = [c for c in (group_col, value_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"winsorized_stats: input lacks columns {missing}")
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import (
+        exact_str_double,
+    )
+
+    c = df.select(
+        group_col,
+        F.round(F.col(value_col) * scale).cast("bigint").alias("_units"),
+    )
+    seg = Window.partitionBy(group_col)
+    ranked = c.select(
+        group_col,
+        "_units",
+        F.row_number().over(seg.orderBy("_units")).alias("_rn"),
+        F.count(F.lit(1)).over(seg).alias("_n"),
+    )
+    lo_rank = F.greatest(
+        F.lit(1), F.ceil(lower * F.col("_n")).cast("bigint")
+    )
+    hi_rank = F.ceil(upper * F.col("_n")).cast("bigint")
+    th = ranked.select(
+        group_col,
+        "_units",
+        "_n",
+        F.max(F.when(F.col("_rn") == lo_rank, F.col("_units")))
+        .over(seg)
+        .alias("_lo"),
+        F.max(F.when(F.col("_rn") == hi_rank, F.col("_units")))
+        .over(seg)
+        .alias("_hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("_units"), F.col("_lo")), F.col("_hi")
+    )
+    return th.groupBy(group_col).agg(
+        F.max("_n").cast("bigint").alias("n_rows"),
+        F.max("_lo").cast("bigint").alias("lo_units"),
+        F.max("_hi").cast("bigint").alias("hi_units"),
+        F.sum(F.when(F.col("_units") < F.col("_lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("_units") > F.col("_hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        (
+            exact_str_double(F.sum(clipped.cast("decimal(19,0)")))
+            / F.max("_n").cast("double")
+            / F.lit(float(scale))
+        ).alias("winsorized_mean"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Classify every key's state between two snapshots (the q194
+    operator, generic form): ``added`` (key only in new), ``removed``
+    (only in old), ``changed`` (any compare column differs, NULL-safe),
+    ``unchanged``.  Returns the key columns + ``change_type`` + each
+    compare column as ``<col>_old`` / ``<col>_new``.  Scale shape:
+    reduce both snapshots to one row per key BEFORE calling this (the
+    full-outer join then carries |keys| rows)."""
+    if not key_cols:
+        raise ValueError("snapshot_diff: key_cols is empty")
+    for side, frame in (("old", old), ("new", new)):
+        missing = [
+            c for c in (*key_cols, *compare_cols) if c not in frame.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot_diff: {side} frame lacks columns {missing}"
+            )
+    # build the key predicate from post-alias references: same-lineage
+    # snapshots (two filters of one table) otherwise resolve both sides
+    # of eqNullSafe to the SAME column (Spark's trivially-true-predicate
+    # self-join trap)
+    o = old.select(*key_cols, *compare_cols).alias("o")
+    n = new.select(*key_cols, *compare_cols).alias("n")
+    cond = None
+    for kcol in key_cols:
+        eq = F.col(f"o.{kcol}").eqNullSafe(F.col(f"n.{kcol}"))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    old_present = F.lit(False)
+    new_present = F.lit(False)
+    for kcol in key_cols:
+        old_present = old_present | F.col(f"o.{kcol}").isNotNull()
+        new_present = new_present | F.col(f"n.{kcol}").isNotNull()
+    differs = F.lit(False)
+    for ccol in compare_cols:
+        differs = differs | ~F.col(f"o.{ccol}").eqNullSafe(
+            F.col(f"n.{ccol}")
+        )
+    change = (
+        F.when(~old_present, "added")
+        .when(~new_present, "removed")
+        .when(differs, "changed")
+        .otherwise("unchanged")
+    )
+    out_cols = [
+        F.coalesce(F.col(f"n.{kcol}"), F.col(f"o.{kcol}")).alias(kcol)
+        for kcol in key_cols
+    ]
+    out_cols.append(change.alias("change_type"))
+    for ccol in compare_cols:
+        out_cols.append(F.col(f"o.{ccol}").alias(f"{ccol}_old"))
+        out_cols.append(F.col(f"n.{ccol}").alias(f"{ccol}_new"))
+    return j.select(*out_cols)

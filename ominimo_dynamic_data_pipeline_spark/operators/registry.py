@@ -1622,6 +1622,112 @@ def _op_cluster_representatives(
     )
 
 
+@register_operator("time_decay_attribution")
+def _op_time_decay_attribution(
+    ctx: CompileContext, step: Mapping[str, Any]
+) -> None:
+    """Time-decay touch attribution as a dataflow step (the q192
+    operator; operators/features.py time_decay_attribution).  Params:
+    ``user_col``, ``ts_col``, ``type_col``, ``value_col``,
+    ``conversion_type``, ``touch_types`` (all required),
+    ``horizon_days`` (default 7, 1..62)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        time_decay_attribution,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [
+        k
+        for k in (
+            "user_col", "ts_col", "type_col", "value_col",
+            "conversion_type", "touch_types",
+        )
+        if not params.get(k)
+    ]
+    if missing:
+        raise ValueError(f"time_decay_attribution requires params {missing}")
+    touch_types = params["touch_types"]
+    if not isinstance(touch_types, (list, tuple)):
+        raise ValueError(
+            f"time_decay_attribution: touch_types must be a list, "
+            f"got {touch_types!r}"
+        )
+    ctx.put(
+        out_name,
+        time_decay_attribution(
+            ctx.get(in_name),
+            user_col=params["user_col"],
+            ts_col=params["ts_col"],
+            type_col=params["type_col"],
+            value_col=params["value_col"],
+            conversion_type=params["conversion_type"],
+            touch_types=tuple(touch_types),
+            horizon_days=params.get("horizon_days", 7),
+        ),
+    )
+
+
+@register_operator("winsorize")
+def _op_winsorize(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Winsorized robust group stats as a dataflow step (the q193
+    operator; operators/features.py winsorized_stats).  Params:
+    ``group_col``, ``value_col`` (required), ``lower`` (default 0.05),
+    ``upper`` (default 0.95), ``scale`` (default 100)."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        winsorized_stats,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [k for k in ("group_col", "value_col") if not params.get(k)]
+    if missing:
+        raise ValueError(f"winsorize requires params {missing}")
+    ctx.put(
+        out_name,
+        winsorized_stats(
+            ctx.get(in_name),
+            group_col=params["group_col"],
+            value_col=params["value_col"],
+            lower=params.get("lower", 0.05),
+            upper=params.get("upper", 0.95),
+            scale=params.get("scale", 100),
+        ),
+    )
+
+
+@register_operator("snapshot_diff")
+def _op_snapshot_diff(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Keyed snapshot classification as a dataflow step (the q194
+    operator; operators/features.py snapshot_diff).  ``input`` is the
+    OLD snapshot; params: ``new`` (frame name, required), ``key_cols``
+    (required), ``compare_cols`` (default [])."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        snapshot_diff,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    new_name = params.get("new")
+    if not new_name:
+        raise ValueError("snapshot_diff requires params.new")
+    key_cols = params.get("key_cols") or []
+    if not isinstance(key_cols, (list, tuple)) or not key_cols:
+        raise ValueError(
+            f"snapshot_diff: key_cols must be a non-empty list, "
+            f"got {key_cols!r}"
+        )
+    ctx.put(
+        out_name,
+        snapshot_diff(
+            ctx.get(in_name),
+            ctx.get(new_name),
+            key_cols=tuple(key_cols),
+            compare_cols=tuple(params.get("compare_cols") or []),
+        ),
+    )
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

@@ -2782,44 +2782,25 @@ _Q192_WEEK_US = 7 * 24 * 3600 * 1_000_000
 def q192_time_decay_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        time_decay_attribution,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.unix_micros("ts").alias("p_us"),
-        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    out = time_decay_attribution(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        value_col="value",
+        conversion_type="purchase",
+        touch_types=("click", "view"),
+        horizon_days=7,
     )
-    t = ev.where(F.col("event_type").isin("click", "view")).select(
-        "user_id", F.unix_micros("ts").alias("t_us"), "event_type"
-    )
-    k = F.expr("(p_us - t_us) div 86400000000")
-    wnum = (
-        F.when(k == 0, 64)
-        .when(k == 1, 32)
-        .when(k == 2, 16)
-        .when(k == 3, 8)
-        .when(k == 4, 4)
-        .when(k == 5, 2)
-        .when(k == 6, 1)
-    )
-    pairs = (
-        p.join(t, "user_id")
-        .where(
-            (F.col("t_us") < F.col("p_us"))
-            & (F.col("p_us") - F.col("t_us") < _Q192_WEEK_US)
-        )
-        .select(
-            "event_type",
-            (F.col("v_cents") * wnum).alias("credited_64"),
-        )
-    )
-    return pairs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-        (
-            exact_str_double(
-                F.sum(F.col("credited_64").cast("decimal(19,0)"))
-            )
-            / F.lit(6400.0)
-        ).alias("credited_value"),
+    return out.select(
+        F.col("touch_type").alias("event_type"),
+        "n_touches",
+        "credited_value",
     )
 
 
@@ -2878,49 +2859,23 @@ def q192_time_decay_attribution(
     """,
 )
 def q193_winsorized_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_mktsegment",
-        "c_custkey",
-        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        winsorized_stats,
     )
-    seg = Window.partitionBy("c_mktsegment")
-    ranked = c.select(
-        "c_mktsegment",
-        "cents",
-        F.row_number()
-        .over(seg.orderBy("cents", "c_custkey"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(seg).alias("n"),
+
+    c = load_table(spark, sf_dir, "customer")
+    out = winsorized_stats(
+        c, group_col="c_mktsegment", value_col="c_acctbal",
+        lower=0.05, upper=0.95, scale=100,
     )
-    lo_rank = F.greatest(F.lit(1), F.ceil(0.05 * F.col("n")).cast("bigint"))
-    hi_rank = F.ceil(0.95 * F.col("n")).cast("bigint")
-    th = ranked.select(
+    return out.select(
         "c_mktsegment",
-        "cents",
-        "n",
-        F.max(F.when(F.col("rn") == lo_rank, F.col("cents")))
-        .over(seg)
-        .alias("lo"),
-        F.max(F.when(F.col("rn") == hi_rank, F.col("cents")))
-        .over(seg)
-        .alias("hi"),
-    )
-    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
-    return th.groupBy("c_mktsegment").agg(
-        F.max("n").cast("bigint").alias("n_customers"),
-        F.max("lo").cast("bigint").alias("lo_cents"),
-        F.max("hi").cast("bigint").alias("hi_cents"),
-        F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_clipped_low"),
-        F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_clipped_high"),
-        (
-            exact_str_double(F.sum(clipped.cast("decimal(19,0)")))
-            / F.max("n").cast("double")
-            / F.lit(100.0)
-        ).alias("winsorized_mean"),
+        F.col("n_rows").alias("n_customers"),
+        F.col("lo_units").alias("lo_cents"),
+        F.col("hi_units").alias("hi_cents"),
+        "n_clipped_low",
+        "n_clipped_high",
+        "winsorized_mean",
     )
 
 
@@ -2992,32 +2947,25 @@ def q194_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    old = snap("1997-01-01")
-    new = snap("1998-01-01")
-    j = old.alias("o").join(
-        new.alias("n"),
-        F.col("o.o_custkey") == F.col("n.o_custkey"),
-        "full_outer",
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        snapshot_diff,
     )
-    change = (
-        F.when(F.col("o.o_custkey").isNull(), "added")
-        .when(F.col("n.o_custkey").isNull(), "removed")
-        .when(
-            (F.col("o.n_orders") == F.col("n.n_orders"))
-            & (F.col("o.cents") == F.col("n.cents")),
-            "unchanged",
-        )
-        .otherwise("changed")
+
+    classified = snapshot_diff(
+        snap("1997-01-01"),
+        snap("1998-01-01"),
+        key_cols=("o_custkey",),
+        compare_cols=("n_orders", "cents"),
     )
-    diff = j.select(
-        change.alias("change_type"),
+    diff = classified.select(
+        "change_type",
         (
-            F.coalesce(F.col("n.n_orders"), F.lit(0))
-            - F.coalesce(F.col("o.n_orders"), F.lit(0))
+            F.coalesce(F.col("n_orders_new"), F.lit(0))
+            - F.coalesce(F.col("n_orders_old"), F.lit(0))
         ).alias("d_orders"),
         (
-            F.coalesce(F.col("n.cents"), F.lit(0))
-            - F.coalesce(F.col("o.cents"), F.lit(0))
+            F.coalesce(F.col("cents_new"), F.lit(0))
+            - F.coalesce(F.col("cents_old"), F.lit(0))
         ).alias("d_cents"),
     )
     return diff.groupBy("change_type").agg(

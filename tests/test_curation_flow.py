@@ -1308,3 +1308,132 @@ def test_cluster_canonical_chain_from_metadata(spark):
             },
         )
         run_dataflow(compiled2, write=False)
+
+
+def test_feature_prep_steps_from_metadata(spark):
+    """winsorize / time_decay_attribution / snapshot_diff as metadata
+    steps, pinned to the catalog queries' values (which delegate to the
+    same operator bodies), plus fail-fast params."""
+    sf = "/root/testdata/sf0.01"
+    meta = {
+        "dataflows": [
+            {
+                "name": "feature-prep",
+                "sources": [
+                    {"name": "customer",
+                     "path": f"{sf}/customer.parquet", "format": "PARQUET"},
+                    {"name": "events",
+                     "path": f"{sf}/events.parquet", "format": "PARQUET"},
+                ],
+                "transformations": [
+                    {
+                        "name": "robust_balances",
+                        "type": "winsorize",
+                        "params": {
+                            "input": "customer",
+                            "group_col": "c_mktsegment",
+                            "value_col": "c_acctbal",
+                        },
+                    },
+                    {
+                        "name": "touch_credit",
+                        "type": "time_decay_attribution",
+                        "params": {
+                            "input": "events",
+                            "user_col": "user_id",
+                            "ts_col": "ts",
+                            "type_col": "event_type",
+                            "value_col": "value",
+                            "conversion_type": "purchase",
+                            "touch_types": ["click", "view"],
+                        },
+                    },
+                ],
+            }
+        ]
+    }
+    flow = select_dataflow(meta, "feature-prep")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        q192_time_decay_attribution,
+        q193_winsorized_balances,
+    )
+
+    got = {
+        r["c_mktsegment"]: (r["n_rows"], r["lo_units"], r["winsorized_mean"])
+        for r in compiled.frames["robust_balances"].collect()
+    }
+    want = {
+        r["c_mktsegment"]: (r["n_customers"], r["lo_cents"],
+                            r["winsorized_mean"])
+        for r in q193_winsorized_balances(spark, sf).collect()
+    }
+    assert got == want
+    got = {
+        r["touch_type"]: (r["n_touches"], r["credited_value"])
+        for r in compiled.frames["touch_credit"].collect()
+    }
+    want = {
+        r["event_type"]: (r["n_touches"], r["credited_value"])
+        for r in q192_time_decay_attribution(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_snapshot_diff_operator_generic_semantics(spark):
+    """snapshot_diff classification incl. NULL-safe compare and
+    added/removed keys on a crafted frame pair."""
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10, None), (2, 20, "a"), (3, 30, "b")],
+        "k bigint, v bigint, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20, "a"), (3, 31, "b"), (4, 40, None)],
+        "k bigint, v bigint, s string",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(
+            old, new, key_cols=("k",), compare_cols=("v", "s")
+        ).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    with pytest.raises(ValueError, match="key_cols is empty"):
+        snapshot_diff(old, new, key_cols=(), compare_cols=("v",))
+    with pytest.raises(ValueError, match="lacks columns"):
+        snapshot_diff(old, new, key_cols=("nope",), compare_cols=())
+
+
+def test_time_decay_validation(spark):
+    from ominimo_dynamic_data_pipeline_spark.operators.features import (
+        time_decay_attribution,
+        winsorized_stats,
+    )
+
+    ev = spark.range(3).select(
+        F.col("id").alias("user_id"),
+        F.current_timestamp().alias("ts"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    with pytest.raises(ValueError, match="horizon_days must be 1..62"):
+        time_decay_attribution(
+            ev, "user_id", "ts", "event_type", "value",
+            "purchase", ("view",), horizon_days=63,
+        )
+    with pytest.raises(ValueError, match="cannot also be a touch"):
+        time_decay_attribution(
+            ev, "user_id", "ts", "event_type", "value",
+            "view", ("view",),
+        )
+    with pytest.raises(ValueError, match="touch_types is empty"):
+        time_decay_attribution(
+            ev, "user_id", "ts", "event_type", "value", "purchase", (),
+        )
+    with pytest.raises(ValueError, match="0 < lower < upper <= 1"):
+        winsorized_stats(ev, "user_id", "value", lower=0.9, upper=0.5)
