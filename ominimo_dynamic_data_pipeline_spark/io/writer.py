@@ -49,6 +49,16 @@ def write_sink(df: DataFrame, sink: Mapping[str, Any]) -> None:
     sort_by = sink.get("sortBy") or []
     bucket_by = sink.get("bucketBy")
 
+    if mode == "overwrite_partitions" and sink.get("bucketBy"):
+        # saveAsTable(overwrite) drops and recreates the WHOLE table; the
+        # dynamic partitionOverwriteMode option only governs path/insertInto
+        # writes — honoring this combination would silently truncate the
+        # multi-partition bucketed table the mode exists to protect.
+        raise ValueError(
+            "saveMode=overwrite_partitions is not supported with bucketBy "
+            "(saveAsTable overwrite replaces the whole table); write the "
+            "bucketed table with append/overwrite or drop bucketBy"
+        )
     if mode == "overwrite_partitions":
         # Dynamic partition overwrite: replace ONLY the partitions the
         # incoming frame touches, leaving the rest of the table intact —
@@ -178,6 +188,14 @@ def write_sink(df: DataFrame, sink: Mapping[str, Any]) -> None:
                 "bucketBy writes one table; give at most one path "
                 "(the table's external location)"
             )
+        # align data with the bucket layout BEFORE the write: Spark's
+        # bucketed writer does NOT shuffle — every task writes a file per
+        # bucket it sees, so an unaligned frame produces up to
+        # partitions x buckets small files.  repartition on the bucket
+        # columns with n_buckets partitions uses the same hash family as
+        # bucket assignment, so each task holds exactly one bucket's keys
+        # and writes one file — this IS the pay-one-shuffle-at-write-time.
+        out = out.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
         writer = out.write.mode(mode).options(**options)
         if paths and paths[0]:
             writer = writer.option("path", paths[0])

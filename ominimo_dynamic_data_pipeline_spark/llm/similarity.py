@@ -1333,6 +1333,11 @@ def principal_share_from_moments(
             c[i, j] = c[j, i] = float(num) / denom
     vals, vecs = np.linalg.eigh(c)
     trace = float(vals.sum())
+    if trace <= 0.0:
+        raise ValueError(
+            "principal_share_from_moments: zero total variance (all "
+            "vectors identical) — shares are undefined"
+        )
     top = float(vals[-1])
     second = float(vals[-2]) if dim > 1 else 0.0
     v = vecs[:, -1]
@@ -1369,26 +1374,38 @@ def embedding_principal_share(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * scale).cast("bigint"),
     )
-    base = df.select(q.alias("_qv"))
-    flat = base.select("_qv", F.posexplode("_qv").alias("i", "vi"))
-    tri = flat.select(
-        "i", "vi", F.posexplode("_qv").alias("j", "vj")
-    ).where(F.col("j") >= F.col("i"))
-    m2_rows = (
-        tri.groupBy("i", "j")
-        .agg(
-            F.sum(
-                (F.col("vi") * F.col("vj")).cast("decimal(38,0)")
-            ).alias("s2")
+    # NULL vectors carry no moments, so they must not inflate n either;
+    # persist the quantized frame — three independent actions would
+    # otherwise re-scan the source three times
+    base = (
+        df.where(F.col(vec_col).isNotNull()).select(q.alias("_qv")).persist()
+    )
+    try:
+        n = base.count()
+        if n == 0:
+            raise ValueError(
+                "embedding_principal_share: no non-null vectors"
+            )
+        flat = base.select("_qv", F.posexplode("_qv").alias("i", "vi"))
+        tri = flat.select(
+            "i", "vi", F.posexplode("_qv").alias("j", "vj")
+        ).where(F.col("j") >= F.col("i"))
+        m2_rows = (
+            tri.groupBy("i", "j")
+            .agg(
+                F.sum(
+                    (F.col("vi") * F.col("vj")).cast("decimal(38,0)")
+                ).alias("s2")
+            )
+            .collect()
         )
-        .collect()
-    )
-    s1_rows = (
-        flat.groupBy("i")
-        .agg(F.sum(F.col("vi").cast("decimal(38,0)")).alias("s1"))
-        .collect()
-    )
-    n = df.count()
+        s1_rows = (
+            flat.groupBy("i")
+            .agg(F.sum(F.col("vi").cast("decimal(38,0)")).alias("s1"))
+            .collect()
+        )
+    finally:
+        base.unpersist(blocking=False)
     m2 = {(r["i"], r["j"]): int(r["s2"]) for r in m2_rows}
     s1 = {r["i"]: int(r["s1"]) for r in s1_rows}
     return principal_share_from_moments(m2, s1, n, dim, scale)

@@ -932,19 +932,22 @@ def time_decay_attribution(
             wnum
         )
     denom = float((1 << (horizon_days - 1)) * 100)
+    # the product runs in DECIMAL: cents x 2^(H-1) passes int64 for
+    # horizons past ~46 days (2^61 numerators), and a bigint multiply
+    # would wrap silently in non-ANSI mode
+    credit = F.col("_vc").cast("decimal(19,0)") * wnum.cast("decimal(19,0)")
     pairs = (
         conv.join(touch, "_u")
         .where(
             (F.col("_tus") < F.col("_cus"))
             & (F.col("_cus") - F.col("_tus") < horizon_us)
         )
-        .select("touch_type", (F.col("_vc") * wnum).alias("_credit"))
+        .select("touch_type", credit.alias("_credit"))
     )
     return pairs.groupBy("touch_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         (
-            exact_str_double(F.sum(F.col("_credit").cast("decimal(19,0)")))
-            / F.lit(denom)
+            exact_str_double(F.sum("_credit")) / F.lit(denom)
         ).alias("credited_value"),
     )
 
@@ -991,10 +994,17 @@ def winsorized_stats(
         F.row_number().over(seg.orderBy("_units")).alias("_rn"),
         F.count(F.lit(1)).over(seg).alias("_n"),
     )
-    lo_rank = F.greatest(
-        F.lit(1), F.ceil(lower * F.col("_n")).cast("bigint")
-    )
-    hi_rank = F.ceil(upper * F.col("_n")).cast("bigint")
+    # EXACT rank arithmetic: ceil(p*n) computed as integer
+    # ceil((p_ppm * n) / 1e6) — double math rounds ceil(0.07*100) to 8,
+    # silently shifting the clip threshold one rank for such fractions
+    lo_ppm = round(lower * 1_000_000)
+    hi_ppm = round(upper * 1_000_000)
+
+    def _ceil_rank(ppm: int):
+        return F.expr(f"({ppm} * _n + 999999) div 1000000")
+
+    lo_rank = F.greatest(F.lit(1).cast("bigint"), _ceil_rank(lo_ppm))
+    hi_rank = _ceil_rank(hi_ppm)
     th = ranked.select(
         group_col,
         "_units",
@@ -1054,18 +1064,22 @@ def snapshot_diff(
     # snapshots (two filters of one table) otherwise resolve both sides
     # of eqNullSafe to the SAME column (Spark's trivially-true-predicate
     # self-join trap)
-    o = old.select(*key_cols, *compare_cols).alias("o")
-    n = new.select(*key_cols, *compare_cols).alias("n")
+    # literal presence markers, NOT key-isNotNull: the join is
+    # deliberately eqNullSafe so NULL keys are legal values — a NULL-key
+    # row would otherwise read as "absent" and misclassify
+    o = old.select(
+        *key_cols, *compare_cols, F.lit(True).alias("_op")
+    ).alias("o")
+    n = new.select(
+        *key_cols, *compare_cols, F.lit(True).alias("_np")
+    ).alias("n")
     cond = None
     for kcol in key_cols:
         eq = F.col(f"o.{kcol}").eqNullSafe(F.col(f"n.{kcol}"))
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
-    old_present = F.lit(False)
-    new_present = F.lit(False)
-    for kcol in key_cols:
-        old_present = old_present | F.col(f"o.{kcol}").isNotNull()
-        new_present = new_present | F.col(f"n.{kcol}").isNotNull()
+    old_present = F.col("o._op").isNotNull()
+    new_present = F.col("n._np").isNotNull()
     differs = F.lit(False)
     for ccol in compare_cols:
         differs = differs | ~F.col(f"o.{ccol}").eqNullSafe(

@@ -2808,8 +2808,9 @@ def q192_time_decay_attribution(
 # q193 — WINSORIZED robust balance stats per market segment: clip
 # account balances at the rank-picked p05/p95 (percentile_DISC by
 # construction — the threshold IS a data value at rank ceil(p*n) in
-# the (cents, custkey) total order, so there is no interpolation to
-# diverge cross-engine) and report the clipped mean — the
+# the cents order, computed in EXACT integer ppm arithmetic so no
+# double ceil(0.07*100)=8-style off-by-one can diverge) and report
+# the clipped mean — the
 # outlier-robust feature-prep step next to q83's MAD screen.  All
 # arithmetic exact: integer cents, DECIMAL accumulation, one
 # decimal-string division per mean.  Scale shape: ONE exchange on the
@@ -2836,10 +2837,10 @@ def q192_time_decay_attribution(
     ),
     thresholds AS (
         SELECT *,
-               MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.05 * n) AS BIGINT))
+               MAX(CASE WHEN rn = GREATEST(1, (50000 * n + 999999) // 1000000)
                         THEN cents END)
                    OVER (PARTITION BY c_mktsegment) AS lo,
-               MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+               MAX(CASE WHEN rn = (950000 * n + 999999) // 1000000
                         THEN cents END)
                    OVER (PARTITION BY c_mktsegment) AS hi
         FROM ranked

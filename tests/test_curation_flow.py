@@ -1403,6 +1403,20 @@ def test_snapshot_diff_operator_generic_semantics(spark):
         ).collect()
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # NULL keys are legal values (the join is eqNullSafe): a NULL-key row
+    # present on both sides with a changed value is 'changed', not
+    # 'added' — presence comes from literal markers, never key-isNotNull
+    old_nk = spark.createDataFrame(
+        [(None, 1), (7, 7)], "k bigint, v bigint"
+    )
+    new_nk = spark.createDataFrame([(None, 2)], "k bigint, v bigint")
+    got_nk = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(
+            old_nk, new_nk, key_cols=("k",), compare_cols=("v",)
+        ).collect()
+    }
+    assert got_nk == {None: "changed", 7: "removed"}
     with pytest.raises(ValueError, match="key_cols is empty"):
         snapshot_diff(old, new, key_cols=(), compare_cols=("v",))
     with pytest.raises(ValueError, match="lacks columns"):

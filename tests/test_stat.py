@@ -731,8 +731,8 @@ def test_winsorized_balances_match_python_reference(spark, sf_dir):
     for seg, vals in segs.items():
         vals.sort()
         n = len(vals)
-        lo = vals[max(1, math.ceil(0.05 * n)) - 1][0]
-        hi = vals[math.ceil(0.95 * n) - 1][0]
+        lo = vals[max(1, (50000 * n + 999999) // 1000000) - 1][0]
+        hi = vals[(950000 * n + 999999) // 1000000 - 1][0]
         clipped = [min(max(c, lo), hi) for c, _ in vals]
         expected[seg] = (
             n, lo, hi,
@@ -952,9 +952,11 @@ def test_filtered_knn_subset_semantics(spark, sf_dir):
         if all(n in eligible for _, n, _ in rows):
             assert sorted(filtered[qid]) == rows
         else:
-            # filtered ranks must preserve the eligible subsequence order
+            # the filtered top-k must BEGIN with the eligible
+            # subsequence of the unfiltered ranking (filter-then-search
+            # preserves relative order; post-filtering would too, but a
+            # broken predicate or ranking would not)
             elig_seq = [n for _, n, _ in rows if n in eligible]
             got_seq = [n for _, n, _ in sorted(filtered[qid])]
-            assert got_seq[: len(elig_seq)] == elig_seq or all(
-                g in eligible for g in got_seq
-            )
+            k = min(len(elig_seq), len(got_seq))
+            assert got_seq[:k] == elig_seq[:k]
