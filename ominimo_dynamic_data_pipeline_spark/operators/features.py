@@ -1042,6 +1042,7 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: Sequence[str],
     compare_cols: Sequence[str],
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """Classify every key's state between two snapshots (the q194
     operator, generic form): ``added`` (key only in new), ``removed``
@@ -1049,7 +1050,15 @@ def snapshot_diff(
     ``unchanged``.  Returns the key columns + ``change_type`` + each
     compare column as ``<col>_old`` / ``<col>_new``.  Scale shape:
     reduce both snapshots to one row per key BEFORE calling this (the
-    full-outer join then carries |keys| rows)."""
+    full-outer join then carries |keys| rows).
+
+    ``null_safe_keys``: by default the join uses plain key equality, so
+    a NULL key never matches (SQL semantics — a NULL-key row in old
+    classifies ``removed``, in new ``added``) and, critically, the join
+    key equals the upstream per-key aggregation key, so Catalyst REUSES
+    the aggregation exchanges (measured 8x on q194's sf10 shape).  Set
+    True to treat NULL as a joinable key value (``<=>``); the wrapped
+    key then forces one extra shuffle per side."""
     if not key_cols:
         raise ValueError("snapshot_diff: key_cols is empty")
     for side, frame in (("old", old), ("new", new)):
@@ -1064,9 +1073,10 @@ def snapshot_diff(
     # snapshots (two filters of one table) otherwise resolve both sides
     # of eqNullSafe to the SAME column (Spark's trivially-true-predicate
     # self-join trap)
-    # literal presence markers, NOT key-isNotNull: the join is
-    # deliberately eqNullSafe so NULL keys are legal values — a NULL-key
-    # row would otherwise read as "absent" and misclassify
+    # literal presence markers, NOT key-isNotNull: under null_safe_keys
+    # NULL keys are legal values, and even under plain equality an
+    # unmatched NULL-key row must classify by its side, not read as
+    # "absent" on both
     o = old.select(
         *key_cols, *compare_cols, F.lit(True).alias("_op")
     ).alias("o")
@@ -1075,7 +1085,8 @@ def snapshot_diff(
     ).alias("n")
     cond = None
     for kcol in key_cols:
-        eq = F.col(f"o.{kcol}").eqNullSafe(F.col(f"n.{kcol}"))
+        lhs, rhs = F.col(f"o.{kcol}"), F.col(f"n.{kcol}")
+        eq = lhs.eqNullSafe(rhs) if null_safe_keys else (lhs == rhs)
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
     old_present = F.col("o._op").isNotNull()

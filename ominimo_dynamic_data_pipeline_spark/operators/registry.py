@@ -1701,7 +1701,8 @@ def _op_snapshot_diff(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     """Keyed snapshot classification as a dataflow step (the q194
     operator; operators/features.py snapshot_diff).  ``input`` is the
     OLD snapshot; params: ``new`` (frame name, required), ``key_cols``
-    (required), ``compare_cols`` (default [])."""
+    (required), ``compare_cols`` (default []), ``null_safe_keys``
+    (default false — see the operator's exchange-reuse note)."""
     from ominimo_dynamic_data_pipeline_spark.operators.features import (
         snapshot_diff,
     )
@@ -1724,6 +1725,7 @@ def _op_snapshot_diff(ctx: CompileContext, step: Mapping[str, Any]) -> None:
             ctx.get(new_name),
             key_cols=tuple(key_cols),
             compare_cols=tuple(params.get("compare_cols") or []),
+            null_safe_keys=bool(params.get("null_safe_keys", False)),
         ),
     )
 

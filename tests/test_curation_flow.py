@@ -1403,9 +1403,11 @@ def test_snapshot_diff_operator_generic_semantics(spark):
         ).collect()
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
-    # NULL keys are legal values (the join is eqNullSafe): a NULL-key row
-    # present on both sides with a changed value is 'changed', not
-    # 'added' — presence comes from literal markers, never key-isNotNull
+    # NULL keys: with null_safe_keys a NULL-key row present on both
+    # sides with a changed value is 'changed' (NULL joins as a value);
+    # under default plain equality the same rows classify by side
+    # ('removed' + 'added') — presence comes from literal markers,
+    # never key-isNotNull
     old_nk = spark.createDataFrame(
         [(None, 1), (7, 7)], "k bigint, v bigint"
     )
@@ -1413,10 +1415,19 @@ def test_snapshot_diff_operator_generic_semantics(spark):
     got_nk = {
         r["k"]: r["change_type"]
         for r in snapshot_diff(
-            old_nk, new_nk, key_cols=("k",), compare_cols=("v",)
+            old_nk, new_nk, key_cols=("k",), compare_cols=("v",),
+            null_safe_keys=True,
         ).collect()
     }
     assert got_nk == {None: "changed", 7: "removed"}
+    got_default = sorted(
+        ((-1 if r["k"] is None else r["k"]), r["change_type"])
+        for r in snapshot_diff(
+            old_nk, new_nk, key_cols=("k",), compare_cols=("v",)
+        ).collect()
+    )
+    assert got_default == [(-1, "added"), (-1, "removed"),
+                           (7, "removed")]
     with pytest.raises(ValueError, match="key_cols is empty"):
         snapshot_diff(old, new, key_cols=(), compare_cols=("v",))
     with pytest.raises(ValueError, match="lacks columns"):

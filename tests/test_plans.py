@@ -652,6 +652,11 @@ def test_q194_diff_aggregates_before_join(q):
     assert "FullOuter" in p or "full_outer" in p.lower()
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in p
     assert "CartesianProduct" not in p
+    # the join key must stay the RAW aggregation key so both sides reuse
+    # their groupBy exchanges: 2 agg exchanges + the final rollup, never
+    # a 4th/5th re-shuffle for a wrapped (null-safe) key — the measured
+    # 8x q194 sf10 regression this pin now guards
+    assert p.count("Exchange (") == 3
 
 
 def test_q196_cascade_semi_joins_broadcast(q):
