@@ -1369,7 +1369,13 @@ def embedding_principal_share(
     partition regardless of corpus size, and the driver collects
     exactly d^2/2 + d moment cells (bounded by the DIMENSION, never the
     data — the q44 centroid precedent).  The d x d eigensolve is
-    driver-side numpy on an exactly-reproducible matrix."""
+    driver-side numpy on an exactly-reproducible matrix.  The explode
+    generates n*d(d+1)/2 rows — linear in the corpus; if that CPU cost
+    ever dominates, the named swap is a mapInPandas kernel doing
+    per-batch int64 Q^T Q with Python-int cross-batch accumulation
+    (exactness preserved; batch sums stay under 2^63 at Arrow's 10k
+    default batch rows).  This Catalyst form stays the default: one
+    code path, pure JVM, no rounding-parity surface."""
     q = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * scale).cast("bigint"),
