@@ -1488,3 +1488,102 @@ def q196_deletion_cascade_audit(
         .unionByName(audit("orders", del_o, o))
         .unionByName(audit("lineitem", del_l, li))
     )
+
+
+# --------------------------------------------------------------------------
+# q199 — LARGEST-REMAINDER (Hamilton) allocation: distribute each
+# order's total EXACTLY across its lineitems proportionally to their
+# extended prices, in whole cents — the billing/invoice proration
+# primitive where naive per-row rounding leaks cents (sums stop
+# matching the invoice).  Pure integer arithmetic end to end: base
+# share = floor(T*w/W), remainders T*w mod W rank per order
+# (DESC, linenumber tie), and the first (T - sum(base)) items get the
+# extra cent — by construction sum(alloc) == T per order, pinned by
+# the Python-reference test.  T*w products stay exact bigints at test
+# magnitudes and go DECIMAL at the 100 TB posture (the q181 note).
+# The synthetic lineitem carries duplicate (orderkey, linenumber)
+# pairs, so the remainder tie-break is total only up to those twins —
+# byte-identical rows whose bonus cent can land on either, leaving the
+# OUTPUT MULTISET deterministic (which is what the order-insensitive
+# hash and the Counter-based pin verify).
+# Scale shape: ONE exchange on the order key feeds the weight-total
+# window, the remainder rank, and the leftover window.
+# --------------------------------------------------------------------------
+@query(
+    "q199_invoice_allocation",
+    """
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    o AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS t
+        FROM orders
+    ),
+    j AS (
+        SELECT li.l_orderkey, li.l_linenumber, li.w, o.t,
+               SUM(li.w) OVER (PARTITION BY li.l_orderkey) AS tw
+        FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+    ),
+    b AS (
+        SELECT *, (t * w) // tw AS base, (t * w) % tw AS rem FROM j
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY rem DESC, l_linenumber) AS rk,
+               t - CAST(SUM(base) OVER (PARTITION BY l_orderkey)
+                        AS BIGINT) AS leftover
+        FROM b
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM r
+    """,
+)
+def q199_invoice_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "w", "t"
+    )
+    wk = Window.partitionBy("l_orderkey")
+    b = j.withColumn("tw", F.sum("w").over(wk)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "t",
+        F.expr("(t * w) div tw").alias("base"),
+        F.expr("(t * w) % tw").alias("rem"),
+    )
+    r = b.select(
+        "l_orderkey",
+        "l_linenumber",
+        "base",
+        F.row_number()
+        .over(wk.orderBy(F.col("rem").desc(), "l_linenumber"))
+        .alias("rk"),
+        (F.col("t") - F.sum("base").over(wk).cast("bigint")).alias(
+            "leftover"
+        ),
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_cents"),
+    )

@@ -680,3 +680,15 @@ def test_q198_filter_before_pairwise(q):
     assert "ReadSchema: struct<doc_id:bigint>" in p or "doc_id" in p
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_q199_allocation_single_order_exchange(q):
+    # the weight-total window, the remainder rank, and the leftover
+    # window all share ONE exchange on the order key after the join;
+    # orders side broadcasts (2-column projection)
+    p = plan_of(q("q199_invoice_allocation"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    shuffles = p.count("Exchange (") - p.count("BroadcastExchange (")
+    assert shuffles == 1
+    assert p.count("Window (") == 3

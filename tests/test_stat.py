@@ -960,3 +960,73 @@ def test_filtered_knn_subset_semantics(spark, sf_dir):
             got_seq = [n for _, n, _ in sorted(filtered[qid])]
             k = min(len(elig_seq), len(got_seq))
             assert got_seq[:k] == elig_seq[:k]
+
+
+def test_invoice_allocation_matches_python_reference(spark, sf_dir):
+    """q199's Hamilton allocation against a Python recompute: exact
+    conservation (sum == order total), each share within 1 cent of the
+    exact proportional value, and the cent bonus goes to the largest
+    remainders."""
+    from ominimo_dynamic_data_pipeline_spark.queries.extensions import (
+        q199_invoice_allocation,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("w"),
+        )
+        .collect()
+    )
+    t_by_order = {
+        r["o_orderkey"]: r["t"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t"),
+        )
+        .collect()
+    }
+    from collections import Counter
+
+    items: dict = {}
+    for r in li:
+        items.setdefault(r["l_orderkey"], []).append(
+            (r["l_linenumber"], r["w"])
+        )
+    # the synthetic lineitem has DUPLICATE (orderkey, linenumber) pairs,
+    # so (rem DESC, linenumber) is not a total order — tied rows are
+    # byte-identical, making the allocation deterministic as a MULTISET
+    # (whichever twin gets the bonus cent yields the same row bag);
+    # compare with Counter accordingly
+    expected: Counter = Counter()
+    for ok, its in items.items():
+        t = t_by_order[ok]
+        tw = sum(w for _, w in its)
+        per_item = [
+            (ln, (t * w) // tw, (t * w) % tw) for ln, w in its
+        ]
+        leftover = t - sum(b for _, b, _ in per_item)
+        assert 0 <= leftover < max(1, len(per_item))
+        order = sorted(
+            range(len(per_item)),
+            key=lambda i: (-per_item[i][2], per_item[i][0], i),
+        )
+        bonus = set(order[:leftover])
+        allocs = [
+            per_item[i][1] + (1 if i in bonus else 0)
+            for i in range(len(per_item))
+        ]
+        assert sum(allocs) == t
+        for i, (ln, _, _) in enumerate(per_item):
+            expected[(ok, ln, allocs[i])] += 1
+    got: Counter = Counter(
+        (r["l_orderkey"], r["l_linenumber"], r["alloc_cents"])
+        for r in q199_invoice_allocation(spark, sf_dir).collect()
+    )
+    assert got == expected
