@@ -1587,3 +1587,63 @@ def q199_invoice_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q200 — WHAT-IF scenario grid: total revenue under six candidate
+# extra-discount levels (0..250 basis points) computed from ONE
+# lineitem scan — each row explodes across the literal scenario array
+# and the per-scenario totals partial-aggregate map-side, so adding a
+# scenario costs fanout, never another scan (the naive form re-reads
+# the fact table per scenario).  Exact arithmetic: price cents x
+# (10000 - bp) accumulates in DECIMAL basis-point-cents and lands
+# through one decimal-string division per scenario.  The oracle
+# cross-joins the same literal scenarios in SQL.
+# --------------------------------------------------------------------------
+_Q200_SCENARIOS = (0, 50, 100, 150, 200, 250)
+
+
+@query(
+    "q200_discount_scenarios",
+    f"""
+    WITH li AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    sc AS (
+        SELECT unnest([{", ".join(str(b) for b in _Q200_SCENARIOS)}])
+            AS extra_bp
+    )
+    SELECT sc.extra_bp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(li.w AS DECIMAL(19,0))
+                         * (10000 - sc.extra_bp)) AS VARCHAR) AS DOUBLE)
+               / 1000000.0 AS scenario_revenue
+    FROM li CROSS JOIN sc
+    GROUP BY sc.extra_bp
+    """,
+)
+def q200_discount_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import (
+        exact_str_double,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w")
+    )
+    sc = F.explode(
+        F.array(*[F.lit(b) for b in _Q200_SCENARIOS])
+    ).alias("extra_bp")
+    exploded = li.select("w", sc)
+    return exploded.groupBy("extra_bp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            exact_str_double(
+                F.sum(
+                    F.col("w").cast("decimal(19,0)")
+                    * (F.lit(10000) - F.col("extra_bp"))
+                )
+            )
+            / F.lit(1000000.0)
+        ).alias("scenario_revenue"),
+    )

@@ -692,3 +692,15 @@ def test_q199_allocation_single_order_exchange(q):
     shuffles = p.count("Exchange (") - p.count("BroadcastExchange (")
     assert shuffles == 1
     assert p.count("Window (") == 3
+
+
+def test_q200_scenarios_single_scan(q):
+    # the what-if grid reads lineitem ONCE: one scan + one Generate
+    # (scenario explode) + one aggregate exchange — never one scan per
+    # scenario
+    import re as _re
+
+    p = plan_of(q("q200_discount_scenarios"))
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Generate" in p
+    assert p.count("Exchange (") == 1

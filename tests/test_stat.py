@@ -1030,3 +1030,35 @@ def test_invoice_allocation_matches_python_reference(spark, sf_dir):
         for r in q199_invoice_allocation(spark, sf_dir).collect()
     )
     assert got == expected
+
+
+def test_discount_scenarios_match_python_reference(spark, sf_dir):
+    """q200's scenario grid against an exact integer Python recompute;
+    scenario 0 equals the plain cents total."""
+    from ominimo_dynamic_data_pipeline_spark.queries.extensions import (
+        _Q200_SCENARIOS,
+        q200_discount_scenarios,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    ws = [
+        r["w"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("w")
+        )
+        .collect()
+    ]
+    got = {
+        r["extra_bp"]: (r["n_rows"], r["scenario_revenue"])
+        for r in q200_discount_scenarios(spark, sf_dir).collect()
+    }
+    assert set(got) == set(_Q200_SCENARIOS)
+    for bp in _Q200_SCENARIOS:
+        exact = sum(w * (10000 - bp) for w in ws)
+        n, rev = got[bp]
+        assert n == len(ws)
+        assert abs(rev - exact / 1000000.0) < 1e-9 * max(1.0, exact / 1e6)
+    assert got[0][1] == sum(ws) / 100.0
