@@ -1702,7 +1702,10 @@ def _op_snapshot_diff(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     operator; operators/features.py snapshot_diff).  ``input`` is the
     OLD snapshot; params: ``new`` (frame name, required), ``key_cols``
     (required), ``compare_cols`` (default []), ``null_safe_keys``
-    (default false — see the operator's exchange-reuse note)."""
+    (default false: NULL keys never match, classifying by side as
+    removed+added, and the join reuses the per-key agg exchanges; set
+    true for NULL-as-value semantics at the cost of one extra shuffle
+    per side)."""
     from ominimo_dynamic_data_pipeline_spark.operators.features import (
         snapshot_diff,
     )

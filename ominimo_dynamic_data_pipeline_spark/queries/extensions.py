@@ -1502,10 +1502,11 @@ def q196_deletion_cascade_audit(
 # the Python-reference test.  T*w products stay exact bigints at test
 # magnitudes and go DECIMAL at the 100 TB posture (the q181 note).
 # The synthetic lineitem carries duplicate (orderkey, linenumber)
-# pairs, so the remainder tie-break is total only up to those twins —
-# byte-identical rows whose bonus cent can land on either, leaving the
-# OUTPUT MULTISET deterministic (which is what the order-insensitive
-# hash and the Counter-based pin verify).
+# pairs with DIFFERENT prices, so linenumber alone is not a total
+# order — the rank therefore breaks remainder ties by (linenumber, w):
+# total up to true (ln, w) twins, which are interchangeable rows whose
+# bonus cent lands on either without changing the OUTPUT MULTISET
+# (what the order-insensitive hash and the Counter-based pin verify).
 # Scale shape: ONE exchange on the order key feeds the weight-total
 # window, the remainder rank, and the leftover window.
 # --------------------------------------------------------------------------
@@ -1534,7 +1535,7 @@ def q196_deletion_cascade_audit(
         SELECT *,
                ROW_NUMBER() OVER (
                    PARTITION BY l_orderkey
-                   ORDER BY rem DESC, l_linenumber) AS rk,
+                   ORDER BY rem DESC, l_linenumber, w) AS rk,
                t - CAST(SUM(base) OVER (PARTITION BY l_orderkey)
                         AS BIGINT) AS leftover
         FROM b
@@ -1562,6 +1563,7 @@ def q199_invoice_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = j.withColumn("tw", F.sum("w").over(wk)).select(
         "l_orderkey",
         "l_linenumber",
+        "w",
         "t",
         F.expr("(t * w) div tw").alias("base"),
         F.expr("(t * w) % tw").alias("rem"),
@@ -1571,7 +1573,7 @@ def q199_invoice_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "base",
         F.row_number()
-        .over(wk.orderBy(F.col("rem").desc(), "l_linenumber"))
+        .over(wk.orderBy(F.col("rem").desc(), "l_linenumber", "w"))
         .alias("rk"),
         (F.col("t") - F.sum("base").over(wk).cast("bigint")).alias(
             "leftover"

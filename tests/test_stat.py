@@ -999,23 +999,25 @@ def test_invoice_allocation_matches_python_reference(spark, sf_dir):
         items.setdefault(r["l_orderkey"], []).append(
             (r["l_linenumber"], r["w"])
         )
-    # the synthetic lineitem has DUPLICATE (orderkey, linenumber) pairs,
-    # so (rem DESC, linenumber) is not a total order — tied rows are
-    # byte-identical, making the allocation deterministic as a MULTISET
-    # (whichever twin gets the bonus cent yields the same row bag);
-    # compare with Counter accordingly
+    # the synthetic lineitem has DUPLICATE (orderkey, linenumber) pairs
+    # with different prices, so the rank breaks remainder ties by
+    # (linenumber, w); residual ties are true (ln, w) twins whose bonus
+    # cent can land on either — deterministic as a MULTISET, compared
+    # with Counter accordingly
     expected: Counter = Counter()
     for ok, its in items.items():
         t = t_by_order[ok]
         tw = sum(w for _, w in its)
         per_item = [
-            (ln, (t * w) // tw, (t * w) % tw) for ln, w in its
+            (ln, (t * w) // tw, (t * w) % tw, w) for ln, w in its
         ]
-        leftover = t - sum(b for _, b, _ in per_item)
+        leftover = t - sum(b for _, b, _, _ in per_item)
         assert 0 <= leftover < max(1, len(per_item))
         order = sorted(
             range(len(per_item)),
-            key=lambda i: (-per_item[i][2], per_item[i][0], i),
+            key=lambda i: (
+                -per_item[i][2], per_item[i][0], per_item[i][3], i,
+            ),
         )
         bonus = set(order[:leftover])
         allocs = [
@@ -1023,7 +1025,7 @@ def test_invoice_allocation_matches_python_reference(spark, sf_dir):
             for i in range(len(per_item))
         ]
         assert sum(allocs) == t
-        for i, (ln, _, _) in enumerate(per_item):
+        for i, (ln, _, _, _) in enumerate(per_item):
             expected[(ok, ln, allocs[i])] += 1
     got: Counter = Counter(
         (r["l_orderkey"], r["l_linenumber"], r["alloc_cents"])
