@@ -37,7 +37,7 @@ _merge(_an)
 CORRECTNESS_WINDOW = [
     # Round-6 final rotation: the queries that have never had an
     # independent driver correctness round lead (q132-q141 landed after
-    # the r5 window was sampled; q142-q200 are new this round), followed
+    # the r5 window was sampled; q142-q201 are new this round), followed
     # by the 4 HUGEINT-oracle fixes (q55/q68/q70/q78 — red in r5 purely
     # from DuckDB's count_if/windowed-SUM HUGEINT rendering, now cast to
     # BIGINT; their re-verification proves the fix driver-green).  The
@@ -47,7 +47,7 @@ CORRECTNESS_WINDOW = [
     # as q171-q175 landed; their families keep round-6 members in the
     # window — joins q133/q134/q139/q142, aggregations q161/q162/q169/
     # q171, windows q157/q166/q168/q174, set_ops q153, scalar_fns
-    # q138/q148).  q176-q200 are the catalog entries the packed window
+    # q138/q148).  q176-q201 are the catalog entries the packed window
     # cannot hold (the q164 precedent last session): they stay
     # hash-gated by the in-suite full-catalog oracle run until the
     # next rotation frees slots.  Rotated-out queries stay hash-gated by

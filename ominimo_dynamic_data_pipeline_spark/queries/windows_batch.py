@@ -924,3 +924,53 @@ def q190_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         tiebreak_cols=("event_id",),
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — STREAMING FUNNEL end to end (the ninth real streaming path):
+# readStream -> applyInPandasWithState greedy step-state per user
+# (streaming/ops.stateful_funnel — the continuously-maintained
+# deployment of q185) -> update-mode availableNow sink -> final state
+# per user (max_by batches) -> the same one-row funnel summary.  The
+# replayed file source must reproduce the batch operator exactly, so
+# the oracle IS q185's — the hash comparison verifies the stateful
+# step transitions and the state store, not just unified batch
+# semantics.  The -1 unreached sentinels null out before counting.
+# --------------------------------------------------------------------------
+@query(
+    "q201_streaming_funnel_e2e",
+    ORACLES["q185_window_funnel"],
+)
+def q201_streaming_funnel_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src = stream_ops.read_events_stream(spark, sf_dir)
+    pu = stream_ops.stateful_funnel(src, horizon_us=_Q185_HORIZON_US)
+    out = stream_ops.run_to_completion(
+        pu, "q201_streaming_funnel_sink", output_mode="update"
+    )
+    final = out.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("step_1_us", "step_2_us", "step_3_us"), "batches"
+        ).alias("s")
+    )
+    def step(i: int):
+        c = F.col(f"s.step_{i}_us")
+        return F.when(c >= 0, c).alias(f"t{i}")
+
+    pu_final = final.select("user_id", step(1), step(2), step(3))
+    return pu_final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t1").cast("bigint").alias("n_view"),
+        F.count("t2").cast("bigint").alias("n_click"),
+        F.count("t3").cast("bigint").alias("n_purchase"),
+        (
+            F.count("t2").cast("double") / F.count("t1").cast("double")
+        ).alias("click_rate"),
+        (
+            F.count("t3").cast("double") / F.count("t2").cast("double")
+        ).alias("purchase_rate"),
+        exact_str_double(
+            F.sum((F.col("t3") - F.col("t1")).cast("decimal(38,0)"))
+        ).alias("sum_funnel_us"),
+    )

@@ -574,6 +574,109 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_OUTPUT = (
+    "user_id bigint, step_1_us bigint, step_2_us bigint, "
+    "step_3_us bigint, batches bigint"
+)
+FUNNEL_STATE = "t1 bigint, t2 bigint, t3 bigint, batches bigint"
+_FUNNEL_UNSET = -1
+
+
+def stateful_funnel(events: DataFrame, horizon_us: int) -> DataFrame:
+    """Greedy-earliest view->click->purchase funnel as a CUSTOM stateful
+    streaming operator (applyInPandasWithState): per-user state is the
+    three step timestamps (micros; -1 = unreached), updated as events
+    arrive — the continuously-maintained deployment of the q185 batch
+    operator.  Within a micro-batch events sort by (us, event_id), so a
+    single availableNow replay computes the exact batch semantics;
+    across batches the update is exact under in-order per-key arrival
+    (a later batch cannot lower an already-anchored step — staying
+    exact under arbitrary disorder needs the event buffer this bounded
+    state deliberately avoids; q185 is the reprocessing path).
+
+    On a static frame this degrades to the one-shot window_funnel,
+    which the batch-equivalence comparison exploits.
+    """
+    if not events.isStreaming:
+        from ominimo_dynamic_data_pipeline_spark.operators.features import (
+            window_funnel,
+        )
+
+        out = window_funnel(
+            events,
+            user_col="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            steps=("view", "click", "purchase"),
+            horizon_us=horizon_us,
+        )
+        return out.select(
+            "user_id",
+            "step_1_us",
+            "step_2_us",
+            "step_3_us",
+            F.lit(1).cast("bigint").alias("batches"),
+        )
+
+    base = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+
+    def update(key, pdfs, state) -> Any:
+        import pandas as pd
+
+        t1, t2, t3, batches = (
+            state.get
+            if state.exists
+            else (_FUNNEL_UNSET, _FUNNEL_UNSET, _FUNNEL_UNSET, 0)
+        )
+        frames = [pdf for pdf in pdfs]
+        rows = pd.concat(frames).sort_values(["us", "event_id"])
+        for us, typ in zip(rows["us"], rows["event_type"]):
+            us = int(us)
+            if typ == "view":
+                if t1 == _FUNNEL_UNSET:
+                    t1 = us
+            elif typ == "click":
+                if (
+                    t2 == _FUNNEL_UNSET
+                    and t1 != _FUNNEL_UNSET
+                    and us >= t1
+                    and us - t1 <= horizon_us
+                ):
+                    t2 = us
+            elif typ == "purchase":
+                if (
+                    t3 == _FUNNEL_UNSET
+                    and t2 != _FUNNEL_UNSET
+                    and us >= t2
+                    and us - t1 <= horizon_us
+                ):
+                    t3 = us
+        batches += 1
+        state.update((t1, t2, t3, batches))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "step_1_us": [t1],
+                "step_2_us": [t2],
+                "step_3_us": [t3],
+                "batches": [batches],
+            }
+        )
+
+    return base.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     """The Spark 4-native version of stateful_user_totals:
     ``transformWithStateInPandas`` with a ``StatefulProcessor`` and typed

@@ -542,6 +542,44 @@ def test_transcript_batch_equivalence(spark, static_events, stream_events):
     assert streamed.count() > 0
 
 
+def test_stateful_funnel_batch_equivalence(
+    spark, static_events, stream_events
+):
+    """stateful_funnel through the REAL streaming path (per-user greedy
+    step state in applyInPandasWithState) equals the one-shot
+    window_funnel degrade on the static frame — per-user step
+    timestamps, with -1 sentinels mapping to batch NULLs."""
+    horizon = 7 * 24 * 3600 * 1_000_000
+    streamed = ops.run_to_completion(
+        ops.stateful_funnel(stream_events, horizon_us=horizon),
+        "t_stateful_funnel",
+        output_mode="update",
+    )
+    from pyspark.sql import functions as F
+
+    final = streamed.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("step_1_us", "step_2_us", "step_3_us"), "batches"
+        ).alias("s")
+    )
+    got = {
+        r["user_id"]: tuple(
+            None if v == -1 else v
+            for v in (
+                r["s"]["step_1_us"], r["s"]["step_2_us"], r["s"]["step_3_us"]
+            )
+        )
+        for r in final.collect()
+    }
+    batch = ops.stateful_funnel(static_events, horizon_us=horizon)
+    want = {
+        r["user_id"]: (r["step_1_us"], r["step_2_us"], r["step_3_us"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert any(t3 is not None for _, _, t3 in got.values())
+
+
 def test_transcript_truncation_and_order(spark):
     """max_turns truncates the TEXT only (n_turns counts all, truncated
     flags); turns order by (ts, event_id) even when input is shuffled."""
