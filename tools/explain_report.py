@@ -330,6 +330,17 @@ SHOWCASE = {
         "corpus BEFORE the broadcast pairwise scoring — "
         "filter-then-search."
     ),
+    "q199_invoice_allocation": (
+        "Hamilton allocation: the orders side broadcasts (2-column "
+        "projection) and ONE order-key exchange feeds the weight-total "
+        "window, the remainder rank, and the leftover window — exact "
+        "integer arithmetic, no float rounding anywhere."
+    ),
+    "q200_discount_scenarios": (
+        "Scenario grid: ONE lineitem scan + a literal scenario explode "
+        "(Generate) + one aggregate exchange — adding a scenario costs "
+        "fanout, never another scan."
+    ),
     "q167_minhash_recall_calibration": (
         "Band-recall calibration: truth via the inverted-index "
         "equi-join (shared-shingle counts, no pairwise array join — "
