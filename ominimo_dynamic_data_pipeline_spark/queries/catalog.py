@@ -35,72 +35,71 @@ _merge(_an)
 # out when the catalog grew past 50).  tests/test_oracle_parity.py covers
 # the full catalog regardless of order.
 CORRECTNESS_WINDOW = [
-    # Round-6 final rotation: the queries that have never had an
-    # independent driver correctness round lead (q132-q141 landed after
-    # the r5 window was sampled; q142-q201 are new this round), followed
-    # by the 4 HUGEINT-oracle fixes (q55/q68/q70/q78 — red in r5 purely
-    # from DuckDB's count_if/windowed-SUM HUGEINT rendering, now cast to
-    # BIGINT; their re-verification proves the fix driver-green).  The
-    # last 2 slots keep >=1 entry per SURVEY.md §2.4 family (asserted by
-    # test_driver_window_covers_every_family): q31 multimodal + q89 SQL
-    # front end have no round-6 member (q04/q07/q12/q18/q39 rotated out
-    # as q171-q175 landed; their families keep round-6 members in the
-    # window — joins q133/q134/q139/q142, aggregations q161/q162/q169/
-    # q171, windows q157/q166/q168/q174, set_ops q153, scalar_fns
-    # q138/q148).  q176-q201 are the catalog entries the packed window
-    # cannot hold (the q164 precedent last session): they stay
-    # hash-gated by the in-suite full-catalog oracle run until the
-    # next rotation frees slots.  Rotated-out queries stay hash-gated by
-    # tests/test_oracle_parity.py every pytest run.
-    "q132_temperature_mixture",
+    # Round-7 rotation (round-6 verdict item #1): the 26 oracle-backed
+    # queries that have never had an independent driver correctness row
+    # lead (q176-q201 landed after the round-6 window was already packed
+    # with q132-q175).  Rows-only q160 is OUT of the window — it can only
+    # record a no_oracle row, burning a verification slot (round-6 verdict
+    # "What's wrong" #1); it stays pinned by tests/test_llm.py's Python-
+    # reference MMR recompute and the in-suite rows-only floor.  The
+    # remaining 24 slots hold family representatives so every SURVEY.md
+    # §2.4 family keeps >=1 independently-verified entry (asserted by
+    # test_driver_window_covers_every_family): joins q133/q142,
+    # aggregations q47/q161, windows q166/q168, set_ops q153, scalar_fns
+    # q138, validation q50, text q24/q158, dedup q26/q167, similarity
+    # q30/q163, multimodal q31/q32, streaming q101/q130, curation
+    # q132/q164, scale_infra q60/q150, sql_front_end q89.  Queries
+    # outside the window stay hash-gated by tests/test_oracle_parity.py
+    # every pytest run.
+    "q176_dup_cluster_sizes",
+    "q177_cohort_conversion_latency",
+    "q178_vocab_coverage",
+    "q179_market_concentration",
+    "q180_rfm_segments",
+    "q181_event_burstiness",
+    "q182_embedding_dim_stats",
+    "q183_top_session_paths",
+    "q184_embedding_outliers",
+    "q185_window_funnel",
+    "q186_activity_streaks",
+    "q187_pareto_frontier_parts",
+    "q188_symspell_name_pairs",
+    "q189_rolling_7d_active_users",
+    "q190_user_value_twap",
+    "q191_cluster_canonical_docs",
+    "q192_time_decay_attribution",
+    "q193_winsorized_balances",
+    "q194_snapshot_diff",
+    "q195_near_dup_source_matrix",
+    "q196_deletion_cascade_audit",
+    "q197_embedding_principal_share",
+    "q198_filtered_knn",
+    "q199_invoice_allocation",
+    "q200_discount_scenarios",
+    "q201_streaming_funnel_e2e",
     "q133_asof_tolerance_attribution",
-    "q134_concurrent_customer_orders",
-    "q135_record_linkage_scores",
-    "q136_sliding_event_counts",
-    "q137_pit_features_for_labels",
-    "q138_unicode_nfc_normalize",
-    "q139_overlapping_order_spans",
-    "q140_loo_target_encoding",
-    "q141_streaming_dedup_e2e",
     "q142_next_order_forward_asof",
-    "q143_per_source_quota_cap",
-    "q144_cluster_safe_split",
-    "q145_ngram_novelty",
-    "q146_containment_near_dups",
-    "q147_winnow_profile",
-    "q148_span_corruption",
-    "q149_session_transcripts",
-    "q150_shard_manifest",
-    "q151_streaming_transcripts_e2e",
-    "q152_winnow_decontamination",
-    "q153_source_overlap_matrix",
-    "q154_dsir_importance",
-    "q155_hybrid_rrf_retrieval",
-    "q156_k_anonymity_audit",
-    "q157_cusum_changepoints",
-    "q158_token_entropy",
-    "q159_interleaved_curriculum",
-    "q160_mmr_rerank",
+    "q47_price_percentiles",
     "q161_price_quantity_ols",
-    "q162_source_gini",
-    "q163_retrieval_eval",
-    "q164_dataset_card",
-    "q165_tokenizer_fertility",
     "q166_ewma_daily_orders",
-    "q167_minhash_recall_calibration",
     "q168_cumulative_distinct_users",
-    "q169_benford_price_audit",
-    "q170_readability_scores",
-    "q171_rank_correlation",
-    "q172_term_lift_pairs",
-    "q173_langid_confusion",
-    "q174_event_cadence",
-    "q175_embedding_norm_audit",
-    "q55_sequence_packing",
-    "q68_agg_surface",
-    "q70_priority_mix_unpivot",
-    "q78_status_priority_crosstab",
+    "q153_source_overlap_matrix",
+    "q138_unicode_nfc_normalize",
+    "q50_validated_lineitem",
+    "q24_tfidf_top_terms",
+    "q158_token_entropy",
+    "q26_minhash_near_dups",
+    "q167_minhash_recall_calibration",
+    "q30_knn_lsh",
+    "q163_retrieval_eval",
     "q31_payload_stats",
+    "q32_multimodal_features",
+    "q101_streaming_tumbling_e2e",
+    "q130_streaming_incremental_dedup_e2e",
+    "q132_temperature_mixture",
+    "q164_dataset_card",
+    "q60_skew_diagnostics",
+    "q150_shard_manifest",
     "q89_product_nation_profit",
 ]
 
