@@ -1195,6 +1195,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rel_col: str = "rel",
+    sim_round_to: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998): greedily pick k results per query maximizing
@@ -1212,9 +1213,20 @@ def mmr_rerank(
     pool as one columnar batch.  At 100 TB the pools stay top-N per
     query, so the stage scales with query count only.  Deterministic:
     candidates processed in neighbor_id order, ties broken on the
-    smaller id; no oracle twin (iterative greedy is not
-    SQL-expressible) — pinned against a pure-Python reference in
-    tests instead.
+    smaller id.
+
+    ``sim_round_to`` quantizes each pairwise penalty cosine to that many
+    decimals before the max — and switches the pairwise kernel from the
+    BLAS matrix product to sequential left-to-right dot products, the
+    summation order SQL engines use.  With it set, the greedy trace is
+    reproducible cross-engine bit for bit (the q160 oracle replays it as
+    a DuckDB recursive CTE: argmax per step via QUALIFY, the selected
+    set carried as a LIST column).  The 1e-4 quantum is ~1e3 ulps at
+    cosine scale — far below any meaningful similarity difference — and
+    the pool is top-N-bounded, so the sequential-sum path costs O(N^2 *
+    dim) plain-Python flops per query, trivial at N<=20.  Default None
+    keeps the unquantized BLAS path (pinned against a pure-Python
+    reference in tests).
 
     Contract: query/neighbor ids must be INTEGRAL (the Arrow schema is
     bigint — validated eagerly, not left to an executor traceback), and
@@ -1246,6 +1258,7 @@ def mmr_rerank(
     lam = float(lambda_)
     kk = int(k)
     rel_name = rel_col
+    sim_q = None if sim_round_to is None else int(sim_round_to)
     # duplicate (query, id) candidate rows would let the greedy loop
     # pick the same neighbor twice (defeating diversification) —
     # collapse to the max relevance, mirroring rrf_fuse's dedupe
@@ -1284,9 +1297,35 @@ def mmr_rerank(
                 f"drop them from the re-ranked output"
             )
         v = np.array(pdf["_vec"].tolist(), dtype=np.float64)
-        nrm = np.linalg.norm(v, axis=1)
-        nrm[nrm == 0] = 1.0
-        sims = (v / nrm[:, None]) @ (v / nrm[:, None]).T
+        if sim_q is None:
+            nrm = np.linalg.norm(v, axis=1)
+            nrm[nrm == 0] = 1.0
+            sims = (v / nrm[:, None]) @ (v / nrm[:, None]).T
+        else:
+            # Sequential dot products (SQL summation order), then
+            # quantize: a DuckDB recursive CTE replays this trace
+            # exactly (see docstring).
+            rows_v = [list(map(float, row)) for row in v]
+            n = len(rows_v)
+
+            def sdot(a, b):
+                acc = 0.0
+                for x, y in zip(a, b):
+                    acc += x * y
+                return acc
+
+            import math as _math
+
+            nrm_s = [(_math.sqrt(sdot(r, r)) or 1.0) for r in rows_v]
+            sims = np.zeros((n, n), dtype=np.float64)
+            for i in range(n):
+                for j in range(n):
+                    if i != j:
+                        sims[i][j] = round(
+                            sdot(rows_v[i], rows_v[j])
+                            / (nrm_s[i] * nrm_s[j]),
+                            sim_q,
+                        )
         rel = pdf[rel_name].to_numpy(dtype=np.float64)
         ids = pdf["neighbor_id"].to_numpy()
         qid = int(pdf["query_id"].iloc[0])

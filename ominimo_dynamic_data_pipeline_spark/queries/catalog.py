@@ -38,19 +38,20 @@ CORRECTNESS_WINDOW = [
     # Round-7 rotation (round-6 verdict item #1): the 26 oracle-backed
     # queries that have never had an independent driver correctness row
     # lead (q176-q201 landed after the round-6 window was already packed
-    # with q132-q175).  Rows-only q160 is OUT of the window — it can only
-    # record a no_oracle row, burning a verification slot (round-6 verdict
-    # "What's wrong" #1); it stays pinned by tests/test_llm.py's Python-
-    # reference MMR recompute and the in-suite rows-only floor.  The
-    # remaining 24 slots hold family representatives so every SURVEY.md
-    # §2.4 family keeps >=1 independently-verified entry (asserted by
+    # with q132-q175).  q160 was rows-only until this round (burning a
+    # slot on a guaranteed no_oracle row, round-6 verdict "What's wrong"
+    # #1); it gained a DuckDB recursive-CTE oracle in round 7
+    # (sim_round_to=4 quantized greedy trace) and re-enters the window so
+    # the driver independently hashes the new oracle.  The remaining 23
+    # slots hold family representatives so every SURVEY.md §2.4 family
+    # keeps >=1 independently-verified entry (asserted by
     # test_driver_window_covers_every_family): joins q133/q142,
     # aggregations q47/q161, windows q166/q168, set_ops q153, scalar_fns
-    # q138, validation q50, text q24/q158, dedup q26/q167, similarity
-    # q30/q163, multimodal q31/q32, streaming q101/q130, curation
-    # q132/q164, scale_infra q60/q150, sql_front_end q89.  Queries
-    # outside the window stay hash-gated by tests/test_oracle_parity.py
-    # every pytest run.
+    # q138, validation q50, text q24/q158, dedup q167 (+q176/q188/q191/
+    # q195 in the lead block), similarity q30/q160/q163, multimodal
+    # q31/q32, streaming q101/q130, curation q132/q164, scale_infra
+    # q60/q150, sql_front_end q89.  Queries outside the window stay
+    # hash-gated by tests/test_oracle_parity.py every pytest run.
     "q176_dup_cluster_sizes",
     "q177_cohort_conversion_latency",
     "q178_vocab_coverage",
@@ -88,7 +89,7 @@ CORRECTNESS_WINDOW = [
     "q50_validated_lineitem",
     "q24_tfidf_top_terms",
     "q158_token_entropy",
-    "q26_minhash_near_dups",
+    "q160_mmr_rerank",
     "q167_minhash_recall_calibration",
     "q30_knn_lsh",
     "q163_retrieval_eval",

@@ -3389,16 +3389,89 @@ def q159_interleaved_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # greedy loop is inherently sequential per query, so this is the
 # catalog's batch applyInPandas demonstration (the streaming twin is
 # q116's applyInPandasWithState): one Arrow batch per query pool,
-# numpy O(N^2 + N*k) inside, pool bounded by the retrieval cut (20) —
-# the stage scales with query count, never corpus size.  No SQL oracle
-# (iterative greedy is not SQL-expressible): driver gate records the
-# rows-only check; correctness is pinned against a pure-Python MMR
-# reference in tests/test_llm.py.
+# O(N^2 + N*k) inside, pool bounded by the retrieval cut (20) — the
+# stage scales with query count, never corpus size.  Oracle (round-7,
+# closing the round-6 "shrink the rows-only set" item): with
+# sim_round_to=4 the kernel's penalty cosines are sequential-sum
+# doubles quantized to 1e-4, so the greedy trace is engine-independent
+# and a DuckDB recursive CTE replays it exactly — per step, score every
+# remaining candidate (0.7*rel - 0.3*max-rounded-sim-to-picked, the
+# float literals rendered via repr so 1-0.7 is the same double both
+# sides), argmax via QUALIFY with the smaller-id tie-break, selected
+# set carried as a LIST column.  The pure-Python MMR reference pin in
+# tests/test_llm.py still covers the unquantized default path.
 # --------------------------------------------------------------------------
 _Q160_POOL, _Q160_K, _Q160_LAMBDA = 20, 5, 0.7
 
 
-@query("q160_mmr_rerank")
+def _q160_oracle_sql() -> str:
+    lam = repr(float(_Q160_LAMBDA))
+    omlam = repr(1.0 - float(_Q160_LAMBDA))
+    cos = (
+        "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+        " / (SQRT(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
+        " * SQRT(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+    )
+    return f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ),
+    pool AS (
+        SELECT query_id, neighbor_id, cos AS rel FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[])
+                         / (SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                            * SQRT(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                         4) AS cos
+            FROM embeddings c CROSS JOIN q
+            WHERE c.vec_id <> q.query_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY q.query_id ORDER BY cos DESC, c.vec_id
+            ) <= {_Q160_POOL}
+        )
+    ),
+    sims AS (
+        SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+               ROUND({cos}, 4) AS s
+        FROM pool a
+        JOIN pool b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+        JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+        JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ),
+    mmr AS (
+        SELECT query_id, 1 AS mmr_rank, neighbor_id AS pick,
+               '{lam}'::DOUBLE * rel - '{omlam}'::DOUBLE * 0.0::DOUBLE AS score,
+               [neighbor_id] AS sel
+        FROM pool
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY '{lam}'::DOUBLE * rel - '{omlam}'::DOUBLE * 0.0::DOUBLE DESC,
+                     neighbor_id
+        ) = 1
+        UNION ALL
+        SELECT query_id, mmr_rank, neighbor_id, key, list_append(sel, neighbor_id)
+        FROM (
+            SELECT m.query_id, m.mmr_rank + 1 AS mmr_rank, m.sel, c.neighbor_id,
+                   '{lam}'::DOUBLE * c.rel - '{omlam}'::DOUBLE * MAX(p.s) AS key
+            FROM mmr m
+            JOIN pool c ON c.query_id = m.query_id
+                       AND NOT list_contains(m.sel, c.neighbor_id)
+            JOIN sims p ON p.query_id = m.query_id AND p.ia = c.neighbor_id
+                       AND list_contains(m.sel, p.ib)
+            WHERE m.mmr_rank < {_Q160_K}
+            GROUP BY m.query_id, m.mmr_rank, m.sel, c.neighbor_id, c.rel
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY key DESC, neighbor_id
+        ) = 1
+    )
+    SELECT query_id, pick AS neighbor_id, ROUND(score, 4) AS mmr_score,
+           CAST(mmr_rank AS BIGINT) AS mmr_rank
+    FROM mmr
+    """
+
+
+@query("q160_mmr_rerank", _q160_oracle_sql())
 def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ominimo_dynamic_data_pipeline_spark.llm.similarity import mmr_rerank
 
@@ -3410,7 +3483,7 @@ def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.col("cos").alias("rel")
     )
     return mmr_rerank(
-        pool, e, k=_Q160_K, lambda_=_Q160_LAMBDA
+        pool, e, k=_Q160_K, lambda_=_Q160_LAMBDA, sim_round_to=4
     ).withColumn("mmr_score", F.round("mmr_score", 4))
 
 

@@ -1825,6 +1825,74 @@ def test_mmr_rerank_matches_python_reference(spark):
         mmr_rerank(cdf.drop("rel"), vdf)
 
 
+def test_mmr_rerank_sim_round_to_matches_quantized_reference(spark):
+    """The sim_round_to path (q160's oracle-enabling mode) equals a
+    pure-Python greedy MMR whose penalty cosines are sequential-sum
+    doubles rounded to the same quantum — and quantization at 1e-4 does
+    not change the picked ids on a pool with well-separated scores."""
+    import math
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import mmr_rerank
+
+    vecs = {
+        10: [1.0, 0.0, 0.0],
+        11: [0.999, 0.01, 0.0],
+        12: [0.0, 1.0, 0.0],
+        13: [-1.0, 0.0, 0.1],
+        14: [0.5, 0.5, 0.70710678],
+    }
+    rel = {10: 0.95, 11: 0.94, 12: 0.60, 13: 0.20, 14: 0.55}
+    vdf = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(0, i, r) for i, r in rel.items()],
+        schema="query_id bigint, neighbor_id bigint, rel double",
+    )
+    lam, k, q = 0.7, 4, 4
+    got = sorted(
+        mmr_rerank(cdf, vdf, k=k, lambda_=lam, sim_round_to=q).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+
+    def cos_q(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return round(num / (na * nb), q)
+
+    selected, remaining, want = [], sorted(rel), []
+    while remaining and len(selected) < k:
+        best = max(
+            remaining,
+            key=lambda i: (
+                lam * rel[i]
+                - (1 - lam)
+                * (max(cos_q(vecs[i], vecs[s]) for s in selected)
+                   if selected else 0.0),
+                -i,
+            ),
+        )
+        pen = (max(cos_q(vecs[best], vecs[s]) for s in selected)
+               if selected else 0.0)
+        want.append((best, lam * rel[best] - (1 - lam) * pen))
+        selected.append(best)
+        remaining.remove(best)
+
+    assert [r["neighbor_id"] for r in got] == [i for i, _ in want]
+    for r, (_, score) in zip(got, want):
+        assert r["mmr_score"] == score  # bit-exact, not approx
+    # same picks as the unquantized path on this well-separated pool
+    unq = sorted(
+        mmr_rerank(cdf, vdf, k=k, lambda_=lam).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+    assert [r["neighbor_id"] for r in got] == [r["neighbor_id"] for r in unq]
+
+
 def test_entropy_and_interleave_registry_steps(spark, docs):
     """token_entropy / interleave_order register as transformation types
     and match their direct-call twins; interleave_order fails fast on
