@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ominimo_dynamic_data_pipeline_spark.functions.sketches import CountMinSketch
 from ominimo_dynamic_data_pipeline_spark.llm.text import tokens
 from ominimo_dynamic_data_pipeline_spark.queries.llm import SQL_TOKS
 from ominimo_dynamic_data_pipeline_spark.queries.tables import (
@@ -1641,10 +1642,13 @@ def q121_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and mergeable (map-side partial sketches combine associatively — the
 # same shard-then-merge shape as q120/q121); only the bounded sketch
 # and the 5 verified ids reach the driver (the IVF-sample precedent).
-# Spark exposes no SQL-side point query, so the driver deserializes the
-# collected sketch via the JVM CountMinSketch class — estimateCount
-# coerces any Number through longValue(), matching the addLong build
-# path.  Oracle: exact anchors + TRUE contract booleans (q100).
+# Spark exposes no SQL-side point query, so the driver decodes the
+# collected sketch bytes with the pure-Python functions/sketches.py
+# reader (Spark's public CountMinSketchImpl wire format + long-item
+# hash) — no Py4J _jvm bridge, so the query runs identically under
+# Spark Connect (round-6 verdict item #3; the decoder is pinned
+# against the JVM readback in tests/test_stat.py).  Oracle: exact
+# anchors + TRUE contract booleans (q100).
 # --------------------------------------------------------------------------
 _Q122_EPS, _Q122_CONF, _Q122_SEED, _Q122_TOP = 0.005, 0.99, 42, 5
 
@@ -1673,25 +1677,13 @@ def q122_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    # Private Py4J bridge: Spark ships no SQL-side point query for
-    # count_min_sketch bytes, so the ONLY readback is the JVM class.
-    # Validated on Spark 4.1 classic mode; unavailable under Spark
-    # Connect (no _jvm) and the internal path could move — fail with a
-    # clear message instead of an obscure AttributeError.  The
-    # driver-side createDataFrame below is intentional: the collected
-    # payload is one KB-sized sketch + _Q122_TOP verified ids, and the
-    # point of the query is the driver-checked CM error contract.
-    try:
-        jvm = spark.sparkContext._jvm
-        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            bytes(agg["sk"])
-        )
-    except Exception as exc:  # pragma: no cover - depends on Spark build
-        raise RuntimeError(
-            "q122 needs the JVM CountMinSketch.readFrom bridge "
-            "(classic PySpark only, validated on Spark 4.1; not "
-            "available under Spark Connect): " + repr(exc)
-        ) from exc
+    # Pure-Python readback of Spark's public CountMinSketch wire format
+    # (functions/sketches.py) — runtime-independent (classic or
+    # Connect), no Py4J.  The driver-side createDataFrame below is
+    # intentional: the collected payload is one KB-sized sketch +
+    # _Q122_TOP verified ids, and the point of the query is the
+    # driver-checked CM error contract.
+    cms = CountMinSketch.from_bytes(bytes(agg["sk"]))
     w = Window.orderBy(F.desc("exact_n"), F.asc("user_id"))
     top = (
         e.groupBy("user_id")
@@ -1706,7 +1698,7 @@ def q122_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["user_id"],
             r["exact_n"],
             r["rank"],
-            r["exact_n"] <= cms.estimateCount(int(r["user_id"])) <= r["exact_n"] + bound,
+            r["exact_n"] <= cms.estimate(int(r["user_id"])) <= r["exact_n"] + bound,
         )
         for r in top
     ]

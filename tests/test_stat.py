@@ -1064,3 +1064,58 @@ def test_discount_scenarios_match_python_reference(spark, sf_dir):
         assert n == len(ws)
         assert abs(rev - exact / 1000000.0) < 1e-9 * max(1.0, exact / 1e6)
     assert got[0][1] == sum(ws) / 100.0
+
+
+def test_countmin_decoder_matches_jvm_and_guards(spark, sf_dir):
+    """functions/sketches.py decodes Spark's count_min_sketch payload
+    bit-for-bit like the JVM CountMinSketch readback (q122's former
+    private-API path): identical estimates for every present id plus
+    negative/absent/huge probes, so q122 is runtime-independent (no
+    _jvm — works under Spark Connect).  Also pins the wire-format
+    guards: bad version, truncated payload, corrupt dims."""
+    import struct
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ominimo_dynamic_data_pipeline_spark.functions.sketches import (
+        CountMinSketch,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    agg = e.agg(
+        F.count_min_sketch("user_id", 0.005, 0.99, 42).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    payload = bytes(agg["sk"])
+    py = CountMinSketch.from_bytes(payload)
+    assert py.total_count == agg["n"]
+    probes = [int(r["user_id"]) for r in e.distinct().collect()]
+    probes += [-5, -1, 0, 10**12, -(10**12), 2**62]
+    try:
+        jvm = spark.sparkContext._jvm
+        j = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(payload)
+    except Exception:  # pragma: no cover - Connect session
+        j = None
+    for item in probes:
+        est = py.estimate(item)
+        assert est >= 0
+        if j is not None:
+            assert est == j.estimateCount(item), item
+    # estimates dominate exact counts (CM one-sided error)
+    exact = {
+        int(r["user_id"]): r["c"]
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert all(py.estimate(i) >= c for i, c in exact.items())
+
+    with pytest.raises(ValueError, match="version"):
+        CountMinSketch.from_bytes(b"\x00\x00\x00\x02" + payload[4:])
+    with pytest.raises(ValueError, match="too short"):
+        CountMinSketch.from_bytes(payload[:10])
+    with pytest.raises(ValueError, match="expected"):
+        CountMinSketch.from_bytes(payload[:-8])
+    bad = bytearray(payload)
+    struct.pack_into(">i", bad, 12, 0)  # depth = 0
+    with pytest.raises(ValueError, match="corrupt"):
+        CountMinSketch.from_bytes(bytes(bad))
