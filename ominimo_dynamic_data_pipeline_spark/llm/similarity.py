@@ -1101,6 +1101,115 @@ def kmeans_exact_assignments(
     return assigned.select(F.col(id_col), "cluster_id", "qv")
 
 
+def bm25_topk(
+    docs: DataFrame,
+    n_queries: int | None = None,
+    qterms: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over an inverted index — the sparse
+    counterpart to :func:`brute_force_topk`/:func:`lsh_topk`, extracted
+    from the q110 catalog query so metadata pipelines can chain it
+    (index -> retrieve -> rrf_fuse -> mmr_rerank).
+
+    The index is the postings frame (term, doc, tf): ONE shuffle of the
+    exploded token stream with map-side combine; document lengths and
+    document frequencies both REDUCE from the already-aggregated
+    postings (no second corpus scan).  Queries are either the distinct
+    terms of the lowest-``n_queries`` doc ids ("more like this") or an
+    explicit ``qterms`` (query_id, term) frame — exactly one must be
+    given.  The tiny query-term list broadcasts, so scoring touches only
+    matching postings rows; at 100 TB additionally stoplist df-heavy
+    terms before the join.  Lucene-style idf = ln(1 + (N-df+0.5)/
+    (df+0.5)) keeps scores non-negative at any df.  Scores are rounded
+    to ``round_to`` BEFORE the rank window (the q30 cross-engine
+    tie-break contract); ties break on neighbor id.
+    """
+    if (n_queries is None) == (qterms is None):
+        raise ValueError(
+            "bm25_topk: give exactly one of n_queries / qterms"
+        )
+    if top_k <= 0:
+        raise ValueError("bm25_topk: top_k must be positive")
+    if k1 < 0 or not (0.0 <= b <= 1.0):
+        raise ValueError("bm25_topk: need k1 >= 0 and 0 <= b <= 1")
+    from ominimo_dynamic_data_pipeline_spark.llm.text import tokens
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("_bm_doc"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("_bm_doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("_bm_doc").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if qterms is None:
+        q = tf.filter(F.col("_bm_doc") < n_queries).select(
+            F.col("_bm_doc").alias("query_id"), "term"
+        )
+    else:
+        missing = {"query_id", "term"} - set(qterms.columns)
+        if missing:
+            raise ValueError(
+                f"bm25_topk: qterms lacks columns {sorted(missing)}"
+            )
+        q = qterms.select("query_id", "term").distinct()
+    scored = (
+        tf.withColumnRenamed("_bm_doc", "neighbor_id")
+        .join(F.broadcast(q), "term")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(df_), "term")
+        .join(
+            dl.withColumnRenamed("_bm_doc", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(stats))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * F.col("tf")
+                    * (k1 + 1)
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (
+                            1
+                            - b
+                            + b
+                            * F.col("dl")
+                            / (F.col("sum_dl") * 1.0 / F.col("n_docs"))
+                        )
+                    )
+                ),
+                round_to,
+            ).alias("bm25")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "bm25", "rank")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k0: int = 60,

@@ -1733,6 +1733,154 @@ def _op_snapshot_diff(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     )
 
 
+@register_operator("bm25_topk")
+def _op_bm25_topk(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Okapi BM25 top-k retrieval (the q110 operator: inverted index ->
+    idf/tf scoring -> per-query rank window; llm/similarity.py
+    bm25_topk).  Params: ``input`` documents frame; exactly one of
+    ``n_queries`` (more-like-this over the lowest doc ids) or
+    ``qterms`` (frame name carrying query_id/term); optional ``id_col``
+    ``text_col`` ``k1`` ``b`` ``top_k`` ``round_to``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import bm25_topk
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    qterms_name = params.get("qterms")
+    ctx.put(
+        out_name,
+        bm25_topk(
+            ctx.get(in_name),
+            n_queries=params.get("n_queries"),
+            qterms=ctx.get(qterms_name) if qterms_name else None,
+            id_col=params.get("id_col", "doc_id"),
+            text_col=params.get("text_col", "text"),
+            k1=float(params.get("k1", 1.2)),
+            b=float(params.get("b", 0.75)),
+            top_k=int(params.get("top_k", 10)),
+            round_to=int(params.get("round_to", 4)),
+        ),
+    )
+
+
+@register_operator("brute_force_topk")
+def _op_brute_force_topk(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Exact cosine top-k neighbors (the q29 operator; llm/similarity.py
+    brute_force_topk — broadcast queries x corpus scan, per-query rank
+    window).  Params: ``input`` corpus frame; ``queries`` frame name
+    carrying (query_id, <vec_col>) — required; optional ``k`` ``id_col``
+    ``vec_col`` ``round_to``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        brute_force_topk,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    if not params.get("queries"):
+        raise ValueError("brute_force_topk requires params ['queries']")
+    ctx.put(
+        out_name,
+        brute_force_topk(
+            ctx.get(in_name),
+            ctx.get(params["queries"]),
+            k=int(params.get("k", 5)),
+            id_col=params.get("id_col", "vec_id"),
+            vec_col=params.get("vec_col", "embedding"),
+            round_to=params.get("round_to"),
+        ),
+    )
+
+
+@register_operator("lsh_topk")
+def _op_lsh_topk(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Approximate LSH-bucketed cosine top-k (the q30 operator;
+    llm/similarity.py lsh_topk — hyperplane signatures bound candidates,
+    exact cosine re-ranks).  Params: ``input`` corpus frame; ``queries``
+    frame name and ``dim`` — required; optional ``k`` ``num_planes``
+    ``num_tables`` ``max_bucket_size`` ``id_col`` ``vec_col``
+    ``round_to``."""
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import lsh_topk
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    missing = [p for p in ("queries", "dim") if not params.get(p)]
+    if missing:
+        raise ValueError(f"lsh_topk requires params {missing}")
+    ctx.put(
+        out_name,
+        lsh_topk(
+            ctx.get(in_name),
+            ctx.get(params["queries"]),
+            dim=int(params["dim"]),
+            k=int(params.get("k", 5)),
+            id_col=params.get("id_col", "vec_id"),
+            vec_col=params.get("vec_col", "embedding"),
+            num_planes=int(params.get("num_planes", 6)),
+            num_tables=int(params.get("num_tables", 1)),
+            max_bucket_size=params.get("max_bucket_size"),
+            round_to=params.get("round_to"),
+        ),
+    )
+
+
+@register_operator("rrf_fuse")
+def _op_rrf_fuse(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Reciprocal-rank fusion of N retrieval runs (the q155 operator;
+    llm/similarity.py rrf_fuse — exact integer nano-unit contributions).
+    Params: ``inputs`` non-empty list of ranking frame names (each
+    carrying query/id/rank columns); optional ``k0`` ``query_col``
+    ``id_col`` ``rank_col``; ``output`` defaults to the step name."""
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import rrf_fuse
+
+    params = step.get("params", {})
+    out_name = params.get("output", step["name"])
+    inputs = params.get("inputs")
+    if not isinstance(inputs, (list, tuple)) or not inputs:
+        raise ValueError(
+            f"rrf_fuse: inputs must be a non-empty list of frame names, "
+            f"got {inputs!r}"
+        )
+    ctx.put(
+        out_name,
+        rrf_fuse(
+            [ctx.get(n) for n in inputs],
+            k0=int(params.get("k0", 60)),
+            query_col=params.get("query_col", "query_id"),
+            id_col=params.get("id_col", "neighbor_id"),
+            rank_col=params.get("rank_col", "rank"),
+        ),
+    )
+
+
+@register_operator("mmr_rerank")
+def _op_mmr_rerank(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Maximal-Marginal-Relevance diversification of a retrieval run (the
+    q160 operator; llm/similarity.py mmr_rerank — greedy applyInPandas
+    kernel per query pool).  Params: ``input`` candidates frame
+    (query_id/neighbor_id/rel); ``vectors`` frame name — required;
+    optional ``k`` ``lambda`` ``id_col`` ``vec_col`` ``rel_col``
+    ``sim_round_to`` (set for the cross-engine-reproducible quantized
+    trace q160 uses)."""
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import mmr_rerank
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    if not params.get("vectors"):
+        raise ValueError("mmr_rerank requires params ['vectors']")
+    ctx.put(
+        out_name,
+        mmr_rerank(
+            ctx.get(in_name),
+            ctx.get(params["vectors"]),
+            k=int(params.get("k", 5)),
+            lambda_=float(params.get("lambda", 0.7)),
+            id_col=params.get("id_col", "vec_id"),
+            vec_col=params.get("vec_col", "embedding"),
+            rel_col=params.get("rel_col", "rel"),
+            sim_round_to=params.get("sim_round_to"),
+        ),
+    )
+
+
 def apply_transformations(
     ctx: CompileContext, dataflow: Mapping[str, Any]
 ) -> dict[str, DataFrame]:

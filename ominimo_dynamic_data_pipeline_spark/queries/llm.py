@@ -2404,63 +2404,9 @@ _Q110_NQ, _Q110_TOP = 3, 10
     """,
 )
 def q110_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    qterms = tf.filter(F.col("doc_id") < _Q110_NQ).select(
-        F.col("doc_id").alias("query_id"), "term"
-    )
-    scored = (
-        tf.withColumnRenamed("doc_id", "neighbor_id")
-        .join(F.broadcast(qterms), "term")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(df), "term")
-        .join(dl.withColumnRenamed("doc_id", "neighbor_id"), "neighbor_id")
-        .join(F.broadcast(stats))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.sum(
-                    F.log(
-                        F.lit(1.0)
-                        + (F.col("n_docs") - F.col("df") + 0.5)
-                        / (F.col("df") + 0.5)
-                    )
-                    * F.col("tf")
-                    * (_Q110_K1 + 1)
-                    / (
-                        F.col("tf")
-                        + _Q110_K1
-                        * (
-                            1
-                            - _Q110_B
-                            + _Q110_B
-                            * F.col("dl")
-                            / (F.col("sum_dl") * 1.0 / F.col("n_docs"))
-                        )
-                    )
-                ),
-                4,
-            ).alias("bm25")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("bm25"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _Q110_TOP)
-        .select("query_id", "neighbor_id", "bm25", "rank")
+    return S.bm25_topk(
+        d, n_queries=_Q110_NQ, k1=_Q110_K1, b=_Q110_B, top_k=_Q110_TOP
     )
 
 

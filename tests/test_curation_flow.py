@@ -1462,3 +1462,91 @@ def test_time_decay_validation(spark):
         )
     with pytest.raises(ValueError, match="0 < lower < upper <= 1"):
         winsorized_stats(ev, "user_id", "value", lower=0.9, upper=0.5)
+
+
+def test_retrieval_eval_flow_matches_catalog(spark):
+    """The shipped retrieval-eval dataflow (bm25_topk -> brute_force_topk
+    -> rrf_fuse -> mmr_rerank, the round-6 verdict's metadata-reachable
+    retrieval chain) compiles from metadata and reproduces the catalog:
+    `fused` equals q155 row for row and `reranked` equals q160 run over
+    the fused candidates; eval_metrics counts 5 picks per query."""
+    import json
+    from pathlib import Path
+
+    sf = "/root/testdata/sf0.01"
+    if not Path(sf).is_dir():
+        pytest.skip("sf0.01 testdata missing")
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import mmr_rerank
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        q155_hybrid_rrf_retrieval,
+    )
+
+    meta = json.loads(
+        (Path(__file__).parent.parent / "examples" / "retrieval_eval.json")
+        .read_text()
+    )
+    flow = select_dataflow(meta, "retrieval-eval")
+    compiled = compile_dataflow(spark, flow)
+    run_dataflow(compiled, write=False)
+
+    fused = {
+        (r["query_id"], r["neighbor_id"], r["rrf_score"], r["fused_rank"])
+        for r in compiled.frames["fused"].collect()
+    }
+    want_fused = {
+        (r["query_id"], r["neighbor_id"], r["rrf_score"], r["fused_rank"])
+        for r in q155_hybrid_rrf_retrieval(spark, sf).collect()
+    }
+    assert fused == want_fused and len(fused) > 0
+
+    got_rerank = {
+        (r["query_id"], r["neighbor_id"], r["mmr_score"], r["mmr_rank"])
+        for r in compiled.frames["reranked"].collect()
+    }
+    vectors = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cand = compiled.frames["candidates"]
+    want_rerank = {
+        (r["query_id"], r["neighbor_id"], r["mmr_score"], r["mmr_rank"])
+        for r in mmr_rerank(
+            cand, vectors, k=5, lambda_=0.7, sim_round_to=4
+        ).collect()
+    }
+    assert got_rerank == want_rerank
+    metrics = {
+        r["query_id"]: (r["picked"], r["in_dense_topk"])
+        for r in compiled.frames["eval_metrics"].collect()
+    }
+    assert set(metrics) == {0, 1, 2}
+    assert all(p == 5 and 0 <= hit <= 5 for p, hit in metrics.values())
+
+
+def test_retrieval_steps_validate_params(spark):
+    """The round-7 retrieval registry steps fail fast on bad params."""
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        OPERATORS,
+        CompileContext,
+    )
+
+    ctx = CompileContext(spark=spark, register_views=False)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id bigint, text string"
+    )
+    ctx.put("docs", docs)
+    with pytest.raises(ValueError, match="exactly one of n_queries"):
+        OPERATORS["bm25_topk"](
+            ctx, {"name": "s", "params": {"input": "docs"}}
+        )
+    with pytest.raises(ValueError, match="requires params \\['queries'\\]"):
+        OPERATORS["brute_force_topk"](
+            ctx, {"name": "s", "params": {"input": "docs"}}
+        )
+    with pytest.raises(ValueError, match="requires params \\['queries', 'dim'\\]"):
+        OPERATORS["lsh_topk"](
+            ctx, {"name": "s", "params": {"input": "docs"}}
+        )
+    with pytest.raises(ValueError, match="non-empty list"):
+        OPERATORS["rrf_fuse"](ctx, {"name": "s", "params": {"inputs": []}})
+    with pytest.raises(ValueError, match="requires params \\['vectors'\\]"):
+        OPERATORS["mmr_rerank"](
+            ctx, {"name": "s", "params": {"input": "docs"}}
+        )
