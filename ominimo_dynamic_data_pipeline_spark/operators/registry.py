@@ -1379,7 +1379,11 @@ def _op_window_funnel(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     operator; operators/features.py window_funnel).  Params:
     ``user_col``, ``ts_col``, ``type_col``, ``steps`` (>= 2 distinct
     strings) — all required; ``horizon_days`` (default 7, > 0) or
-    ``horizon_us``."""
+    ``horizon_us``.  This batch step is also the reprocessing path for
+    the streaming twin (streaming/ops.stateful_funnel, q201), whose
+    bounded per-user state is exact across micro-batches only under
+    in-order per-key arrival — replay through this step when events may
+    arrive out of order across batches."""
     from ominimo_dynamic_data_pipeline_spark.operators.features import (
         window_funnel,
     )
