@@ -866,6 +866,12 @@ def q139_overlapping_order_spans(
             F.min(F.col("o_orderdate").cast("date")).alias("start_d"),
             F.max(F.col("l_shipdate").cast("date")).alias("end_d"),
         )
+        # BOTH sides of the self-join consume this aggregation; Catalyst
+        # does not reliably reuse the exchange across the binned
+        # overlap-join's two differently-projected sides, so without a
+        # checkpoint the 180M-row lineitem⋈orders build runs TWICE (the
+        # q108 loop-invariant pattern; sf30 soak measured 231 s -> ~100 s)
+        .localCheckpoint()
     )
     pairs = interval_overlap_join(
         spans,

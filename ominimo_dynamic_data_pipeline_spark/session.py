@@ -98,6 +98,27 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.driver.memory"] = f"{_driver_memory_gb()}g"
+    # Scale knob (the "cluster deployments override via spark-submit"
+    # escape hatch, usable without spark-submit): the 32-partition local
+    # default right-sizes the miniature bench, but a single 180M-row
+    # shuffle across 32 partitions spills and GC-thrashes (sf30 soak:
+    # q139 went superlinear at 32, linear again at 128).  AQE coalesces
+    # DOWN from the initial value, never up — so the initial width is
+    # the scale lever.
+    env_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env_shuffle:
+        conf["spark.sql.shuffle.partitions"] = env_shuffle
+    # State-store scale knob: the default HDFSBackedStateStore keeps all
+    # streaming state on the JVM heap — session-window state carrying
+    # transcript-sized strings OOMed the 24g heap at sf30 (q151).
+    # RocksDB keeps state off-heap/on-disk, the 100 TB deployment
+    # posture; opt in per run because it adds per-batch overhead the
+    # miniature bench doesn't need.
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

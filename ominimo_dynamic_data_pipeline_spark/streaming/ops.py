@@ -21,6 +21,7 @@ sharded horizontally, the watermark keeps it O(active window) not O(data).
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Any, Callable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -426,8 +427,19 @@ def run_to_completion(
     output_mode: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> DataFrame:
-    """Drive a stream with availableNow into an in-memory table and return
-    the result as a DataFrame (test/verification harness).
+    """Drive a stream with availableNow into a parquet scratch sink and
+    return the result as a DataFrame (test/verification harness).
+
+    The sink is foreachBatch -> executor-written parquet, NOT the memory
+    sink: memory-sink rows serialize through the driver, so a row-level
+    stream (dedup, transcripts) hits spark.driver.maxResultSize the
+    moment the data outgrows the driver — the sf30 soak measured q141
+    dying at ~1 GiB of task results.  foreachBatch keeps the 100 TB
+    shape (results land in storage, the driver only coordinates) while
+    preserving memory-sink semantics per mode: append appends each
+    batch, complete overwrites with the latest full result, update
+    appends the changed rows (consumers keep the last emit per key,
+    same as they did with the memory sink).
 
     ``output_mode`` defaults per plan shape: ``complete`` for streaming
     aggregations (append would hold every window open until the watermark
@@ -478,11 +490,26 @@ def run_to_completion(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+
+    import shutil
+    import tempfile
+
+    scratch = (
+        Path(tempfile.gettempdir()) / "spark_graft_streams" / query_name
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    data_dir = str(scratch / "data")
+    batch_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(batch_mode).parquet(data_dir)
+
     try:
         q = (
-            stream_df.writeStream.format("memory")
+            stream_df.writeStream.foreachBatch(_sink)
             .queryName(query_name)
             .outputMode(output_mode)
+            .option("checkpointLocation", str(scratch / "checkpoint"))
             .trigger(availableNow=True)
             .start()
         )
@@ -515,7 +542,13 @@ def run_to_completion(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(query_name)
+    has_files = Path(data_dir).is_dir() and any(
+        Path(data_dir).glob("*.parquet")
+    )
+    if not has_files:
+        # zero rows emitted — no files to infer a schema from
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.read.parquet(data_dir)
 
 
 USER_TOTALS_OUTPUT = (
