@@ -51,7 +51,9 @@ CORRECTNESS_WINDOW = [
     # q195 in the lead block), similarity q30/q160/q163, multimodal
     # q31/q32, streaming q101/q130, curation q132/q164, scale_infra
     # q60/q150, sql_front_end q89.  Queries outside the window stay
-    # hash-gated by tests/test_oracle_parity.py every pytest run.
+    # hash-gated by tests/test_oracle_parity.py every pytest run —
+    # including q202 (RocksDB streaming totals), which landed after this
+    # rotation was driver-sampled (the q164 precedent).
     "q176_dup_cluster_sizes",
     "q177_cohort_conversion_latency",
     "q178_vocab_coverage",

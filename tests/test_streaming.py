@@ -599,3 +599,43 @@ def test_transcript_truncation_and_order(spark):
     assert r["transcript"] == "t0 t1 t2"  # ts order, first 3 only
     with pytest.raises(ValueError, match="max_turns must be positive"):
         ops.session_transcripts(df, max_turns=0)
+
+
+def test_rocksdb_state_store_path_and_conf_restore(spark, sf_dir):
+    """q202 (tenth streaming path): stateful totals through the RocksDB
+    state-store provider match the one-shot batch aggregate, the stream
+    REALLY ran on RocksDB (provider-specific custom metrics in the
+    last progress), and run_to_completion restores the session's
+    provider conf afterwards."""
+    from ominimo_dynamic_data_pipeline_spark.queries.windows_batch import (
+        q202_streaming_totals_rocksdb_e2e,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    got = {
+        r["user_id"]: (r["n_events"], r["value_sum"])
+        for r in q202_streaming_totals_rocksdb_e2e(spark, sf_dir).collect()
+    }
+    assert spark.conf.get(key, None) == before, "provider conf leaked"
+
+    # the finished stream reports RocksDB-specific custom state metrics
+    # (heap-backed stores report none) — proof the provider switch took
+    from ominimo_dynamic_data_pipeline_spark.streaming import ops
+    stats = ops.LAST_RUN_STATS.get("q202_totals_rocksdb_sink")
+    assert stats and stats["input_rows"] > 0
+    assert stats["rocksdb_state"] is True
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    want = {
+        r["user_id"]: (r["n_events"], r["value_sum"])
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for u, (n, v) in want.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - v) < 1e-6
