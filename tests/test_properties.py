@@ -1423,3 +1423,35 @@ def test_symspell_d1_matches_quadratic_reference(spark, words):
         if lev_reference(a, b) <= 1
     }
     assert got == expected, (ws, sorted(got), sorted(expected))
+
+
+def test_countmin_bucket_matches_independent_int64_model():
+    """Property: functions/sketches.py replicates Java's 64-bit wrapping
+    hash (h = a*x; h += h >> 32 arithmetic; h &= 2^31-1; % width) —
+    checked against an independent numpy int64 model over random
+    (hashA, item) pairs including the extremes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ominimo_dynamic_data_pipeline_spark.functions.sketches import (
+        CountMinSketch,
+    )
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=i64, item=i64, width=st.integers(min_value=1, max_value=10_000))
+    def check(a, item, width):
+        sk = CountMinSketch(
+            total_count=0, depth=1, width=width,
+            hash_a=(a,), table=((0,) * width,),
+        )
+        with np.errstate(over="ignore"):
+            h = np.int64(a) * np.int64(item)
+            h = h + (h >> np.int64(32))
+            h = h & np.int64((1 << 31) - 1)
+            want = int(h) % width
+        assert sk._bucket(item, 0) == want
+
+    check()
