@@ -1,14 +1,16 @@
-"""Deterministic sf10 -> sf30 upscaler for the HEAVY-TAIL soak only.
+"""Deterministic sf10 -> sf30 upscaler for the HEAVY-TAIL soak.
 
 Round-6 verdict item #6: every scale claim extrapolates from sf10
 (~7.3 GB); one more 3x step on the heaviest queries either confirms the
-shapes or finds the wall before a cluster does.  This generates JUST the
-tables those six queries read — lineitem + orders (q139 interval overlap,
-q199 Hamilton allocation, and q108 PageRank / q112 triangles via the
-co-purchase pair expansion) and events (q141 / q151 streaming state-store
-paths) — as 3 disjoint-key copies of sf10 with the block stride widened
-10x again (sf10 keys occupy [0, 10 * K_sf1); copies land in disjoint
-[i * 10 * K_sf1, ...) blocks).  ~180M lineitem rows, ~4 GB.
+shapes or finds the wall before a cluster does.  This generates the
+tables the heavy-tail queries read — lineitem + orders (q139 interval
+overlap, q199 Hamilton allocation, q108 PageRank / q112 triangles / q97
+co-purchase via the pair expansion), events (q141 / q151 streaming
+state-store paths), and documents + embeddings (q146 containment, q191
+cluster canonicals, q37 token stats, q197 principal share) — as 3
+disjoint-key copies of sf10 with the block stride widened 10x again
+(sf10 keys occupy [0, 10 * K_sf1); copies land in disjoint
+[i * 10 * K_sf1, ...) blocks).  ~180M lineitem rows, ~6 GB total.
 
 Output: /root/repo/testdata_sf30/*.parquet.  Deterministic — safe to
 rerun (overwrites).
@@ -31,6 +33,12 @@ K_CUST = 100_000_000
 K_PART = 100_000_000
 K_SUPP = 10_000_000
 K_EVENT = 1_000_000_000
+K_DOC = 10_000_000
+K_VEC = 10_000_000
+
+# sf10's per-copy re-suffix used '~' || i — reuse a distinct marker per
+# sf30 copy so no n-grams cross copies at this decade either.
+TEXT_I = r"regexp_replace(text, '(\s+)', '^' || i || '\1', 'g') || '^' || i"
 
 TABLES: dict[str, str] = {
     "orders": f"""
@@ -51,6 +59,23 @@ TABLES: dict[str, str] = {
         SELECT event_id + i * {K_EVENT} AS event_id, ts,
                user_id + i * {K_CUST} AS user_id,
                event_type, value, props
+        FROM src, range({COPIES}) t(i)
+    """,
+    "documents": f"""
+        SELECT doc_id + i * {K_DOC} AS doc_id,
+               CASE WHEN i = 0 THEN text ELSE {TEXT_I} END AS text,
+               lang, source,
+               length(CASE WHEN i = 0 THEN text ELSE {TEXT_I} END)
+                   AS n_chars
+        FROM src, range({COPIES}) t(i)
+    """,
+    "embeddings": f"""
+        SELECT vec_id + i * {K_VEC} AS vec_id,
+               CASE WHEN i = 0 THEN embedding ELSE
+                   CAST([embedding[k] + 0.05 * sin(vec_id * 19 + i * 11 + k)
+                         for k in range(1, len(embedding) + 1)] AS FLOAT[])
+               END AS embedding,
+               label
         FROM src, range({COPIES}) t(i)
     """,
 }
