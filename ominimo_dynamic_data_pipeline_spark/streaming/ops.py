@@ -433,6 +433,7 @@ def run_to_completion(
     output_mode: str | None = None,
     shuffle_partitions: int | None = None,
     state_store: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Drive a stream with availableNow into a parquet scratch sink and
     return the result as a DataFrame (test/verification harness).
@@ -467,6 +468,15 @@ def run_to_completion(
     join at 8).  Size it to expected STATE volume: at 100 TB you raise
     it, and you must keep it constant across restarts of the same
     checkpoint.  Results are partition-count independent.
+
+    ``resume=True`` keeps the previous run's checkpoint + data for this
+    ``query_name`` instead of clearing them, so a re-run against a
+    source that gained files processes ONLY the new offsets (Spark's
+    file-source offset log) and appends their results — the
+    incremental-ingest deployment shape: at 100 TB you resume offsets,
+    never reprocess the lake.  Requires the same plan, provider, and
+    state partitioning as the original run (Spark's checkpoint
+    contract); with ``resume=False`` (default) every run starts clean.
 
     ``state_store`` selects the state-store provider for THIS stream
     (``"rocksdb"`` or a provider class name; set + restored around the
@@ -521,7 +531,8 @@ def run_to_completion(
     scratch = (
         Path(tempfile.gettempdir()) / "spark_graft_streams" / query_name
     )
-    shutil.rmtree(scratch, ignore_errors=True)
+    if not resume:
+        shutil.rmtree(scratch, ignore_errors=True)
     data_dir = str(scratch / "data")
     batch_mode = "overwrite" if output_mode == "complete" else "append"
 

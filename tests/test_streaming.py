@@ -639,3 +639,63 @@ def test_rocksdb_state_store_path_and_conf_restore(spark, sf_dir):
     for u, (n, v) in want.items():
         assert got[u][0] == n
         assert abs(got[u][1] - v) < 1e-6
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Incremental-ingest e2e (the 100 TB resume story): a second
+    run_to_completion over the same checkpoint processes ONLY the files
+    that arrived since the first run (Spark file-source offset log),
+    restores the per-key state, and the appended sink's latest emits
+    equal the one-shot batch aggregate over everything."""
+    import shutil
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+    part1 = events.filter(F.col("event_id") % 2 == 0)
+    part2 = events.filter(F.col("event_id") % 2 == 1)
+    src_dir = str(tmp_path / "incoming")
+    part1.write.mode("overwrite").parquet(src_dir)
+    # drop Spark's _SUCCESS etc. noise is fine; readStream globs *.parquet
+    schema = spark.read.parquet(src_dir).schema
+
+    def stream():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src_dir)
+        )
+        return ops.stateful_user_totals(raw)
+
+    name = "resume_totals_sink"
+    shutil.rmtree(f"/tmp/spark_graft_streams/{name}", ignore_errors=True)
+    ops.run_to_completion(stream(), name, output_mode="update")
+    n1 = ops.LAST_RUN_STATS[name]["input_rows"]
+    assert n1 == part1.count()
+
+    # new files land; resume from the same checkpoint
+    part2.write.mode("append").parquet(src_dir)
+    out = ops.run_to_completion(
+        stream(), name, output_mode="update", resume=True
+    )
+    n2 = ops.LAST_RUN_STATS[name]["input_rows"]
+    assert n2 == part2.count(), "resume reprocessed old offsets"
+
+    final = out.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "value_sum"), "batches").alias("s")
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["value_sum"], 2))
+        for r in final.select(
+            "user_id", "s.n_events", "s.value_sum"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["v"], 2))
+        for r in spark.read.parquet(src_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u, (n, v) in want.items():
+        assert got[u][0] == n, u
+        assert abs(got[u][1] - v) < 1e-6, u
