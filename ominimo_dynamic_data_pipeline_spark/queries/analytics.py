@@ -1292,10 +1292,15 @@ def q112_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    # top-K first (TakeOrderedAndProject: per-partition K-row heaps, no
+    # full sort), THEN rank the K survivors — the per-part count table
+    # grows with |parts|, so the old rank-everything-then-filter window
+    # single-tasked unbounded input; this window sorts exactly K rows
     w = Window.orderBy(F.desc("n_triangles"), F.asc("part"))
     return (
-        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _Q112_TOP)
+        counted.orderBy(F.desc("n_triangles"), F.asc("part"))
+        .limit(_Q112_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("part", "n_triangles", "rank")
     )
 
@@ -1370,10 +1375,14 @@ def q114_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint"),
     )
+    # the prefix-sum window above is CALENDAR-bounded (one row per day —
+    # a century is ~36.5k rows, whatever the data volume); the top-K is
+    # limit-first so the rank window sorts exactly K rows
     w = Window.orderBy(F.desc("open_orders"), F.asc("d"))
     return (
-        running.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _Q114_TOP)
+        running.orderBy(F.desc("open_orders"), F.asc("d"))
+        .limit(_Q114_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("d", "open_orders", "rank")
     )
 
@@ -1668,8 +1677,6 @@ _Q122_EPS, _Q122_CONF, _Q122_SEED, _Q122_TOP = 0.005, 0.99, 42, 5
     """,
 )
 def q122_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events").select("user_id")
     agg = e.agg(
         F.count_min_sketch("user_id", _Q122_EPS, _Q122_CONF, _Q122_SEED).alias(
@@ -1684,12 +1691,17 @@ def q122_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _Q122_TOP verified ids, and the point of the query is the
     # driver-checked CM error contract.
     cms = CountMinSketch.from_bytes(bytes(agg["sk"]))
-    w = Window.orderBy(F.desc("exact_n"), F.asc("user_id"))
+    # exact top-K via orderBy().limit() — TakeOrderedAndProject keeps a
+    # K-row heap per partition and merges on the driver, vs the previous
+    # unpartitioned row_number() window that sorted the FULL per-user
+    # count table in one task (the round-7 verdict's q122 finding).
+    # collect() on the sorted-limited frame preserves order, so rank is
+    # the enumeration index.
     top = (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("exact_n"))
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _Q122_TOP)
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(_Q122_TOP)
         .collect()
     )
     bound = _Q122_EPS * agg["n"]
@@ -1697,10 +1709,10 @@ def q122_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             r["user_id"],
             r["exact_n"],
-            r["rank"],
+            rank,
             r["exact_n"] <= cms.estimate(int(r["user_id"])) <= r["exact_n"] + bound,
         )
-        for r in top
+        for rank, r in enumerate(top, start=1)
     ]
     return spark.createDataFrame(
         rows, schema="user_id bigint, exact_n bigint, rank bigint, within_eps boolean"
@@ -1970,13 +1982,17 @@ def q162_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    ranked = counts.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.col("c").asc(), F.col("source").asc()))
-        .cast("bigint")
-        .alias("i"),
+    # Gini needs EVERY source's rank (not a top-K), so use the two-phase
+    # distributed rank — |sources| is a census today, but nothing in the
+    # formula requires funnelling it through one window task
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import (
+        distributed_row_number,
     )
+
+    ranked_full, _ = distributed_row_number(
+        counts, [F.asc("c"), F.asc("source")], rn_col="i"
+    )
+    ranked = ranked_full.select("c", "i")
     n = F.count(F.lit(1))
     total = F.sum("c")
     return ranked.agg(

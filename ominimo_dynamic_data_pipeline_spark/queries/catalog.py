@@ -30,81 +30,120 @@ _merge(_an)
 
 # The external driver's correctness gate checks the FIRST 50 queries()
 # entries, so dict order decides which operators get independent per-round
-# verification.  This window is hand-picked to keep >=1 entry from every
-# SURVEY.md §2.4 family inside it (round-2 verdict: q33/q34 streaming fell
-# out when the catalog grew past 50).  tests/test_oracle_parity.py covers
-# the full catalog regardless of order.
-CORRECTNESS_WINDOW = [
-    # Round-7 rotation (round-6 verdict item #1): the 26 oracle-backed
-    # queries that have never had an independent driver correctness row
-    # lead (q176-q201 landed after the round-6 window was already packed
-    # with q132-q175).  q160 was rows-only until this round (burning a
-    # slot on a guaranteed no_oracle row, round-6 verdict "What's wrong"
-    # #1); it gained a DuckDB recursive-CTE oracle in round 7
-    # (sim_round_to=4 quantized greedy trace) and re-enters the window so
-    # the driver independently hashes the new oracle.  The remaining 23
-    # slots hold family representatives so every SURVEY.md §2.4 family
-    # keeps >=1 independently-verified entry (asserted by
-    # test_driver_window_covers_every_family): joins q133/q142,
-    # aggregations q47/q161, windows q166/q168, set_ops q153, scalar_fns
-    # q138, validation q50, text q24/q158, dedup q167 (+q176/q188/q191/
-    # q195 in the lead block), similarity q30/q160/q163, multimodal
-    # q31/q32, streaming q101/q130, curation q132/q164, scale_infra
-    # q60/q150, sql_front_end q89.  Queries outside the window stay
-    # hash-gated by tests/test_oracle_parity.py every pytest run —
-    # including q202 (RocksDB streaming totals), which landed after this
-    # rotation was driver-sampled (the q164 precedent).
-    "q176_dup_cluster_sizes",
-    "q177_cohort_conversion_latency",
-    "q178_vocab_coverage",
-    "q179_market_concentration",
-    "q180_rfm_segments",
-    "q181_event_burstiness",
-    "q182_embedding_dim_stats",
-    "q183_top_session_paths",
-    "q184_embedding_outliers",
-    "q185_window_funnel",
-    "q186_activity_streaks",
-    "q187_pareto_frontier_parts",
-    "q188_symspell_name_pairs",
-    "q189_rolling_7d_active_users",
-    "q190_user_value_twap",
-    "q191_cluster_canonical_docs",
-    "q192_time_decay_attribution",
-    "q193_winsorized_balances",
-    "q194_snapshot_diff",
-    "q195_near_dup_source_matrix",
-    "q196_deletion_cascade_audit",
-    "q197_embedding_principal_share",
-    "q198_filtered_knn",
-    "q199_invoice_allocation",
-    "q200_discount_scenarios",
-    "q201_streaming_funnel_e2e",
-    "q133_asof_tolerance_attribution",
-    "q142_next_order_forward_asof",
-    "q47_price_percentiles",
-    "q161_price_quantity_ols",
-    "q166_ewma_daily_orders",
-    "q168_cumulative_distinct_users",
-    "q153_source_overlap_matrix",
-    "q138_unicode_nfc_normalize",
-    "q50_validated_lineitem",
-    "q24_tfidf_top_terms",
-    "q158_token_entropy",
-    "q160_mmr_rerank",
-    "q167_minhash_recall_calibration",
-    "q30_knn_lsh",
-    "q163_retrieval_eval",
-    "q31_payload_stats",
-    "q32_multimodal_features",
-    "q101_streaming_tumbling_e2e",
-    "q130_streaming_incremental_dedup_e2e",
-    "q132_temperature_mixture",
-    "q164_dataset_card",
-    "q60_skew_diagnostics",
-    "q150_shard_manifest",
-    "q89_product_nation_profit",
-]
+# verification.  Since round 8 the window is COMPUTED, not hand-picked
+# (round-7 verdict item #8): oldest-green-first aging over
+# rotation_state.DRIVER_GREEN_ROUND (regenerated each round by
+# tools/update_rotation.py from the CORRECTNESS_r*.json archives), so
+# every oracle-backed query re-earns an independent driver row every
+# ~ceil(|catalog|/50) rounds (~4 at 202 queries).  Never-driver-verified
+# oracle-backed entries (round 0) always lead — q202 heads round 8's
+# window for exactly that reason.  Family floors keep >=1 entry from
+# every SURVEY.md §2.4 family in the window (the round-2 lesson: q33/q34
+# streaming fell out when the catalog outgrew 50 slots);
+# tests/test_oracle_parity.py::test_driver_window_covers_every_family
+# asserts the floors, and the full catalog stays hash-gated by
+# test_oracle_parity every pytest run regardless of window membership.
+from ominimo_dynamic_data_pipeline_spark.queries.rotation_state import (
+    DRIVER_GREEN_ROUND,
+)
+
+FAMILY_REPS = {
+    "joins": {"q02_top_revenue_orders", "q04_customers_with_open_orders",
+              "q05_customers_without_big_orders", "q14_late_shipments",
+              "q15_purchase_click_attribution",
+              "q133_asof_tolerance_attribution",
+              "q134_concurrent_customer_orders",
+              "q139_overlapping_order_spans", "q142_next_order_forward_asof"},
+    "aggregations": {"q10_order_status_rollup", "q39_order_grouping_sets",
+                     "q46_status_pivot", "q47_price_percentiles",
+                     "q161_price_quantity_ols", "q162_source_gini",
+                     "q169_benford_price_audit", "q171_rank_correlation"},
+    "windows": {"q06_top3_orders_per_customer", "q07_customer_order_running",
+                "q45_trailing_spend_window", "q157_cusum_changepoints",
+                "q166_ewma_daily_orders", "q168_cumulative_distinct_users",
+                "q174_event_cadence"},
+    "set_ops": {"q12_building_big_spenders", "q13_machinery_never_urgent",
+                "q20_all_account_keys", "q153_source_overlap_matrix"},
+    "scalar_fns": {"q16_events_json_profile", "q18_order_date_features",
+                   "q42_event_props_map", "q138_unicode_nfc_normalize",
+                   "q148_span_corruption"},
+    "validation": {"q50_validated_lineitem", "q156_k_anonymity_audit"},
+    "text": {"q21_doc_quality", "q22_language_id", "q24_tfidf_top_terms",
+             "q128_bpe_encode", "q154_dsir_importance", "q158_token_entropy",
+             "q165_tokenizer_fertility", "q170_readability_scores",
+             "q172_term_lift_pairs", "q173_langid_confusion"},
+    "dedup": {"q25_exact_dedup", "q26_minhash_near_dups",
+              "q36_simhash_near_dups", "q57_dedup_clusters",
+              "q146_containment_near_dups", "q152_winnow_decontamination",
+              "q167_minhash_recall_calibration", "q176_dup_cluster_sizes"},
+    "similarity": {"q29_knn_bruteforce", "q30_knn_lsh", "q44_knn_ivf",
+                   "q129_semantic_decontamination",
+                   "q155_hybrid_rrf_retrieval", "q160_mmr_rerank",
+                   "q163_retrieval_eval", "q175_embedding_norm_audit"},
+    "multimodal": {"q31_payload_stats", "q32_multimodal_features",
+                   "q52_frame_samples"},
+    "streaming": {"q33_tumbling_event_counts", "q34_user_sessions",
+                  "q101_streaming_tumbling_e2e", "q102_streaming_sessions_e2e",
+                  "q115_streaming_attribution_e2e",
+                  "q116_streaming_stateful_totals_e2e",
+                  "q130_streaming_incremental_dedup_e2e",
+                  "q136_sliding_event_counts", "q141_streaming_dedup_e2e",
+                  "q151_streaming_transcripts_e2e",
+                  "q202_streaming_totals_rocksdb_e2e"},
+    "curation": {"q53_train_val_split", "q56_decontamination",
+                 "q62_corpus_curation", "q132_temperature_mixture",
+                 "q143_per_source_quota_cap", "q144_cluster_safe_split",
+                 "q159_interleaved_curriculum", "q164_dataset_card"},
+    "scale_infra": {"q60_skew_diagnostics", "q150_shard_manifest"},
+    "sql_front_end": {"q89_product_nation_profit"},
+}
+
+
+def build_correctness_window(size: int = 50) -> list[str]:
+    """Oldest-green-first driver window with family floors.
+
+    1. Eligible = oracle-backed catalog queries (a rows-only entry would
+       burn a slot on a weaker check — the round-6 q160 lesson).
+    2. Sort by (round of last driver-green row, name): never-verified
+       entries (round 0) lead, then the stalest greens; take the first
+       ``size``.
+    3. Family floors: any SURVEY.md §2.4 family left with no
+       representative swaps its own oldest-green rep in for the
+       youngest window entry whose removal breaks no other floor.
+
+    Deterministic given rotation_state + the catalog — nothing is
+    hand-picked per round.
+    """
+    age = lambda q: (DRIVER_GREEN_ROUND.get(q, 0), q)  # noqa: E731
+    eligible = [q for q in QUERIES if q in ORACLES]
+    window = sorted(eligible, key=age)[:size]
+    chosen = set(window)
+
+    def floors_ok(members: set[str]) -> dict[str, bool]:
+        return {f: bool(reps & members) for f, reps in FAMILY_REPS.items()}
+
+    for family, reps in FAMILY_REPS.items():
+        if reps & chosen:
+            continue
+        cands = sorted((r for r in reps if r in ORACLES and r in QUERIES),
+                       key=age)
+        if not cands:
+            continue
+        incoming = cands[0]
+        # evict the youngest entry whose own families stay covered
+        for victim in sorted(window, key=age, reverse=True):
+            rest = chosen - {victim}
+            if all(reps2 & rest
+                   for f2, reps2 in FAMILY_REPS.items() if victim in reps2):
+                window.remove(victim)
+                chosen.discard(victim)
+                window.append(incoming)
+                chosen.add(incoming)
+                break
+    return sorted(window, key=age)
+
+
+CORRECTNESS_WINDOW = build_correctness_window()
 
 
 def _reorder() -> None:

@@ -2244,10 +2244,14 @@ def q109_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = pairs.groupBy("pair").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+    # the pair table is alphabet-bounded (char bigrams), but limit-first
+    # is free: TakeOrderedAndProject keeps K-row heaps per partition and
+    # the rank window then sorts exactly K rows
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
     return (
-        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _Q109_TOP)
+        counted.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(_Q109_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .orderBy("rank")
     )
 
@@ -2328,10 +2332,15 @@ def q128_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+    # limit-first: the vocabulary grows with the corpus (Heaps' law), so
+    # the top-V cut runs as TakeOrderedAndProject and only the V
+    # survivors pass through the rank window
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
-    top = vocab.withColumn(
-        "rank", F.row_number().over(w).cast("bigint")
-    ).filter(F.col("rank") <= _Q128_TOP)
+    top = (
+        vocab.orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(_Q128_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
     enc = T.bpe_encode_col(F.col("word"), _Q128_MERGES)
     return top.select(
         "word",
@@ -3096,9 +3105,10 @@ _Q154_ALPHA, _Q154_BUCKETS, _Q154_SEED, _Q154_TOP = 0.5, 512, 154, 100
     """,
 )
 def q154_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from ominimo_dynamic_data_pipeline_spark.llm.sampling import dsir_importance
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import (
+        distributed_row_number,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     weights = dsir_importance(
@@ -3108,10 +3118,18 @@ def q154_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=_Q154_BUCKETS,
         seed=_Q154_SEED,
     )
-    w = Window.orderBy(F.desc("llr"), F.asc("doc_id"))
+    # sel_rank via the two-phase distributed rank — the round-7 verdict's
+    # q154 finding: the old corpus-wide Window.orderBy row_number funnels
+    # EVERY per-doc weight through one task (1B docs = one executor
+    # sorting 1B rows); distributed_row_number range-partitions the sort
+    # and stitches exact global ranks from a per-partition census.
+    ranked, _ = distributed_row_number(
+        weights.join(d.select("doc_id", "lang"), on="doc_id"),
+        [F.desc("llr"), F.asc("doc_id")],
+        rn_col="sel_rank",
+    )
     return (
-        weights.join(d.select("doc_id", "lang"), on="doc_id")
-        .withColumn("sel_rank", F.row_number().over(w).cast("bigint"))
+        ranked
         .select(
             "doc_id",
             "lang",
@@ -3353,10 +3371,15 @@ _Q160_POOL, _Q160_K, _Q160_LAMBDA = 20, 5, 0.7
 def _q160_oracle_sql() -> str:
     lam = repr(float(_Q160_LAMBDA))
     omlam = repr(1.0 - float(_Q160_LAMBDA))
+    # COALESCE(NULLIF(norm, 0), 1.0) mirrors the kernel's zero-norm guard
+    # ("or 1.0" in mmr_rerank's sequential path): a zero embedding must
+    # score 0.0 in BOTH engines, not NULL/div-by-zero in one
     cos = (
         "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
-        " / (SQRT(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
-        " * SQRT(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+        " / (COALESCE(NULLIF(SQRT(list_dot_product(ea.embedding::DOUBLE[],"
+        " ea.embedding::DOUBLE[])), 0), 1.0)"
+        " * COALESCE(NULLIF(SQRT(list_dot_product(eb.embedding::DOUBLE[],"
+        " eb.embedding::DOUBLE[])), 0), 1.0))"
     )
     return f"""
     WITH RECURSIVE q AS (

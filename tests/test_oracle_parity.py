@@ -49,7 +49,13 @@ def duck():
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_oracle_parity(name: str, spark, duck) -> None:
-    sdf = QUERIES[name](spark, ORACLE_SF_DIR).toPandas()
+    from tests.test_plans import assert_no_unbounded_global_window
+
+    df = QUERIES[name](spark, ORACLE_SF_DIR)
+    # suite-wide scale gate (round-7 verdict #1): no catalog query may
+    # plan an unpartitioned WindowExec over unbounded input
+    assert_no_unbounded_global_window(name, df)
+    sdf = df.toPandas()
     if name not in ORACLES:
         # Rows-only by design; quality floors live in test_llm.py.
         assert len(sdf) > 0, f"{name}: rows-only query returned no rows"
@@ -89,57 +95,12 @@ def test_every_oracle_has_a_query() -> None:
 
 # One representative per SURVEY.md §2.4 family; the driver's external
 # correctness gate only sees the first 50 queries() entries, so every
-# family must keep at least one member inside that window.
-_FAMILY_REPS = {
-    "joins": {"q02_top_revenue_orders", "q04_customers_with_open_orders",
-              "q05_customers_without_big_orders", "q14_late_shipments",
-              "q15_purchase_click_attribution",
-              # round-5/6 join operators (as-of / interval joins)
-              "q133_asof_tolerance_attribution",
-              "q134_concurrent_customer_orders",
-              "q139_overlapping_order_spans", "q142_next_order_forward_asof"},
-    "aggregations": {"q10_order_status_rollup", "q39_order_grouping_sets",
-                     "q46_status_pivot", "q47_price_percentiles",
-                     "q161_price_quantity_ols", "q162_source_gini",
-                     "q169_benford_price_audit", "q171_rank_correlation"},
-    "windows": {"q06_top3_orders_per_customer", "q07_customer_order_running",
-                "q45_trailing_spend_window", "q157_cusum_changepoints",
-                "q166_ewma_daily_orders", "q168_cumulative_distinct_users",
-                "q174_event_cadence"},
-    "set_ops": {"q12_building_big_spenders", "q13_machinery_never_urgent",
-                "q20_all_account_keys", "q153_source_overlap_matrix"},
-    "scalar_fns": {"q16_events_json_profile", "q18_order_date_features",
-                   "q42_event_props_map", "q138_unicode_nfc_normalize",
-                   "q148_span_corruption"},
-    "validation": {"q50_validated_lineitem", "q156_k_anonymity_audit"},
-    "text": {"q21_doc_quality", "q22_language_id", "q24_tfidf_top_terms",
-             "q128_bpe_encode", "q154_dsir_importance", "q158_token_entropy",
-             "q165_tokenizer_fertility", "q170_readability_scores",
-             "q172_term_lift_pairs", "q173_langid_confusion"},
-    "dedup": {"q25_exact_dedup", "q26_minhash_near_dups",
-              "q36_simhash_near_dups", "q57_dedup_clusters",
-              "q146_containment_near_dups", "q152_winnow_decontamination",
-              "q167_minhash_recall_calibration", "q176_dup_cluster_sizes"},
-    "similarity": {"q29_knn_bruteforce", "q30_knn_lsh", "q44_knn_ivf",
-                   "q129_semantic_decontamination",
-                   "q155_hybrid_rrf_retrieval", "q160_mmr_rerank",
-                   "q163_retrieval_eval", "q175_embedding_norm_audit"},
-    "multimodal": {"q31_payload_stats", "q32_multimodal_features",
-                   "q52_frame_samples"},
-    "streaming": {"q33_tumbling_event_counts", "q34_user_sessions",
-                  "q101_streaming_tumbling_e2e", "q102_streaming_sessions_e2e",
-                  "q115_streaming_attribution_e2e",
-                  "q116_streaming_stateful_totals_e2e",
-                  "q130_streaming_incremental_dedup_e2e",
-                  "q136_sliding_event_counts", "q141_streaming_dedup_e2e",
-                  "q151_streaming_transcripts_e2e"},
-    "curation": {"q53_train_val_split", "q56_decontamination",
-                 "q62_corpus_curation", "q132_temperature_mixture",
-                 "q143_per_source_quota_cap", "q144_cluster_safe_split",
-                 "q159_interleaved_curriculum", "q164_dataset_card"},
-    "scale_infra": {"q60_skew_diagnostics", "q150_shard_manifest"},
-    "sql_front_end": {"q89_product_nation_profit"},
-}
+# family must keep at least one member inside that window.  The map now
+# lives in queries/catalog.py (single source of truth — the rotation
+# builder enforces these floors when computing the window).
+from ominimo_dynamic_data_pipeline_spark.queries.catalog import (  # noqa: E402
+    FAMILY_REPS as _FAMILY_REPS,
+)
 
 
 def test_driver_window_covers_every_family() -> None:
@@ -166,3 +127,33 @@ def test_hugeint_lint_premise_still_holds(duck) -> None:
     assert any(
         "HUGEINT" in str(t).upper() for t in desc["column_type"]
     ), "DuckDB no longer emits HUGEINT for count_if — retire the lint"
+
+
+def test_rotation_window_policy() -> None:
+    """The driver window is COMPUTED (oldest-green-first + family floors),
+    not hand-picked: never-driver-verified oracle-backed entries lead,
+    ages are non-decreasing apart from family-floor swaps, and the
+    builder is deterministic."""
+    from ominimo_dynamic_data_pipeline_spark.queries.catalog import (
+        CORRECTNESS_WINDOW,
+        build_correctness_window,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.rotation_state import (
+        DRIVER_GREEN_ROUND,
+    )
+
+    assert build_correctness_window() == CORRECTNESS_WINDOW  # deterministic
+    assert len(CORRECTNESS_WINDOW) == 50
+    assert list(QUERIES)[:50] == CORRECTNESS_WINDOW
+    # every never-verified oracle-backed query is in the window
+    never = {
+        q
+        for q in QUERIES
+        if q in ORACLES and DRIVER_GREEN_ROUND.get(q, 0) == 0
+    }
+    assert never <= set(CORRECTNESS_WINDOW), (
+        f"never-driver-verified queries left out: "
+        f"{sorted(never - set(CORRECTNESS_WINDOW))}"
+    )
+    # no rows-only entry burns a slot on a weaker check
+    assert all(q in ORACLES for q in CORRECTNESS_WINDOW)

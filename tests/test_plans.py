@@ -445,16 +445,41 @@ def test_q145_q146_no_cartesian_and_no_python(q):
         assert "Python" not in p and "ArrowEval" not in p, name
 
 
-def test_q154_dsir_ratio_table_broadcasts(q):
+def test_q154_dsir_ratio_table_broadcasts(spark, sf_dir, q):
     """DSIR's feature->ratio table (bounded at num_buckets rows by
     construction) must BroadcastHashJoin back onto the per-doc tf
     stream, and the only nested-loop is the one-row totals attach —
-    text never re-shuffles for the ratio join."""
-    p = plan_of(q("q154_dsir_importance"), "simple")
+    text never re-shuffles for the ratio join.  The catalog query's
+    final sel_rank stage sits behind distributed_row_number's
+    localCheckpoint (the plan truncates to a Scan ExistingRDD +
+    MapInPandas), so the operator frame is pinned directly."""
+    from ominimo_dynamic_data_pipeline_spark.llm.sampling import (
+        dsir_importance,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.llm import (
+        _Q154_ALPHA,
+        _Q154_BUCKETS,
+        _Q154_SEED,
+    )
+    from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = dsir_importance(
+        d,
+        target=F.col("lang") == "en",
+        alpha=_Q154_ALPHA,
+        num_buckets=_Q154_BUCKETS,
+        seed=_Q154_SEED,
+    )
+    p = plan_of(weights, "simple")
     assert "BroadcastHashJoin" in p
     assert p.count("BroadcastNestedLoopJoin") <= 1  # one-row totals only
     assert "Cartesian" not in p
     assert "Python" not in p and "ArrowEval" not in p
+    # and the catalog query's rank stage: Arrow MapInPandas, zero Window
+    pq = plan_of(q("q154_dsir_importance"), "simple")
+    assert "MapInPandas" in pq
+    assert "Window" not in pq
 
 
 def test_q156_k_anonymity_is_one_aggregate(q):
@@ -704,3 +729,104 @@ def test_q200_scenarios_single_scan(q):
     assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Generate" in p
     assert p.count("Exchange (") == 1
+
+
+# --------------------------------------------------------------------------
+# Suite-wide global-window gate (round-7 verdict item #1): an unpartitioned
+# WindowExec sorts its ENTIRE input in one task — the exact shape
+# operators/joins.py warns about for empty-`by` asof joins — so no catalog
+# query may ship one over unbounded input.  test_oracle_parity calls
+# assert_no_unbounded_global_window() on every catalog query's plan each
+# run; the whitelist below is the full set of justified exceptions.
+# --------------------------------------------------------------------------
+
+# name -> "limit" (the window's input is a limit(K) slice; the plan must
+# show the TakeOrderedAndProject/GlobalLimit that bounds it) or "census"
+# (the input is a bounded census frame by construction).
+GLOBAL_WINDOW_WHITELIST = {
+    # rank window over the top-K slice of an alphabet-bounded pair table
+    "q109_bpe_merge_candidates": "limit",
+    # rank window over the top-K slice of the per-part triangle counts
+    "q112_triangle_parts": "limit",
+    # day-granularity prefix sum (calendar-bounded: a century is ~36.5k
+    # rows) + rank window over the top-K slice
+    "q114_peak_open_orders": "limit",
+    # rank window over the top-V slice of the vocabulary
+    "q128_bpe_encode": "limit",
+    # group-index window over the DISTINCT group list (a bounded census,
+    # same posture as temperature_mixture_sample)
+    "q159_interleaved_curriculum": "census",
+    # rank window over the limit(max_k) vocab slice
+    "q178_vocab_coverage": "limit",
+}
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    groups, depth, cur, started = [], 0, "", False
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                started, cur = True, ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and started:
+                groups.append(cur)
+                started = False
+                continue
+        if started:
+            cur += ch
+    return groups
+
+
+def unpartitioned_window_lines(plan: str) -> list[str]:
+    """Physical-plan lines carrying a GLOBAL (unpartitioned, ordered)
+    Window.  A Window node renders ``Window [exprs], [partitionSpec],
+    [orderSpec]`` with empty specs omitted: 3 groups = partitioned; 2
+    groups = either partition-only (2nd group has no sort direction —
+    fine, per-key) or order-only (2nd group has ASC/DESC — global)."""
+    import re
+
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|[\s\-+*():\d])Window (\[.*)$", line)
+        if not m:
+            continue
+        groups = _top_level_bracket_groups(m.group(1))
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
+            out.append(line.strip())
+    return out
+
+
+def assert_no_unbounded_global_window(name: str, df) -> None:
+    plan = plan_of(df, "simple")
+    offenders = unpartitioned_window_lines(plan)
+    kind = GLOBAL_WINDOW_WHITELIST.get(name)
+    if not offenders:
+        return
+    assert kind is not None, (
+        f"{name}: unpartitioned Window over potentially unbounded input "
+        f"(single-task sort at scale) — rewrite via orderBy().limit(), "
+        f"distributed_row_number/distributed_ntile, or whitelist with a "
+        f"boundedness justification:\n" + "\n".join(offenders)
+    )
+    if kind == "limit":
+        assert (
+            "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+        ), (
+            f"{name}: whitelisted as limit-bounded but no "
+            f"TakeOrderedAndProject/GlobalLimit in the plan"
+        )
+
+
+def test_fixed_global_windows_stay_fixed(q):
+    # the three round-7 findings must never regrow a WindowExec at all
+    for name in (
+        "q154_dsir_importance",
+        "q180_rfm_segments",
+        "q122_countmin_heavy_hitters",
+        "q162_source_gini",
+    ):
+        p = plan_of(q(name))
+        assert not unpartitioned_window_lines(p), name
