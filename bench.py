@@ -41,7 +41,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="bench")
+    # auto-posture: shuffle width + state-store provider derive from the
+    # dataset's on-disk size (session.auto_shuffle_partitions /
+    # auto_state_store — the measured sf10/sf30 walls); env knobs still win
+    from ominimo_dynamic_data_pipeline_spark.session import (
+        estimate_input_bytes,
+    )
+
+    spark = get_spark(
+        app_name="bench", input_bytes=estimate_input_bytes(sf_dir)
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     only = {

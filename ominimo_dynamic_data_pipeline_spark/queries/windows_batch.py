@@ -162,6 +162,7 @@ def q101_streaming_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream_ops.run_to_completion(
         agg, "q101_streaming_tumbling_sink",
         shuffle_partitions=stream_ops.sized_state_partitions(spark, sf_dir),
+        input_bytes=stream_ops.dataset_bytes(sf_dir),
     )
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -188,6 +189,7 @@ def q102_streaming_sessions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream_ops.run_to_completion(
         agg, "q102_streaming_sessions_sink",
         shuffle_partitions=stream_ops.sized_state_partitions(spark, sf_dir),
+        input_bytes=stream_ops.dataset_bytes(sf_dir),
     )
     return out.select(
         "user_id",
@@ -262,7 +264,12 @@ def q116_streaming_stateful_totals_e2e(
     # parallelism — keep the session's full width (8 partitions measured
     # 17.7 s vs 4.8 s at 32 on sf1)
     out = stream_ops.run_to_completion(
-        totals, "q116_stateful_totals_sink", output_mode="update"
+        totals,
+        "q116_stateful_totals_sink",
+        output_mode="update",
+        # auto-posture: heap store below the measured 8 GB crossover,
+        # RocksDB above (q116 was the crossover's measurement subject)
+        input_bytes=stream_ops.dataset_bytes(sf_dir),
     )
     final = out.groupBy("user_id").agg(
         F.max_by(F.struct("n_events", "value_sum"), "batches").alias("s")
@@ -312,6 +319,7 @@ def q130_streaming_incremental_dedup_e2e(
         shuffle_partitions=stream_ops.sized_state_partitions(
             spark, sf_dir, table="documents.parquet"
         ),
+        input_bytes=stream_ops.dataset_bytes(sf_dir, table="documents.parquet"),
     )
 
 
@@ -352,6 +360,7 @@ def q131_streaming_enrichment_e2e(
         agg,
         "q131_streaming_enrichment_sink",
         shuffle_partitions=stream_ops.sized_state_partitions(spark, sf_dir),
+        input_bytes=stream_ops.dataset_bytes(sf_dir),
     )
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -391,6 +400,7 @@ def q141_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh,
         "q141_streaming_dedup_sink",
         shuffle_partitions=stream_ops.sized_state_partitions(spark, sf_dir),
+        input_bytes=stream_ops.dataset_bytes(sf_dir),
     )
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -480,6 +490,7 @@ def q151_streaming_transcripts_e2e(
     out = stream_ops.run_to_completion(
         agg, "q151_streaming_transcripts_sink",
         shuffle_partitions=stream_ops.sized_state_partitions(spark, sf_dir),
+        input_bytes=stream_ops.dataset_bytes(sf_dir),
     )
     return out.select(
         "user_id",
@@ -947,7 +958,10 @@ def q201_streaming_funnel_e2e(
     src = stream_ops.read_events_stream(spark, sf_dir)
     pu = stream_ops.stateful_funnel(src, horizon_us=_Q185_HORIZON_US)
     out = stream_ops.run_to_completion(
-        pu, "q201_streaming_funnel_sink", output_mode="update"
+        pu,
+        "q201_streaming_funnel_sink",
+        output_mode="update",
+        input_bytes=stream_ops.dataset_bytes(sf_dir),
     )
     final = out.groupBy("user_id").agg(
         F.max_by(

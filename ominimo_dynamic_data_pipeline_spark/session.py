@@ -69,6 +69,58 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+def estimate_input_bytes(*paths: str) -> int:
+    """Total on-disk bytes of the given files/dataset directories (data
+    files only — `_SUCCESS`/dotfiles skipped).  The input-size estimate
+    the auto-posture rules key on."""
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+        elif os.path.isfile(p):
+            total += os.path.getsize(p)
+    return total
+
+
+# Measured walls behind the auto-posture rules (BENCH_sf30.json, round-7
+# soak, one consistent config at each scale):
+#   * 32 shuffle partitions spill + GC-thrash on a 180M-row shuffle
+#     (~12 GB input, sf30): q139 went superlinear at 32, linear at 128.
+#     AQE coalesces DOWN from the initial value, never up — the initial
+#     width is the lever, and an over-wide initial value is near-free.
+#   * heap state store beats RocksDB at sf10 (~4 GB: q116 16.0 s vs
+#     22.0 s) but OOMs session-window state at sf30 (~12 GB), where
+#     RocksDB wins (60.0 s vs 68.1 s).  Crossover encoded at 8 GB.
+AUTO_SHUFFLE_TARGET_BYTES = 96 << 20  # ~96 MB of input per partition
+AUTO_SHUFFLE_FLOOR = 32
+AUTO_SHUFFLE_CAP = 4096
+AUTO_ROCKSDB_THRESHOLD_BYTES = 8 << 30
+
+
+def auto_shuffle_partitions(input_bytes: int) -> int:
+    """Initial shuffle width from estimated input bytes: one partition
+    per ~96 MB, floored at the local default (32) and capped at 4096.
+    Reproduces the measured posture points: ~4 GB (sf10) -> 42 (AQE
+    coalesces the excess), ~12 GB (sf30) -> 128 — the width that fixed
+    the q139/q199 soak walls without hand-set env vars."""
+    return max(
+        AUTO_SHUFFLE_FLOOR,
+        min(AUTO_SHUFFLE_CAP, -(-input_bytes // AUTO_SHUFFLE_TARGET_BYTES)),
+    )
+
+
+def auto_state_store(input_bytes: int) -> str | None:
+    """State-store provider from estimated input bytes: ``"rocksdb"`` at
+    or above the measured 8 GB crossover (heap faster below, heap OOM
+    risk above), else ``None`` (keep the default heap provider)."""
+    return "rocksdb" if input_bytes >= AUTO_ROCKSDB_THRESHOLD_BYTES else None
+
+
 def _driver_memory_gb() -> int:
     """24g target (768 MB per local thread on the 32-core harness),
     clamped to half of physical RAM and floored at 4g, so hosts smaller
@@ -86,11 +138,19 @@ def get_spark(
     app_name: str = "ominimo-dynamic-data-pipeline-spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    input_bytes: int | None = None,
 ) -> SparkSession:
     """Build (or reuse) the configured SparkSession.
 
     ``master`` defaults to ``local[N]`` where N comes from
     ``$SPARK_GRAFT_CPUS`` (driver contract) or all cores.
+
+    ``input_bytes`` (e.g. ``estimate_input_bytes(sf_dir)``) enables
+    auto-posture: shuffle width from :func:`auto_shuffle_partitions` and
+    the state-store provider from :func:`auto_state_store`, both derived
+    from the measured sf10/sf30 walls.  Explicit env knobs
+    (``SPARK_GRAFT_SHUFFLE_PARTITIONS``, ``SPARK_GRAFT_STATE_STORE``)
+    always win over the auto choice.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
@@ -108,13 +168,20 @@ def get_spark(
     env_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if env_shuffle:
         conf["spark.sql.shuffle.partitions"] = env_shuffle
+    elif input_bytes is not None:
+        conf["spark.sql.shuffle.partitions"] = str(
+            auto_shuffle_partitions(input_bytes)
+        )
     # State-store scale knob: the default HDFSBackedStateStore keeps all
     # streaming state on the JVM heap — session-window state carrying
     # transcript-sized strings OOMed the 24g heap at sf30 (q151).
     # RocksDB keeps state off-heap/on-disk, the 100 TB deployment
     # posture; opt in per run because it adds per-batch overhead the
     # miniature bench doesn't need.
-    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+    env_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+    if not env_store and input_bytes is not None:
+        env_store = auto_state_store(input_bytes) or ""
+    if env_store == "rocksdb":
         conf["spark.sql.streaming.stateStore.providerClass"] = (
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider"

@@ -395,22 +395,28 @@ def sized_state_partitions(
         # e.g. "auto" under some AQE configs — fall back to the floor so
         # a miniature stream never explodes its state-store count.
         cap = floor
+    size = dataset_bytes(sf_dir, table)
+    # cap wins over floor: a session constrained below the floor must
+    # never be exceeded
+    return min(cap, max(floor, int(size // target_bytes)))
+
+
+def dataset_bytes(sf_dir: str, table: str = "events.parquet") -> int:
+    """On-disk bytes of one source table (file or directory-style parquet
+    dataset; getsize on a directory dirent returns ~4 KB and would
+    silently collapse sizing, so data files are summed).  Shared by
+    state-partition sizing and the auto state-store choice."""
+    import os
+
     path = os.path.join(sf_dir, table)
     if os.path.isdir(path):
-        # Directory-style parquet dataset: getsize on the dirent returns
-        # ~4 KB and would silently collapse sizing to the floor. Sum the
-        # data files instead.
-        size = sum(
+        return sum(
             os.path.getsize(os.path.join(root, f))
             for root, _, files in os.walk(path)
             for f in files
             if not f.startswith(("_", "."))
         )
-    else:
-        size = os.path.getsize(path)
-    # cap wins over floor: a session constrained below the floor must
-    # never be exceeded
-    return min(cap, max(floor, int(size // target_bytes)))
+    return os.path.getsize(path) if os.path.isfile(path) else 0
 
 
 # Per-run micro-batch accounting, keyed by query_name: bench.py reads this
@@ -434,6 +440,8 @@ def run_to_completion(
     shuffle_partitions: int | None = None,
     state_store: str | None = None,
     resume: bool = False,
+    scratch_dir: str | None = None,
+    input_bytes: int | None = None,
 ) -> DataFrame:
     """Drive a stream with availableNow into a parquet scratch sink and
     return the result as a DataFrame (test/verification harness).
@@ -478,6 +486,21 @@ def run_to_completion(
     state partitioning as the original run (Spark's checkpoint
     contract); with ``resume=False`` (default) every run starts clean.
 
+    ``scratch_dir`` overrides the checkpoint+data root.  The default is
+    keyed by the Spark application id AND ``query_name``, so two
+    concurrent processes (a bench run alongside pytest, parallel test
+    sessions) using the same query name can never rmtree/write/read
+    each other's scratch.  Consequence: default-path ``resume=True``
+    works within one session (same app id); to resume across PROCESSES
+    pass an explicit stable ``scratch_dir``.
+
+    Replay safety: append/update batches land in a ``batch-<id>``
+    subdirectory written with mode=overwrite, so the standard
+    foreachBatch at-least-once replay (batch job committed, streaming
+    offset commit lost, crash, resume) REWRITES the same directory
+    instead of appending duplicate rows; complete mode overwrites the
+    whole data dir every batch and is idempotent by construction.
+
     ``state_store`` selects the state-store provider for THIS stream
     (``"rocksdb"`` or a provider class name; set + restored around the
     run like ``shuffle_partitions``).  The default heap-backed store
@@ -486,6 +509,12 @@ def run_to_completion(
     RocksDB keeps state off-heap/on-disk, the 100 TB posture.  A
     stream's provider is fixed at first start and must stay constant
     across restarts of the same checkpoint.
+
+    ``input_bytes`` (e.g. ``dataset_bytes(sf_dir)``) enables the
+    AUTO provider choice when ``state_store`` is None: rocksdb at/above
+    the measured 8 GB crossover (session.auto_state_store — heap is
+    faster below, OOM-prone above), else the session default.  An
+    explicit ``state_store`` always wins.
 
     NOT re-entrant when ``shuffle_partitions`` or ``state_store`` is
     set: the override mutates session-global conf around the stream
@@ -513,6 +542,12 @@ def run_to_completion(
         else:
             output_mode = "append"
     spark = stream_df.sparkSession
+    if state_store is None and input_bytes is not None:
+        from ominimo_dynamic_data_pipeline_spark.session import (
+            auto_state_store,
+        )
+
+        state_store = auto_state_store(input_bytes)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -528,16 +563,35 @@ def run_to_completion(
     import shutil
     import tempfile
 
-    scratch = (
-        Path(tempfile.gettempdir()) / "spark_graft_streams" / query_name
-    )
+    if scratch_dir is not None:
+        scratch = Path(scratch_dir)
+    else:
+        try:
+            app_id = spark.sparkContext.applicationId
+        except Exception:  # Spark Connect: no sparkContext on the client
+            app_id = "shared"
+        scratch = (
+            Path(tempfile.gettempdir())
+            / "spark_graft_streams"
+            / app_id
+            / query_name
+        )
     if not resume:
         shutil.rmtree(scratch, ignore_errors=True)
     data_dir = str(scratch / "data")
-    batch_mode = "overwrite" if output_mode == "complete" else "append"
+    complete_mode = output_mode == "complete"
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode(batch_mode).parquet(data_dir)
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if complete_mode:
+            # latest full result wins — replay overwrites, idempotent
+            batch_df.write.mode("overwrite").parquet(data_dir)
+        else:
+            # append/update: one overwritten directory per batch id, so a
+            # replayed batch (job committed, offset commit lost) rewrites
+            # its own directory instead of appending duplicates
+            batch_df.write.mode("overwrite").parquet(
+                f"{data_dir}/batch-{batch_id:09d}"
+            )
 
     try:
         q = (
@@ -594,12 +648,14 @@ def run_to_completion(
             else:
                 spark.conf.set(provider_key, prev_provider)
     has_files = Path(data_dir).is_dir() and any(
-        Path(data_dir).glob("*.parquet")
+        Path(data_dir).rglob("*.parquet")
     )
     if not has_files:
         # zero rows emitted — no files to infer a schema from
         return spark.createDataFrame([], stream_df.schema)
-    return spark.read.parquet(data_dir)
+    # recursiveFileLookup reads both layouts (flat complete-mode dir and
+    # per-batch subdirs) without treating batch-NNN as a partition column
+    return spark.read.option("recursiveFileLookup", "true").parquet(data_dir)
 
 
 USER_TOTALS_OUTPUT = (

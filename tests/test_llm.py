@@ -2119,3 +2119,68 @@ def test_interleave_order_null_group_sorts_last(spark):
     assert out[0]["interleave_pos"] == 0
     assert out[2]["interleave_pos"] == 1
     assert out[1]["interleave_pos"] == 2
+
+
+def test_multimodal_injected_codec_hooks(docs):
+    """The codec boundary is a pluggable extension point (round-7 verdict
+    item #5): a user-supplied decode/resize/frame callable replaces the
+    built-in stub end to end, and the distributed result equals the same
+    codec applied locally — golden parity for the injection path."""
+    import hashlib as _hl
+
+    def my_decode(data: bytes):
+        d = _hl.sha256(data).digest()
+        return 1 + d[0], 1 + d[1], [round(b / 255.0, 6) for b in d[2:10]]
+
+    def my_resize(data: bytes, w: int, h: int) -> bytes:
+        return (_hl.sha256(data).digest() * (w * h // 32 + 1))[: w * h]
+
+    def my_frames(data: bytes, n: int):
+        return [_hl.sha256(data + bytes([i])).digest() for i in range(n)]
+
+    with_payload = M.attach_payload(docs)
+    local = {
+        r["doc_id"]: bytes(r["payload"]) for r in with_payload.collect()
+    }
+
+    feats = {
+        r["doc_id"]: r
+        for r in M.extract_features(with_payload, decode_fn=my_decode).collect()
+    }
+    assert set(feats) == set(local)
+    for doc_id, data in local.items():
+        w, h, fv = my_decode(data)
+        row = feats[doc_id]
+        assert (row["width"], row["height"]) == (w, h)
+        assert [round(float(x), 6) for x in row["features"]] == fv
+
+    resized = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in M.resize_payloads(
+            with_payload, 6, 4, resize_fn=my_resize
+        ).collect()
+    }
+    for doc_id, data in local.items():
+        assert resized[doc_id] == my_resize(data, 6, 4)
+        assert len(resized[doc_id]) == 24
+
+    frames = M.sample_frames(
+        with_payload, n_frames=2, frame_fn=my_frames
+    ).collect()
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame_payload"]) for r in frames}
+    assert len(got) == 2 * len(local)
+    for doc_id, data in local.items():
+        want = my_frames(data, 2)
+        assert got[(doc_id, 0)] == want[0]
+        assert got[(doc_id, 1)] == want[1]
+
+
+def test_multimodal_stub_error_points_at_hook():
+    import pytest as _pt
+
+    if M._pil_image() is not None:
+        _pt.skip("Pillow present: the real decode path takes over")
+    with _pt.raises(NotImplementedError, match="decode_fn"):
+        M.decode_image(b"xx", fake=False)
+    with _pt.raises(NotImplementedError, match="resize_fn"):
+        M.resize_image_bytes(b"xx", 3, 2, fake=False)

@@ -1,0 +1,67 @@
+"""Auto-posture rules (round-7 verdict item #3): shuffle width and
+state-store provider derive from estimated input bytes, pinned at the
+MEASURED boundaries from the sf10/sf30 soak (BENCH_sf30.json) so the
+encoded defaults can never drift from their evidence."""
+
+from __future__ import annotations
+
+from ominimo_dynamic_data_pipeline_spark.session import (
+    AUTO_ROCKSDB_THRESHOLD_BYTES,
+    auto_shuffle_partitions,
+    auto_state_store,
+    estimate_input_bytes,
+)
+
+GB = 1 << 30
+
+
+def test_shuffle_width_floor_at_miniature_scale():
+    # sf0.1 (~40 MB) and sf1 (~400 MB) stay at the local 32 default —
+    # the measured-good width for the miniature bench
+    assert auto_shuffle_partitions(40 << 20) == 32
+    assert auto_shuffle_partitions(400 << 20) == 32
+
+
+def test_shuffle_width_at_measured_sf30_wall():
+    # sf30 (~12 GB): 32 spilled + GC-thrashed (q139 superlinear), 128 was
+    # linear — the rule must produce >= 128 there
+    assert auto_shuffle_partitions(12 * GB) == 128
+
+
+def test_shuffle_width_sf10_overwide_is_safe_not_narrow():
+    # sf10 (~4 GB) measured fine at 32; the rule may go wider (AQE
+    # coalesces down, never up) but must never go NARROWER than 32
+    assert 32 <= auto_shuffle_partitions(4 * GB) <= 64
+
+
+def test_shuffle_width_cap_and_monotonicity():
+    assert auto_shuffle_partitions(100_000 * GB) == 4096
+    prev = 0
+    for b in (0, 1 << 20, 1 * GB, 4 * GB, 12 * GB, 100 * GB, 10_000 * GB):
+        cur = auto_shuffle_partitions(b)
+        assert cur >= prev
+        prev = cur
+
+
+def test_state_store_crossover_pins_measured_points():
+    # measured: heap wins at sf10 (~4 GB: 16.0 vs 22.0 s), RocksDB wins
+    # at sf30 (~12 GB: 60.0 vs 68.1 s, and heap OOMed session state)
+    assert auto_state_store(4 * GB) is None
+    assert auto_state_store(12 * GB) == "rocksdb"
+    # boundary behavior is explicit, not accidental
+    assert auto_state_store(AUTO_ROCKSDB_THRESHOLD_BYTES - 1) is None
+    assert auto_state_store(AUTO_ROCKSDB_THRESHOLD_BYTES) == "rocksdb"
+
+
+def test_estimate_input_bytes_sums_data_files(tmp_path):
+    d = tmp_path / "ds"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * 100)
+    (d / "part-1.parquet").write_bytes(b"y" * 50)
+    (d / "_SUCCESS").write_bytes(b"")  # metadata files don't count
+    (d / ".hidden").write_bytes(b"z" * 999)
+    lone = tmp_path / "file.parquet"
+    lone.write_bytes(b"w" * 7)
+    assert estimate_input_bytes(str(d)) == 150
+    assert estimate_input_bytes(str(d), str(lone)) == 157
+    assert estimate_input_bytes(str(tmp_path / "missing")) == 0
