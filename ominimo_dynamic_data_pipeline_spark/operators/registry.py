@@ -227,11 +227,39 @@ def _op_dedup(ctx: CompileContext, step: Mapping[str, Any]) -> None:
     ctx.put(out_name, df.dropDuplicates(subset) if subset else df.distinct())
 
 
+def _sort_expr(s: str):
+    """Parse ``"expr [ASC|DESC] [NULLS FIRST|NULLS LAST]"`` into a sort
+    Column.  ``F.expr`` alone CANNOT carry sort order: Spark parses
+    ``"v DESC"`` as column ``v`` ALIASED ``DESC`` and sorts ascending
+    (verified on Spark 4.1) — a silent wrong-order bug this helper
+    closes for every registry step that takes sort expressions."""
+    t = s.strip()
+    up = t.upper()
+    nulls = None
+    for suffix in (" NULLS FIRST", " NULLS LAST"):
+        if up.endswith(suffix):
+            nulls = suffix.split()[-1]
+            t = t[: -len(suffix)].rstrip()
+            up = t.upper()
+            break
+    direction = "asc"
+    for suffix, d in ((" DESC", "desc"), (" ASC", "asc")):
+        if up.endswith(suffix):
+            direction = d
+            t = t[: -len(suffix)].rstrip()
+            break
+    col = F.expr(t)
+    method = direction if nulls is None else f"{direction}_nulls_{nulls.lower()}"
+    return getattr(col, method)()
+
+
 @register_operator("sort")
 def _op_sort(ctx: CompileContext, step: Mapping[str, Any]) -> None:
+    """Params: ``by`` — list of sort expressions, each optionally
+    suffixed with ASC/DESC and NULLS FIRST/LAST."""
     params = step.get("params", {})
     in_name, out_name = _io_names(step)
-    cols = [F.expr(c) for c in params.get("by", [])]
+    cols = [_sort_expr(c) for c in params.get("by", [])]
     ctx.put(out_name, ctx.get(in_name).orderBy(*cols))
 
 
@@ -1887,6 +1915,74 @@ def _op_mmr_rerank(ctx: CompileContext, step: Mapping[str, Any]) -> None:
             vec_col=params.get("vec_col", "embedding"),
             rel_col=params.get("rel_col", "rel"),
             sim_round_to=params.get("sim_round_to"),
+        ),
+    )
+
+
+@register_operator("distributed_row_number")
+def _op_distributed_row_number(
+    ctx: CompileContext, step: Mapping[str, Any]
+) -> None:
+    """Exact global row_number WITHOUT a single-partition window (the
+    two-phase rank behind q154/q162: range exchange + bounded census +
+    order-preserving Arrow pass; operators/scale.distributed_row_number).
+    Params: ``input``; ``order_by`` — non-empty list of SQL sort
+    expressions defining a TOTAL order (e.g. ["llr DESC", "doc_id"]);
+    optional ``rn_col`` (default "rn") ``num_partitions``."""
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import (
+        distributed_row_number,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    order_by = params.get("order_by") or []
+    if not isinstance(order_by, (list, tuple)) or not order_by:
+        raise ValueError(
+            "distributed_row_number requires params.order_by (non-empty "
+            "list of sort expressions defining a total order)"
+        )
+    n = params.get("num_partitions")
+    ranked, _total = distributed_row_number(
+        ctx.get(in_name),
+        [_sort_expr(c) for c in order_by],
+        rn_col=params.get("rn_col", "rn"),
+        num_partitions=int(n) if n is not None else None,
+    )
+    ctx.put(out_name, ranked)
+
+
+@register_operator("distributed_ntile")
+def _op_distributed_ntile(
+    ctx: CompileContext, step: Mapping[str, Any]
+) -> None:
+    """Exact NTILE over a total order without a single-partition window
+    (the q180 bucket machinery; operators/scale.distributed_ntile).
+    Params: ``input``; ``n_buckets`` int > 0; ``order_by`` — non-empty
+    list of SQL sort expressions defining a TOTAL order; optional
+    ``out_col`` (default "bucket") ``num_partitions``."""
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import (
+        distributed_ntile,
+    )
+
+    params = step.get("params", {})
+    in_name, out_name = _io_names(step)
+    order_by = params.get("order_by") or []
+    if not isinstance(order_by, (list, tuple)) or not order_by:
+        raise ValueError(
+            "distributed_ntile requires params.order_by (non-empty list "
+            "of sort expressions defining a total order)"
+        )
+    if "n_buckets" not in params:
+        raise ValueError("distributed_ntile requires params.n_buckets")
+    n = params.get("num_partitions")
+    ctx.put(
+        out_name,
+        distributed_ntile(
+            ctx.get(in_name),
+            int(params["n_buckets"]),
+            [_sort_expr(c) for c in order_by],
+            out_col=params.get("out_col", "bucket"),
+            num_partitions=int(n) if n is not None else None,
         ),
     )
 

@@ -93,45 +93,79 @@ def estimate_input_bytes(*paths: str) -> int:
 #     (~12 GB input, sf30): q139 went superlinear at 32, linear at 128.
 #     AQE coalesces DOWN from the initial value, never up — the initial
 #     width is the lever, and an over-wide initial value is near-free.
-#   * heap state store beats RocksDB at sf10 (~4 GB: q116 16.0 s vs
-#     22.0 s) but OOMs session-window state at sf30 (~12 GB), where
-#     RocksDB wins (60.0 s vs 68.1 s).  Crossover encoded at 8 GB.
-AUTO_SHUFFLE_TARGET_BYTES = 96 << 20  # ~96 MB of input per partition
+#   * the state-store crossover brackets the STREAMED SOURCE bytes, not
+#     the whole dataset: with the sf10 events table (120 MB) the heap
+#     store wins (q116 16.0 s vs q202-RocksDB 22.0 s — RocksDB pays
+#     fixed per-batch overhead); with the sf30 events table (359 MB,
+#     30M rows / ~9M state keys) RocksDB wins (60.0 s vs 68.1 s) and
+#     heap OOMed session-window state.  Crossover encoded at 256 MB of
+#     source, inside the measured [120, 359] MB bracket.
+#   * sf100 recalibration (round-8 soak): the first 96 MB/partition
+#     target was derived from sf30's whole-DIR bytes (12 GB / 128), but
+#     non-participating tables padded that denominator — the shuffle
+#     that mattered was lineitem alone (4.2 GB / 128 ≈ 33 MB, 1.4M
+#     rows/partition).  At sf100 (15.9 GB dir, ~all of it lineitem)
+#     96 MB/partition gave 159 partitions = 3.8M rows each and q199
+#     OOMed the 24g heap; 32 MB/partition reproduces the measured-good
+#     sf30 row density (~1.2M rows/partition) and is near-free when
+#     over-wide (AQE coalesces down).
+AUTO_SHUFFLE_TARGET_BYTES = 32 << 20  # ~32 MB of input per partition
 AUTO_SHUFFLE_FLOOR = 32
 AUTO_SHUFFLE_CAP = 4096
-AUTO_ROCKSDB_THRESHOLD_BYTES = 8 << 30
+AUTO_ROCKSDB_THRESHOLD_BYTES = 256 << 20
 
 
 def auto_shuffle_partitions(input_bytes: int) -> int:
     """Initial shuffle width from estimated input bytes: one partition
-    per ~96 MB, floored at the local default (32) and capped at 4096.
-    Reproduces the measured posture points: ~4 GB (sf10) -> 42 (AQE
-    coalesces the excess), ~12 GB (sf30) -> 128 — the width that fixed
-    the q139/q199 soak walls without hand-set env vars."""
+    per ~32 MB, floored at the local default (32) and capped at 4096.
+    Reproduces the measured-good ~1.2M-rows-per-partition density of
+    the sf30 posture (see the wall notes above): sf10 (~1.8 GB) -> 57,
+    sf30 (~12 GB) -> 375, sf100 (~16 GB, lineitem-dominated) -> 498 —
+    the density at which q199 stopped OOMing in the round-8 soak."""
     return max(
         AUTO_SHUFFLE_FLOOR,
         min(AUTO_SHUFFLE_CAP, -(-input_bytes // AUTO_SHUFFLE_TARGET_BYTES)),
     )
 
 
-def auto_state_store(input_bytes: int) -> str | None:
-    """State-store provider from estimated input bytes: ``"rocksdb"`` at
-    or above the measured 8 GB crossover (heap faster below, heap OOM
-    risk above), else ``None`` (keep the default heap provider)."""
-    return "rocksdb" if input_bytes >= AUTO_ROCKSDB_THRESHOLD_BYTES else None
+def auto_state_store(source_bytes: int) -> str | None:
+    """State-store provider from the STREAMED SOURCE's estimated bytes:
+    ``"rocksdb"`` at or above the measured 256 MB crossover (heap is
+    faster below — RocksDB pays fixed per-batch overhead — and OOM-prone
+    above), else ``None`` (inherit the session default, normally heap).
+    Applied per stream by ``run_to_completion(input_bytes=...)``, where
+    the evidence lives; an explicit ``state_store``/env knob wins."""
+    return (
+        "rocksdb" if source_bytes >= AUTO_ROCKSDB_THRESHOLD_BYTES else None
+    )
 
 
-def _driver_memory_gb() -> int:
-    """24g target (768 MB per local thread on the 32-core harness),
+def _driver_memory_gb(input_bytes: int | None = None) -> int:
+    """24g base target (768 MB per local thread on the 32-core harness),
     clamped to half of physical RAM and floored at 4g, so hosts smaller
     than the harness degrade to Spark's own spilling inside a heap the
-    OS can actually back."""
+    OS can actually back.
+
+    With ``input_bytes``, the heap additionally scales to ~3x the input
+    (still clamped to half of RAM): the round-8 sf100 soak measured the
+    24g heap OOMing mid shuffle-write on q199's 600M-row order-key
+    exchange (16 GB lineitem-dominated input; GCLocker starvation under
+    32 threads) at BOTH 159 and 476 shuffle partitions — width alone
+    cannot fix a heap wall — while 48g (= 3x input) completes it.  sf30
+    (12 GB, 180M rows) ran at 24g = 2x input, so 3x carries measured
+    headroom.  Local-mode only: one JVM hosts the driver and all 32
+    executor threads; a real cluster sizes executor memory per core
+    instead."""
     try:
         total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
         half_gb = int(total / (1 << 30) / 2)
     except (ValueError, OSError, AttributeError):
         half_gb = 24
-    return max(4, min(24, half_gb))
+    base = max(4, min(24, half_gb))
+    if input_bytes is None:
+        return base
+    need = -(-3 * input_bytes // (1 << 30))  # ceil(3x input, in GiB)
+    return max(base, min(half_gb, need))
 
 
 def get_spark(
@@ -146,18 +180,25 @@ def get_spark(
     ``$SPARK_GRAFT_CPUS`` (driver contract) or all cores.
 
     ``input_bytes`` (e.g. ``estimate_input_bytes(sf_dir)``) enables
-    auto-posture: shuffle width from :func:`auto_shuffle_partitions` and
-    the state-store provider from :func:`auto_state_store`, both derived
-    from the measured sf10/sf30 walls.  Explicit env knobs
-    (``SPARK_GRAFT_SHUFFLE_PARTITIONS``, ``SPARK_GRAFT_STATE_STORE``)
-    always win over the auto choice.
+    auto-posture for the shuffle width via
+    :func:`auto_shuffle_partitions` (derived from the measured sf30
+    spill wall).  The ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` env knob always
+    wins over the auto choice.  The state-store provider is chosen per
+    STREAM (``run_to_completion(input_bytes=...)`` →
+    :func:`auto_state_store`), not per session.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
-    conf["spark.driver.memory"] = f"{_driver_memory_gb()}g"
+    # SPARK_GRAFT_DRIVER_MEMORY (e.g. "48g") wins; else auto-scale with
+    # the input estimate (static conf — only applies to a FRESH JVM;
+    # getOrCreate reuses an existing session's heap unchanged)
+    env_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY")
+    conf["spark.driver.memory"] = (
+        env_mem if env_mem else f"{_driver_memory_gb(input_bytes)}g"
+    )
     # Scale knob (the "cluster deployments override via spark-submit"
     # escape hatch, usable without spark-submit): the 32-partition local
     # default right-sizes the miniature bench, but a single 180M-row
@@ -178,9 +219,12 @@ def get_spark(
     # RocksDB keeps state off-heap/on-disk, the 100 TB deployment
     # posture; opt in per run because it adds per-batch overhead the
     # miniature bench doesn't need.
+    # The state-store provider is NOT auto-set at session level: the
+    # measured crossover keys on the STREAMED SOURCE's size, which the
+    # session cannot know — run_to_completion(input_bytes=...) applies
+    # auto_state_store per stream.  The env knob remains the session-wide
+    # override.
     env_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
-    if not env_store and input_bytes is not None:
-        env_store = auto_state_store(input_bytes) or ""
     if env_store == "rocksdb":
         conf["spark.sql.streaming.stateStore.providerClass"] = (
             "org.apache.spark.sql.execution.streaming.state."

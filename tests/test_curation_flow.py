@@ -1550,3 +1550,98 @@ def test_retrieval_steps_validate_params(spark):
         OPERATORS["mmr_rerank"](
             ctx, {"name": "s", "params": {"input": "docs"}}
         )
+
+
+def test_distributed_rank_registry_steps(spark):
+    """distributed_row_number / distributed_ntile as metadata steps: the
+    compiled frames equal the Window-based equivalents on a total order,
+    and missing/empty params fail fast at compile time."""
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        OPERATORS,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 11)) for i in range(200)], "id bigint, v double"
+    )
+    ctx = CompileContext(spark)
+    ctx.put("src", df)
+    OPERATORS["distributed_row_number"](
+        ctx,
+        {
+            "name": "ranked",
+            "type": "distributed_row_number",
+            "params": {
+                "input": "src",
+                "order_by": ["v DESC", "id"],
+                "rn_col": "pos",
+            },
+        },
+    )
+    ref = df.withColumn(
+        "pos",
+        F.row_number()
+        .over(Window.orderBy(F.desc("v"), F.asc("id")))
+        .cast("bigint"),
+    )
+    got = sorted(tuple(r) for r in ctx.get("ranked").collect())
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got == want
+
+    OPERATORS["distributed_ntile"](
+        ctx,
+        {
+            "name": "bucketed",
+            "type": "distributed_ntile",
+            "params": {
+                "input": "src",
+                "n_buckets": 4,
+                "order_by": ["v", "id"],
+                "out_col": "b",
+            },
+        },
+    )
+    refn = df.select(
+        "*",
+        F.ntile(4).over(Window.orderBy(F.asc("v"), F.asc("id"))).alias("b"),
+    )
+    gotn = sorted(tuple(r) for r in ctx.get("bucketed").collect())
+    wantn = sorted(tuple(r) for r in refn.collect())
+    assert gotn == wantn
+
+    with pytest.raises(ValueError, match="order_by"):
+        OPERATORS["distributed_row_number"](
+            ctx,
+            {"name": "x", "type": "distributed_row_number",
+             "params": {"input": "src"}},
+        )
+    with pytest.raises(ValueError, match="n_buckets"):
+        OPERATORS["distributed_ntile"](
+            ctx,
+            {"name": "x", "type": "distributed_ntile",
+             "params": {"input": "src", "order_by": ["v"]}},
+        )
+
+
+def test_sort_step_honors_desc_and_nulls(spark):
+    """Regression: F.expr('v DESC') parses as column v ALIASED 'DESC'
+    (sorts ascending, silently) — the sort step must peel order keywords
+    itself."""
+    from ominimo_dynamic_data_pipeline_spark.operators.registry import (
+        CompileContext,
+        OPERATORS,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 3.0), (3, None), (4, 2.0)], "id bigint, v double"
+    )
+    ctx = CompileContext(spark)
+    ctx.put("src", df)
+    OPERATORS["sort"](
+        ctx,
+        {"name": "out", "type": "sort",
+         "params": {"input": "src", "by": ["v DESC NULLS LAST", "id ASC"]}},
+    )
+    assert [r["id"] for r in ctx.get("out").collect()] == [2, 4, 1, 3]

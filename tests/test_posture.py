@@ -22,16 +22,20 @@ def test_shuffle_width_floor_at_miniature_scale():
     assert auto_shuffle_partitions(400 << 20) == 32
 
 
-def test_shuffle_width_at_measured_sf30_wall():
+def test_shuffle_width_at_measured_walls():
     # sf30 (~12 GB): 32 spilled + GC-thrashed (q139 superlinear), 128 was
-    # linear — the rule must produce >= 128 there
-    assert auto_shuffle_partitions(12 * GB) == 128
+    # linear — the rule must produce >= 128 there.  sf100 (~16 GB,
+    # lineitem-dominated, 600M rows): 159 partitions (3.8M rows each)
+    # OOMed q199 in the round-8 soak — the rule must reproduce the
+    # measured-good ~1.2M-rows/partition density (>= 400 partitions).
+    assert auto_shuffle_partitions(12 * GB) >= 128
+    assert auto_shuffle_partitions(15_959_453_514) >= 400
 
 
 def test_shuffle_width_sf10_overwide_is_safe_not_narrow():
-    # sf10 (~4 GB) measured fine at 32; the rule may go wider (AQE
+    # sf10 (~1.8 GB) measured fine at 32; the rule may go wider (AQE
     # coalesces down, never up) but must never go NARROWER than 32
-    assert 32 <= auto_shuffle_partitions(4 * GB) <= 64
+    assert 32 <= auto_shuffle_partitions(2 * GB) <= 128
 
 
 def test_shuffle_width_cap_and_monotonicity():
@@ -44,10 +48,11 @@ def test_shuffle_width_cap_and_monotonicity():
 
 
 def test_state_store_crossover_pins_measured_points():
-    # measured: heap wins at sf10 (~4 GB: 16.0 vs 22.0 s), RocksDB wins
-    # at sf30 (~12 GB: 60.0 vs 68.1 s, and heap OOMed session state)
-    assert auto_state_store(4 * GB) is None
-    assert auto_state_store(12 * GB) == "rocksdb"
+    # the crossover keys on the STREAMED SOURCE's bytes: sf10 events
+    # (120 MB) -> heap wins (16.0 vs 22.0 s); sf30 events (359 MB) ->
+    # RocksDB wins (60.0 vs 68.1 s, and heap OOMed session state)
+    assert auto_state_store(120 << 20) is None
+    assert auto_state_store(359 << 20) == "rocksdb"
     # boundary behavior is explicit, not accidental
     assert auto_state_store(AUTO_ROCKSDB_THRESHOLD_BYTES - 1) is None
     assert auto_state_store(AUTO_ROCKSDB_THRESHOLD_BYTES) == "rocksdb"
@@ -65,3 +70,15 @@ def test_estimate_input_bytes_sums_data_files(tmp_path):
     assert estimate_input_bytes(str(d)) == 150
     assert estimate_input_bytes(str(d), str(lone)) == 157
     assert estimate_input_bytes(str(tmp_path / "missing")) == 0
+
+
+def test_driver_memory_scales_with_input():
+    from ominimo_dynamic_data_pipeline_spark.session import _driver_memory_gb
+
+    # base behavior unchanged without an estimate
+    assert _driver_memory_gb() <= 24
+    # measured wall: 16 GB lineitem-dominated input OOMed the 24g heap
+    # mid shuffle-write (q199 sf100) at any width; 48g (= 3x) clears it
+    assert _driver_memory_gb(15_959_453_514) >= 45
+    # miniature inputs stay at the 24g base (no pointless giant heaps)
+    assert _driver_memory_gb(40 << 20) == _driver_memory_gb()
