@@ -65,7 +65,31 @@ _DEFAULTS: dict[str, str] = {
     # derby metastore out of the repo tree.  Static configs — must be set
     # at session build, not at runtime.
     "spark.sql.warehouse.dir": "/tmp/spark-graft-warehouse",
-    "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/spark-graft-derby",
+    # Batch-throughput GC.  The JVM default (G1) hits a measured
+    # pathology on this workload at the sf100 decade: shuffle-sort
+    # pointer arrays are ~64 MB humongous allocations while lz4/snappy
+    # and Arrow hold JNI-critical regions, and G1's GCLocker-starved
+    # allocation path stalls ("Retried waiting for GCLocker too often")
+    # and ultimately THROWS OutOfMemoryError with free heap remaining.
+    # Measured on 600M-row inputs, identical 45g heap / 476 partitions
+    # (BENCH_sf100.json): q199 663.8 s (G1) -> 254.0 s (Parallel),
+    # q139 971.8 -> 502.3 s, q97 OOM -> 318.9 s.  ParallelGC is the
+    # classic throughput collector for batch engines — no region /
+    # humongous bookkeeping, full compaction, no pause-time target to
+    # miss.  Set on BOTH driver and executor options: in local mode one
+    # JVM hosts everything (driver options govern), on a cluster each
+    # executor JVM needs the flag itself.
+    "spark.driver.extraJavaOptions": (
+        "-XX:+UseParallelGC -Dderby.system.home=/tmp/spark-graft-derby"
+    ),
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+    # Long multi-query sessions accumulate localCheckpoint / broadcast
+    # blocks whose Py4J references the Python GC releases lazily; the
+    # ContextCleaner only frees them after a JVM GC notices the refs are
+    # dead.  The 30 min default lets tens of GB of dead blocks ride
+    # along at soak scale (the sf30 soak measured q108 203 s late-session
+    # vs 174 s isolated); 5 min bounds the drag without measurable cost.
+    "spark.cleaner.periodicGC.interval": "5min",
 }
 
 

@@ -72,6 +72,23 @@ def test_estimate_input_bytes_sums_data_files(tmp_path):
     assert estimate_input_bytes(str(tmp_path / "missing")) == 0
 
 
+def test_batch_gc_posture_pinned():
+    # sf100 soak (BENCH_sf100.json): G1's GCLocker-starved allocation
+    # path stalled the 600M-row shuffles (q199 663.8 -> 254.0 s under
+    # ParallelGC) and threw OOM with free heap remaining (q97 OOM ->
+    # 318.9 s).  Both JVMs (driver governs local mode, executor a real
+    # cluster) must carry the throughput collector, and long multi-query
+    # sessions must GC periodically so dead checkpoint/broadcast blocks
+    # are actually freed.
+    from ominimo_dynamic_data_pipeline_spark.session import _DEFAULTS
+
+    assert "-XX:+UseParallelGC" in _DEFAULTS["spark.driver.extraJavaOptions"]
+    assert (
+        "-XX:+UseParallelGC" in _DEFAULTS["spark.executor.extraJavaOptions"]
+    )
+    assert _DEFAULTS["spark.cleaner.periodicGC.interval"] == "5min"
+
+
 def test_driver_memory_scales_with_input():
     from ominimo_dynamic_data_pipeline_spark.session import _driver_memory_gb
 
