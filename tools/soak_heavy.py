@@ -64,6 +64,10 @@ def main() -> int:
                 flush=True,
             )
     print(json.dumps({"summary": results}), flush=True)
+    # explicit stop: the JVM's exit hook does not reliably remove the
+    # block-manager dir when Py4J tears down first — a soak session's
+    # shuffle/spill files (tens of GB at sf100) must not outlive it
+    spark.stop()
     return 0
 
 
