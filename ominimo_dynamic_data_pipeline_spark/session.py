@@ -143,8 +143,8 @@ def auto_shuffle_partitions(input_bytes: int) -> int:
     """Initial shuffle width from estimated input bytes: one partition
     per ~32 MB, floored at the local default (32) and capped at 4096.
     Reproduces the measured-good ~1.2M-rows-per-partition density of
-    the sf30 posture (see the wall notes above): sf10 (~1.8 GB) -> 57,
-    sf30 (~12 GB) -> 375, sf100 (~16 GB, lineitem-dominated) -> 498 —
+    the sf30 posture (see the wall notes above): sf10 (~1.8 GB) -> 56,
+    sf30 (~12 GB) -> 375, sf100 (~16 GB, lineitem-dominated) -> 476 —
     the density at which q199 stopped OOMing in the round-8 soak."""
     return max(
         AUTO_SHUFFLE_FLOOR,
@@ -175,7 +175,7 @@ def _driver_memory_gb(input_bytes: int | None = None) -> int:
     24g heap OOMing mid shuffle-write on q199's 600M-row order-key
     exchange (16 GB lineitem-dominated input; GCLocker starvation under
     32 threads) at BOTH 159 and 476 shuffle partitions — width alone
-    cannot fix a heap wall — while 48g (= 3x input) completes it.  sf30
+    cannot fix a heap wall — while 45g (= 3x input) completes it.  sf30
     (12 GB, 180M rows) ran at 24g = 2x input, so 3x carries measured
     headroom.  Local-mode only: one JVM hosts the driver and all 32
     executor threads; a real cluster sizes executor memory per core

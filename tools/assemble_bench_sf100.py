@@ -45,6 +45,12 @@ def _readings(path: str) -> tuple[dict, dict, dict]:
             for k, v in obj.items():
                 if isinstance(v, (int, float)):
                     times[k] = v
+    # a later successful reading supersedes an earlier error for the
+    # same query (e.g. a re-run appended to the log); the finding that
+    # explains the transient failure stays in the record's narrative
+    for k in list(errors):
+        if k in times:
+            del errors[k]
     return header, times, errors
 
 
@@ -77,7 +83,8 @@ def main() -> int:
         ),
         "posture": (
             "ZERO env knobs at every scale: auto_shuffle_partitions "
-            f"picked {pgc_h.get('auto_shuffle_partitions')} at sf100 / "
+            f"picked {pgc_h.get('auto_shuffle_partitions')} (relational dir) / "
+            f"{txt_h.get('auto_shuffle_partitions')} (full dir) at sf100, "
             f"{ref_h.get('auto_shuffle_partitions')} at sf10; heap "
             "auto-scaled to 45g (3x input, clamped to half RAM); "
             "state-store provider auto-flips to RocksDB per stream at "
@@ -115,6 +122,32 @@ def main() -> int:
             "multi-query sessions no longer carry dead localCheckpoint/"
             "broadcast blocks (sf30 measured q108 203 s late-session vs "
             "174 s isolated from this accumulation).",
+            "WALL FOUND + FIXED (local disk): q139's first in-session "
+            "run died on SPILL_OUT_OF_MEMORY 'No space left on device' — "
+            "a crashed G1 probe JVM had left an 18 GB block-manager dir "
+            "behind (Py4J teardown raced the JVM exit hook) on top of "
+            "the predecessor query's shuffle files inside the 5-min "
+            "periodic-GC window. tools/soak_heavy.py now stops its "
+            "session explicitly; with the stale dir removed q139 "
+            "completes in 480.4 s (502.3 s isolated probe). At cluster "
+            "scale this is the per-node shuffle-headroom provisioning "
+            "constraint: a 600M-row overlap self-join spills ~2x its "
+            "shuffle volume transiently.",
+            "Streaming at the decade: the auto state-store rule flipped "
+            "the three streaming paths to RocksDB per stream (1.2 GB "
+            "events source >= the 256 MB crossover) with zero knobs; "
+            "q116 stateful totals 8.0x, q151 session transcripts 12.4x, "
+            "q141 dedup 16.8x on 10x data, all completing where sf30's "
+            "heap store OOMed at a third of this size.",
+            "Text family stays in band at the decade: q37 token stats "
+            "9.5x (the sf30 4.37x-on-3x worry does NOT compound), q146 "
+            "containment 5.1x, q191 canonicals 4.6x, q197 principal "
+            "share 3.2x on 10x data — the bucketed candidate generators "
+            "and partial-agg moment paths hold their shapes.",
+            "q97 copurchase pairs is the heaviest grower (27.8x on 10x): "
+            "its pair-expansion shuffle is ~6x the input volume and the "
+            "single local disk serializes it; completes green after the "
+            "GC fix (it OOMed under G1 even isolated).",
         ],
     }
     out = REPO / "BENCH_sf100.json"
