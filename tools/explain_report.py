@@ -212,7 +212,13 @@ SHOWCASE = {
         "DSIR importance weights: the hashed-feature ratio table "
         "(bounded at 512 rows by construction) BroadcastHashJoins back "
         "onto the per-doc tf stream; one token shuffle + one bounded "
-        "feature reduce; text never shuffles twice."
+        "feature reduce; text never shuffles twice.  The corpus-wide "
+        "sel_rank runs on operators/scale.distributed_row_number (range "
+        "exchange + per-partition census + order-preserving Arrow "
+        "pass), so the displayed plan collapses to MapInPandas over the "
+        "rank stage's localCheckpoint — the upstream DSIR shape is "
+        "frozen inside the checkpointed RDD, and NO unpartitioned "
+        "window sorts the corpus in one task."
     ),
     "q155_hybrid_rrf_retrieval": (
         "Hybrid RRF: both retrieval runs keep their own shapes (BM25 "
