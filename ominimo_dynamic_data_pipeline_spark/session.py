@@ -192,6 +192,32 @@ def _driver_memory_gb(input_bytes: int | None = None) -> int:
     return max(base, min(half_gb, need))
 
 
+def _merge_conf(conf: dict[str, str], extra_conf: dict[str, str]) -> None:
+    """Apply caller overrides onto the session defaults, in place.
+
+    ``extraJavaOptions`` keys MERGE (string-append) rather than replace:
+    a caller adding one JVM flag must not silently drop
+    ``-XX:+UseParallelGC`` (the measured sf100 GCLocker fix) or
+    ``-Dderby.system.home``.  Caller flags come LAST, so an explicit
+    ``-XX:+UseG1GC`` etc. still wins (for repeated/conflicting flags the
+    JVM honors the last one).  To truly remove a default flag, set the
+    key with ``spark-submit --conf`` instead, which bypasses this merge.
+    Every other key is a plain replace.
+    """
+    for jvm_key in (
+        "spark.driver.extraJavaOptions",
+        "spark.executor.extraJavaOptions",
+    ):
+        if jvm_key in extra_conf and conf.get(jvm_key):
+            conf[jvm_key] = f"{conf[jvm_key]} {extra_conf[jvm_key]}"
+    for k, v in extra_conf.items():
+        if k not in (
+            "spark.driver.extraJavaOptions",
+            "spark.executor.extraJavaOptions",
+        ) or not conf.get(k):
+            conf[k] = v
+
+
 def get_spark(
     app_name: str = "ominimo-dynamic-data-pipeline-spark",
     master: str | None = None,
@@ -255,7 +281,7 @@ def get_spark(
             "RocksDBStateStoreProvider"
         )
     if extra_conf:
-        conf.update(extra_conf)
+        _merge_conf(conf, extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

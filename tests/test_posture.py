@@ -95,7 +95,39 @@ def test_driver_memory_scales_with_input():
     # base behavior unchanged without an estimate
     assert _driver_memory_gb() <= 24
     # measured wall: 16 GB lineitem-dominated input OOMed the 24g heap
-    # mid shuffle-write (q199 sf100) at any width; 48g (= 3x) clears it
+    # mid shuffle-write (q199 sf100) at any width; the measured 45g
+    # (~3x input, see session.py/_driver_memory_gb) clears it
     assert _driver_memory_gb(15_959_453_514) >= 45
     # miniature inputs stay at the 24g base (no pointless giant heaps)
     assert _driver_memory_gb(40 << 20) == _driver_memory_gb()
+
+
+def test_extra_conf_merges_java_options_instead_of_replacing():
+    # A caller adding one JVM flag must not silently drop the ParallelGC
+    # posture or the derby.system.home pin (round-8 advice item).
+    from ominimo_dynamic_data_pipeline_spark.session import (
+        _DEFAULTS,
+        _merge_conf,
+    )
+
+    conf = dict(_DEFAULTS)
+    _merge_conf(
+        conf,
+        {
+            "spark.driver.extraJavaOptions": "-Xss16m",
+            "spark.executor.extraJavaOptions": "-Xss16m",
+            "spark.sql.shuffle.partitions": "99",
+        },
+    )
+    d = conf["spark.driver.extraJavaOptions"]
+    assert "-XX:+UseParallelGC" in d and "-Dderby.system.home" in d
+    # caller flag appended LAST so a conflicting flag would win in the JVM
+    assert d.endswith("-Xss16m")
+    e = conf["spark.executor.extraJavaOptions"]
+    assert "-XX:+UseParallelGC" in e and e.endswith("-Xss16m")
+    # non-JVM keys replace as before
+    assert conf["spark.sql.shuffle.partitions"] == "99"
+    # a key with no default passes straight through
+    conf2 = {"other": "x"}
+    _merge_conf(conf2, {"spark.driver.extraJavaOptions": "-Xss8m"})
+    assert conf2["spark.driver.extraJavaOptions"] == "-Xss8m"

@@ -49,25 +49,28 @@ def main() -> int:
         flush=True,
     )
     results: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        try:
-            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            results[name] = round(time.time() - t0, 3)
-            print(json.dumps({name: results[name]}), flush=True)
-        except Exception as exc:  # keep soaking the rest
-            results[name] = -1.0
-            print(
-                json.dumps({name: "ERROR", "err": repr(exc)[:200]}),
-                flush=True,
-            )
-    print(json.dumps({"summary": results}), flush=True)
-    # explicit stop: the JVM's exit hook does not reliably remove the
+    # try/finally: the JVM's exit hook does not reliably remove the
     # block-manager dir when Py4J tears down first — a soak session's
-    # shuffle/spill files (tens of GB at sf100) must not outlive it
-    spark.stop()
+    # shuffle/spill files (tens of GB at sf100) must not outlive it,
+    # INCLUDING on KeyboardInterrupt / unexpected exceptions mid-soak.
+    try:
+        for name in names:
+            t0 = time.time()
+            try:
+                QUERIES[name](spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                results[name] = round(time.time() - t0, 3)
+                print(json.dumps({name: results[name]}), flush=True)
+            except Exception as exc:  # keep soaking the rest
+                results[name] = -1.0
+                print(
+                    json.dumps({name: "ERROR", "err": repr(exc)[:200]}),
+                    flush=True,
+                )
+        print(json.dumps({"summary": results}), flush=True)
+    finally:
+        spark.stop()
     return 0
 
 
