@@ -64,18 +64,43 @@ def _pil_image():
         return None
 
 
+def _band_features(px, width: int, height: int) -> list[float]:
+    """FEATURE_DIM deterministic features from row-major grayscale
+    intensities: the normalized mean intensity of FEATURE_DIM horizontal
+    bands (resampling-free, so values are stable across codecs).  Band b
+    covers rows [round(b*h/D), round((b+1)*h/D)): every pixel row lands
+    in exactly one band (no dropped trailing rows when height is not
+    divisible by FEATURE_DIM — round-3 advice); short images
+    (height < FEATURE_DIM) zero-fill their empty bands."""
+    bands: list[float] = []
+    for b in range(FEATURE_DIM):
+        start = round(b * height / FEATURE_DIM) * width
+        stop = round((b + 1) * height / FEATURE_DIM) * width
+        chunk = px[start:stop]
+        bands.append(
+            round(sum(chunk) / (255.0 * len(chunk)), 6) if chunk else 0.0
+        )
+    return bands
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[float]]:
     """Decode a media payload to (width, height, feature vector).
 
-    Real path (when Pillow is importable): open the payload, take the
-    true (width, height), and derive FEATURE_DIM deterministic features —
-    the normalized mean intensity of FEATURE_DIM horizontal grayscale
-    bands (resampling-free, so the values are stable across Pillow
-    versions).  Without Pillow, ``fake=True`` derives deterministic
-    pseudo-features from the payload md5 so the distributed plumbing
-    (batching, schema, partitioning) is exercised identically; the
-    catalog queries pin ``fake=True`` so their oracles never depend on
-    whether Pillow is present.
+    Real paths, tried in order:
+
+    1. PNG payloads (signature match) decode with the pure-stdlib codec
+       in :mod:`ominimo_dynamic_data_pipeline_spark.llm.png` — zero dependencies, deterministic
+       across environments, real pixels end to end.
+    2. Anything else decodes via Pillow when importable, with the same
+       grayscale-band features (``png.py`` mirrors Pillow's
+       ``convert("L")`` integer luma, so both paths agree on the same
+       image).
+
+    Without either, ``fake=True`` derives deterministic pseudo-features
+    from the payload md5 so the distributed plumbing (batching, schema,
+    partitioning) is exercised identically; the catalog queries pin
+    ``fake=True`` so their oracles never depend on payload contents
+    being decodable media.
     """
     if fake:
         digest = hashlib.md5(payload or b"").digest()
@@ -83,11 +108,17 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[flo
         height = 1 + digest[1]
         feats = [round(b / 255.0, 6) for b in digest[2 : 2 + FEATURE_DIM]]
         return width, height, feats
+    from ominimo_dynamic_data_pipeline_spark.llm import png as _png
+
+    if payload and _png.is_png(bytes(payload)):
+        width, height, gray = _png.png_to_grayscale(bytes(payload))
+        return width, height, _band_features(gray, width, height)
     image_mod = _pil_image()
     if image_mod is None:
         raise NotImplementedError(
-            "media decode requires imaging libraries not present in this "
-            "environment; pass fake=True for the deterministic stub, or "
+            "non-PNG media decode requires imaging libraries not present "
+            "in this environment (PNG decodes via the bundled stdlib "
+            "codec); pass fake=True for the deterministic stub, or "
             "inject your own codec via extract_features(decode_fn=...)"
         )
     import io
@@ -97,19 +128,7 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[flo
     width, height = img.size
     gray = img.convert("L")
     px = list(gray.getdata())  # row-major intensities
-    bands: list[float] = []
-    # Band b covers rows [round(b*h/D), round((b+1)*h/D)): every pixel row
-    # lands in exactly one band (no dropped trailing rows when height is
-    # not divisible by FEATURE_DIM — round-3 advice); short images
-    # (height < FEATURE_DIM) zero-fill their empty bands.
-    for b in range(FEATURE_DIM):
-        start = round(b * height / FEATURE_DIM) * width
-        stop = round((b + 1) * height / FEATURE_DIM) * width
-        chunk = px[start:stop]
-        bands.append(
-            round(sum(chunk) / (255.0 * len(chunk)), 6) if chunk else 0.0
-        )
-    return width, height, bands
+    return width, height, _band_features(px, width, height)
 
 
 def extract_features(
@@ -177,11 +196,28 @@ def resize_image_bytes(
         seed = hashlib.md5(payload or b"").digest()
         reps = (width * height) // len(seed) + 1
         return (seed * reps)[: width * height]
+    from ominimo_dynamic_data_pipeline_spark.llm import png as _png
+
+    if payload and _png.is_png(bytes(payload)):
+        # stdlib real path: decode + center-based nearest-neighbor
+        # (src = floor((dst + 0.5) * src_dim / dst_dim), the standard
+        # affine rule) over the grayscale plane; raw bytes out, same
+        # contract as the Pillow path's .tobytes()
+        w0, h0, gray = _png.png_to_grayscale(bytes(payload))
+        out = bytearray(width * height)
+        xs = [min(w0 - 1, int((x + 0.5) * w0 / width)) for x in range(width)]
+        for y in range(height):
+            sy = min(h0 - 1, int((y + 0.5) * h0 / height)) * w0
+            base = y * width
+            for x in range(width):
+                out[base + x] = gray[sy + xs[x]]
+        return bytes(out)
     image_mod = _pil_image()
     if image_mod is None:
         raise NotImplementedError(
-            "image resize requires imaging libraries not present in this "
-            "environment; pass fake=True for the deterministic stub, or "
+            "non-PNG image resize requires imaging libraries not present "
+            "in this environment (PNG resizes via the bundled stdlib "
+            "codec); pass fake=True for the deterministic stub, or "
             "inject your own codec via resize_payloads(resize_fn=...)"
         )
     import io
