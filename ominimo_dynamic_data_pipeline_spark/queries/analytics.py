@@ -859,6 +859,67 @@ def q132_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source of truth for basket normalization and the support threshold.
 # --------------------------------------------------------------------------
 _COPURCHASE_SUPPORT = 3
+# Pair-count RLE bucketing: pairs with the same part_a are counted inside
+# ONE collect_list row, split into pmod(xxhash64(part_b), SALT) buckets so
+# a hot part (a part in millions of baskets at 100 TB) never builds one
+# giant array.  Counts stay exact because a given (part_a, part_b) always
+# lands in the same bucket.  16 buckets bound the worst row at ~1/16 of a
+# hot part's co-occurrence list while adding only ~4 bytes/record of
+# exchange overhead on miniature data.
+_COPURCHASE_SALT = 16
+# Broadcast the infrequent-part tail for the anti-join only while it fits
+# comfortably under the executor broadcast budget (4M longs ~= 32 MB).
+_APRIORI_BROADCAST_MAX = 4_000_000
+
+
+def _apriori_prefilter(li: DataFrame, support: int) -> DataFrame:
+    """Drop parts that provably cannot appear in any frequent pair.
+
+    Apriori property: a pair co-purchased in >= ``support`` orders needs
+    EACH member in >= ``support`` distinct orders, and the raw lineitem
+    row count per part upper-bounds that order count — so parts with raw
+    count < support are pair-free and pruning them before the basket
+    build is output-preserving.  Sigma(|basket|^2) then shrinks by the
+    rare-part tail.
+
+    ADAPTIVE: a census (one combine-friendly groupBy over the two scan
+    columns) runs first; when nothing prunes the function returns the
+    input UNCHANGED so the query plan carries no join at all.  That is
+    the measured outcome on the synthetic TPC-H-ish testdata at every
+    generated scale (sf0.1/sf10/sf100: 100.00% of parts appear in >= 3
+    orders — see docs/SCALE.md), where the prefilter would only add a
+    scan; on real skewed corpora (catalog long tails) it prunes the
+    quadratic expansion instead.
+    """
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        _persist_tracked,
+    )
+
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_n"))
+    infrequent = freq.filter(F.col("_n") < support).select("l_partkey")
+    infrequent.persist()
+    try:
+        n_infrequent = infrequent.count()
+    except Exception:
+        infrequent.unpersist(blocking=False)
+        raise
+    if n_infrequent == 0:
+        infrequent.unpersist(blocking=False)
+        return li
+    # Keep the tail persisted under the dedup registry slot (released
+    # like the other operator intermediates) — the lazy result reads it.
+    _persist_tracked("apriori_prefilter", infrequent)
+    if n_infrequent <= _APRIORI_BROADCAST_MAX:
+        # small tail: broadcast anti-join, no lineitem exchange
+        return li.join(
+            F.broadcast(infrequent), on="l_partkey", how="left_anti"
+        )
+    # huge tail = huge pruning: a lineitem exchange pays for itself
+    return li.join(
+        freq.filter(F.col("_n") >= support).select("l_partkey"),
+        on="l_partkey",
+        how="left_semi",
+    )
 
 
 def _copurchase_sql_ctes(support: int = _COPURCHASE_SUPPORT) -> str:
@@ -879,27 +940,88 @@ _COPURCHASE_SQL_CTES = _copurchase_sql_ctes()
 
 
 def _copurchase_pairs(
-    spark: SparkSession, sf_dir: str, support: int = _COPURCHASE_SUPPORT
+    spark: SparkSession,
+    sf_dir: str,
+    support: int = _COPURCHASE_SUPPORT,
+    prefilter: bool = True,
+    rle_counting: bool = True,
 ) -> DataFrame:
     """(part_a, part_b, n_orders) for part pairs co-purchased in >=
-    ``support`` orders — q97's output and the q108/q112 edge source."""
+    ``support`` orders — q97's output and the q108/q112 edge source.
+
+    Two scale levers, both output-preserving (hash-identical results):
+
+    - ``prefilter``: adaptive apriori part pruning before the basket
+      build (:func:`_apriori_prefilter`).
+    - ``rle_counting``: the pair-frequency aggregation groups by
+      ``(part_a, pmod(xxhash64(part_b), salt))`` collecting ``part_b``
+      lists and run-length-counting them JVM-side with array HOFs,
+      instead of ``groupBy(part_a, part_b).count()``.  Rationale: the
+      pair stream is ~Sigma(|basket|^2) rows (1.2B at sf100) and pairs
+      are nearly unique (sf1 census: 12.0M pair rows, 11.96M distinct,
+      20 with support >= 3), so partial-count combining removes almost
+      nothing and the exchange carries a full ~40-byte UnsafeRow per
+      pair.  Collecting part_b under (part_a, bucket) amortizes that to
+      ~8 bytes/element — the dominant exchange shrinks ~4x — and the
+      post-shuffle run-length scan emits only runs >= support, which is
+      almost nothing.  Counts stay exact: a (part_a, part_b) pair always
+      lands in one (part_a, bucket) row, and baskets are de-duplicated
+      before expansion, so run length == number of distinct orders.
+    """
     from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
         expand_member_pairs,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    if prefilter:
+        li = _apriori_prefilter(li, support)
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias(
             "parts"
         )
     ).filter(F.size("parts") > 1)
-    return (
-        expand_member_pairs(baskets, "parts")
-        .groupBy(
-            F.col("a").alias("part_a"), F.col("b").alias("part_b")
+    pairs = expand_member_pairs(baskets, "parts")
+    if not rle_counting:
+        return (
+            pairs.groupBy(
+                F.col("a").alias("part_a"), F.col("b").alias("part_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .filter(F.col("n_orders") >= support)
         )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= support)
+    grouped = pairs.groupBy(
+        F.col("a").alias("part_a"),
+        F.pmod(F.xxhash64("b"), F.lit(_COPURCHASE_SALT)).alias("_bkt"),
+    ).agg(F.array_sort(F.collect_list("b")).alias("_bs"))
+    # run starts: positions whose value differs from the previous one
+    # (0-based positions into the sorted array; element_at is 1-based)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size("_bs") - 1),
+        lambda i: (i == F.lit(0))
+        | (F.element_at("_bs", i + 1) != F.element_at("_bs", i)),
+    )
+    # each run ends where the next one starts; the last at size(_bs)
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(F.size("_bs")),
+    )
+    runs = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            F.element_at("_bs", s + 1).alias("part_b"),
+            (e - s).cast("long").alias("n_orders"),
+        ),
+    )
+    frequent = F.filter(runs, lambda r: r["n_orders"] >= F.lit(support))
+    return grouped.select(
+        "part_a", F.explode(frequent).alias("_r")
+    ).select(
+        "part_a",
+        F.col("_r.part_b").alias("part_b"),
+        F.col("_r.n_orders").alias("n_orders"),
     )
 
 
