@@ -1284,15 +1284,25 @@ def q108_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # basket->pair expansion lineage and never repeat the edges⋈outdeg
     # join (the q57 connected-components pattern; sf1 10.7 s -> ~5 s)
     weights = edges.join(outdeg, "src").localCheckpoint()
-    r = outdeg.select(
-        F.col("src").alias("node"),
-        F.lit(_Q108_SCALE).cast("bigint").alias("r"),
-    )
+    # r0 derives from the MATERIALIZED weights, not from outdeg — outdeg's
+    # lineage is the whole basket->pair pipeline, and the rank chain
+    # references r twice per iteration (join input + node list), so an
+    # un-materialized r0 re-instantiates that pipeline ~2^iters times in
+    # the final plan (the round-8 sf100 soak's q108 = 832 s vs q97's 351 s
+    # was exactly this replay, visible as repeated lineitem scans in
+    # explain()).  distinct(src) over weights reuses its partitioning.
+    r = weights.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(_Q108_SCALE).cast("bigint").alias("r")
+    ).localCheckpoint()
     for _ in range(_Q108_ITERS):
         contrib = weights.join(r, weights.src == F.col("node")).select(
             F.col("dst").alias("node"), F.expr("r div deg").alias("c")
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        # per-iteration checkpoint (the GraphX/Pregel discipline): rank
+        # frames are |nodes| rows — tiny next to the edge data — and
+        # truncating here keeps iteration t's plan from inlining
+        # iteration t-1's twice
         r = (
             r.select("node")
             .join(sums, "node", "left")
@@ -1303,6 +1313,7 @@ def q108_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("(85 * coalesce(s, 0)) div 100")
                 ).alias("r"),
             )
+            .localCheckpoint()
         )
     return r.select(
         F.col("node").alias("part"), F.col("r").cast("bigint").alias("pagerank")
@@ -1367,9 +1378,12 @@ _Q112_SUPPORT, _Q112_TOP = 2, 20
     """,
 )
 def q112_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the pair derivation ONCE: `deg` and the orientation
+    # join both consume it, and without this the basket->pair expansion
+    # (the expensive part of the query at scale) runs twice
     pairs = _copurchase_pairs(spark, sf_dir, support=_Q112_SUPPORT).select(
         "part_a", "part_b"
-    )
+    ).localCheckpoint()
     deg = (
         pairs.select(F.col("part_a").alias("part"))
         .union(pairs.select(F.col("part_b").alias("part")))
