@@ -81,7 +81,7 @@ FAMILY_REPS = {
                    "q155_hybrid_rrf_retrieval", "q160_mmr_rerank",
                    "q163_retrieval_eval", "q175_embedding_norm_audit"},
     "multimodal": {"q31_payload_stats", "q32_multimodal_features",
-                   "q52_frame_samples"},
+                   "q52_frame_samples", "q203_png_decode_features"},
     "streaming": {"q33_tumbling_event_counts", "q34_user_sessions",
                   "q101_streaming_tumbling_e2e", "q102_streaming_sessions_e2e",
                   "q115_streaming_attribution_e2e",

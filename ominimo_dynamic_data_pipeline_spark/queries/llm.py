@@ -1415,6 +1415,90 @@ def q52_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q203 — REAL PNG decode in the correctness gate: each doc gets a genuine
+# 8x8 grayscale PNG (pixels = 4 chained md5 digests of its doc_id, filter
+# type doc_id % 5, so all five RFC 2083 scanline filters are exercised),
+# encoded executor-side in a pandas UDF and decoded back through the
+# pure-stdlib codec (llm/png.py) inside the Arrow-batched extract_features
+# path with fake=False.  The DuckDB oracle never sees a PNG: it recomputes
+# each band's PIXEL SUM directly from the same md5 hex — so a hash match
+# proves the full encode -> filter -> zlib -> decode -> unfilter -> band
+# feature chain reproduced the exact pixels.  Band sums are reconstructed
+# from the rounded float features as ROUND(f * 2040) (= 255 * 8 bytes per
+# band); the reconstruction is exact for every possible sum 0..2040
+# (pinned exhaustively in tests/test_png.py).
+# --------------------------------------------------------------------------
+_Q203_SIDE = 8  # 8x8 image -> FEATURE_DIM bands of exactly one row
+
+
+def _q203_payload_udf():
+    import hashlib as _hl
+
+    import pandas as _pd
+    from pyspark.sql.functions import PandasUDFType
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    side = _Q203_SIDE
+
+    def make_png(ids):
+        from ominimo_dynamic_data_pipeline_spark.llm.png import encode_png
+
+        out = []
+        for doc_id in ids:
+            pixels = b"".join(
+                _hl.md5(f"{doc_id}-p{k}".encode()).digest()
+                for k in range(side * side // 16)
+            )
+            out.append(
+                encode_png(side, side, pixels, 0, int(doc_id) % 5)
+            )
+        return _pd.Series(out)
+
+    return _pandas_udf(make_png, "binary", PandasUDFType.SCALAR)
+
+
+def _q203_sql(side: int = _Q203_SIDE) -> str:
+    hashes = ", ".join(
+        f"md5(CAST(doc_id AS VARCHAR) || '-p{k}') AS h{k}"
+        for k in range(side * side // 16)
+    )
+    band_sums = []
+    for b in range(M.FEATURE_DIM):
+        k, off = b // 2, 8 * (b % 2)
+        terms = " + ".join(
+            f"CAST(('0x' || substr(h{k}, {2 * (off + j) + 1}, 2)) AS INT)"
+            for j in range(side)
+        )
+        band_sums.append(f"CAST({terms} AS BIGINT) AS s{b}")
+    return f"""
+    WITH hashed AS (SELECT doc_id, {hashes} FROM documents)
+    SELECT doc_id, {side} AS width, {side} AS height,
+           {", ".join(band_sums)}
+    FROM hashed
+    """
+
+
+@query("q203_png_decode_features", _q203_sql())
+def q203_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_png = d.withColumn("payload", _q203_payload_udf()(F.col("doc_id")))
+    out = M.extract_features(with_png, fake=False)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        *[
+            F.round(
+                F.col("features")[i].cast("double") * (255 * _Q203_SIDE)
+            )
+            .cast("bigint")
+            .alias(f"s{i}")
+            for i in range(M.FEATURE_DIM)
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
 # q53 — deterministic train/val split: md5-hash each doc id into [0, 100),
 # < 90 -> train.  Content-hash splitting is the reproducible way to split
 # a growing corpus (no RNG state, stable under re-runs and engine moves);

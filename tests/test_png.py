@@ -197,3 +197,16 @@ def test_extract_features_end_to_end_real_png(spark):
         assert (row["width"], row["height"]) == (w, h)
         assert [round(float(x), 6) for x in row["features"]] == feats
         assert row["n_bytes"] == len(payload)
+
+
+def test_band_sum_reconstruction_exact_for_every_possible_sum():
+    # q203 reconstructs integer band sums from the rounded float32
+    # features as ROUND(f * 2040); prove the roundtrip
+    # sum -> round(sum/2040, 6) -> float32 -> *2040 -> round is the
+    # identity for EVERY possible 8-byte band sum 0..2040
+    import numpy as np
+
+    for s in range(0, 255 * 8 + 1):
+        f6 = round(s / (255.0 * 8), 6)  # decode_image's rounding
+        f32 = float(np.float32(f6))  # array<float> storage
+        assert round(f32 * 255 * 8) == s
