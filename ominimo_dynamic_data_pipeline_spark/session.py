@@ -152,6 +152,33 @@ def auto_shuffle_partitions(input_bytes: int) -> int:
     )
 
 
+AUTO_SPLIT_FLOOR_BYTES = 4 << 20  # measured-good miniature scan splits
+AUTO_SPLIT_CAP_BYTES = 128 << 20  # Spark's cluster default
+AUTO_SPLIT_WAVES = 4  # target scan tasks ~= 4 waves across the cores
+
+
+def auto_max_partition_bytes(input_bytes: int, cpus: int | None = None) -> int:
+    """Scan-split size from estimated input bytes: aim at ~4 task waves
+    across the local cores, clamped to [4 MB, 128 MB].
+
+    The static 4 MB local default restores scan parallelism on
+    single-file miniature tables (measured round 3: q26 sf1 6.4 -> 3.7 s)
+    but is a measured WALL at the sf100 decade: a 17 GB single-file scan
+    at 4 MB splits is ~4300 tasks, each re-reading and re-parsing the
+    multi-thousand-row-group footer — 2-column lineitem scan 167.9 s vs
+    14.2 s at 128 MB splits (round 9, BENCH_r09 notes; the hidden ~150 s
+    tax inside EVERY sf100 heavy query's round-8 reading).  The rule
+    keeps miniature inputs at the 4 MB floor (sf0.1 -> 4 MB, sf1 -> 4 MB)
+    and walks to the 128 MB cluster default as input grows (sf10
+    ~1.8 GB -> ~14 MB, sf30 ~5.4 GB -> ~42 MB, sf100 ~18 GB -> 128 MB).
+    ``SPARK_GRAFT_MAX_PARTITION_BYTES`` overrides."""
+    if cpus is None:
+        env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        cpus = int(env_cpus) if env_cpus else (os.cpu_count() or 32)
+    target = input_bytes // max(1, cpus * AUTO_SPLIT_WAVES)
+    return max(AUTO_SPLIT_FLOOR_BYTES, min(AUTO_SPLIT_CAP_BYTES, target))
+
+
 def auto_state_store(source_bytes: int) -> str | None:
     """State-store provider from the STREAMED SOURCE's estimated bytes:
     ``"rocksdb"`` at or above the measured 256 MB crossover (heap is
@@ -262,6 +289,16 @@ def get_spark(
     elif input_bytes is not None:
         conf["spark.sql.shuffle.partitions"] = str(
             auto_shuffle_partitions(input_bytes)
+        )
+    # Scan-split auto-posture (round 9): the static 4 MB local split is a
+    # measured 12x scan wall on single-file sf100 tables (footer re-parse
+    # per task); walk toward the 128 MB cluster default as input grows.
+    env_split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if env_split:
+        conf["spark.sql.files.maxPartitionBytes"] = env_split
+    elif input_bytes is not None:
+        conf["spark.sql.files.maxPartitionBytes"] = str(
+            auto_max_partition_bytes(input_bytes)
         )
     # State-store scale knob: the default HDFSBackedStateStore keeps all
     # streaming state on the JVM heap — session-window state carrying

@@ -131,3 +131,29 @@ def test_extra_conf_merges_java_options_instead_of_replacing():
     conf2 = {"other": "x"}
     _merge_conf(conf2, {"spark.driver.extraJavaOptions": "-Xss8m"})
     assert conf2["spark.driver.extraJavaOptions"] == "-Xss8m"
+
+
+def test_scan_split_scales_with_input():
+    # round-9 measured wall: a 17 GB single-file lineitem scan at the
+    # miniature-good 4 MB splits is ~4300 tasks each re-parsing the
+    # multi-thousand-row-group footer — 167.9 s vs 14.2 s at 128 MB
+    # (2-column scan, local[32]).  The rule keeps miniature inputs at
+    # the 4 MB floor and reaches the 128 MB cluster default by sf100.
+    from ominimo_dynamic_data_pipeline_spark.session import (
+        auto_max_partition_bytes,
+    )
+
+    MB = 1 << 20
+    # miniature floor (sf0.1 ~40 MB, sf1 ~400 MB): unchanged posture
+    assert auto_max_partition_bytes(40 * MB, cpus=32) == 4 * MB
+    assert auto_max_partition_bytes(400 * MB, cpus=32) == 4 * MB
+    # growth region: ~4 waves across the cores
+    assert auto_max_partition_bytes(1800 * MB, cpus=32) == 1800 * MB // 128
+    # the measured sf100 point must land at the 128 MB cap
+    assert auto_max_partition_bytes(18 << 30, cpus=32) == 128 * MB
+    # monotone, never above the cluster default
+    prev = 0
+    for b in (0, 40 * MB, 1 << 30, 6 << 30, 18 << 30, 1 << 40):
+        cur = auto_max_partition_bytes(b, cpus=32)
+        assert prev <= cur <= 128 * MB
+        prev = cur
