@@ -944,29 +944,34 @@ def _copurchase_pairs(
     sf_dir: str,
     support: int = _COPURCHASE_SUPPORT,
     prefilter: bool = True,
-    rle_counting: bool = True,
+    rle_counting: bool = False,
 ) -> DataFrame:
     """(part_a, part_b, n_orders) for part pairs co-purchased in >=
     ``support`` orders — q97's output and the q108/q112 edge source.
 
-    Two scale levers, both output-preserving (hash-identical results):
+    Two scale levers, both output-preserving (hash-identical against the
+    DuckDB oracle at sf0.01/sf0.1 in all four on/off combinations):
 
-    - ``prefilter``: adaptive apriori part pruning before the basket
-      build (:func:`_apriori_prefilter`).
-    - ``rle_counting``: the pair-frequency aggregation groups by
+    - ``prefilter`` (DEFAULT ON): adaptive apriori part pruning before
+      the basket build (:func:`_apriori_prefilter`).  On this synthetic
+      data the census finds nothing to prune and the whole branch costs
+      ~1% (sf100: 223.8 s vs 221.5 s without) — cheap insurance that on
+      a real skewed corpus removes the rare-part tail from the quadratic
+      expansion entirely.
+    - ``rle_counting`` (measured and REJECTED as the default, kept for
+      skew/IO-bound deployments): group by
       ``(part_a, pmod(xxhash64(part_b), salt))`` collecting ``part_b``
-      lists and run-length-counting them JVM-side with array HOFs,
-      instead of ``groupBy(part_a, part_b).count()``.  Rationale: the
-      pair stream is ~Sigma(|basket|^2) rows (1.2B at sf100) and pairs
-      are nearly unique (sf1 census: 12.0M pair rows, 11.96M distinct,
-      20 with support >= 3), so partial-count combining removes almost
-      nothing and the exchange carries a full ~40-byte UnsafeRow per
-      pair.  Collecting part_b under (part_a, bucket) amortizes that to
-      ~8 bytes/element — the dominant exchange shrinks ~4x — and the
-      post-shuffle run-length scan emits only runs >= support, which is
-      almost nothing.  Counts stay exact: a (part_a, part_b) pair always
-      lands in one (part_a, bucket) row, and baskets are de-duplicated
-      before expansion, so run length == number of distinct orders.
+      lists and run-length-count them JVM-side with array HOFs, instead
+      of ``groupBy(part_a, part_b).count()``.  The theory — pairs are
+      nearly unique (sf1 census: 12.0M pair rows, 11.96M distinct, 20 at
+      support >= 3), so partial-count combining removes nothing and the
+      exchange carries ~40 bytes/pair that list-collection amortizes to
+      ~8 — is byte-true but LOSES on this CPU-saturated 32-thread
+      harness where the exchange rides page cache: sf30 100.1 s vs
+      82.3 s, sf100 516.7 s vs 379.6 s (round-9 probes, pre-split-fix
+      posture).  The collect_list buffers + per-element HOF evaluation
+      cost more CPU than the saved bytes buy back; a
+      bandwidth-constrained real cluster may trade the other way.
     """
     from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
         expand_member_pairs,

@@ -231,3 +231,50 @@ def test_distributed_ntile_rejects_nonpositive_buckets(spark):
     df = _rank_fixture(spark, n=10)
     with pytest.raises(ValueError, match="n_buckets"):
         scale.distributed_ntile(df, 0, [F.asc("id")])
+
+
+def test_copurchase_levers_are_output_preserving(spark, sf_dir):
+    # the two q97 scale levers (adaptive apriori prefilter; salted RLE
+    # pair counting) must be bit-identical to the plain shape in every
+    # combination — including on data where the prefilter really prunes
+    # (sf0.001/sf0.01 have parts in < 3 orders)
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        _copurchase_pairs,
+    )
+
+    cols = ["part_a", "part_b", "n_orders"]
+    base = _sorted_rows(
+        _copurchase_pairs(spark, sf_dir, prefilter=False, rle_counting=False),
+        cols,
+    )
+    assert base  # non-trivial fixture
+    for pf in (True, False):
+        for rle in (True, False):
+            got = _sorted_rows(
+                _copurchase_pairs(
+                    spark, sf_dir, prefilter=pf, rle_counting=rle
+                ),
+                cols,
+            )
+            assert got == base, (pf, rle)
+
+
+def test_apriori_prefilter_prunes_rare_parts(spark):
+    # micro-fixture with a genuinely infrequent part: the prefilter must
+    # drop it from the expansion without changing the frequent pairs
+    from ominimo_dynamic_data_pipeline_spark.queries.analytics import (
+        _apriori_prefilter,
+    )
+
+    rows = [(o, p) for o in range(1, 5) for p in (10, 20)]  # 10,20 in 4 orders
+    rows += [(1, 30)]  # part 30 appears once -> provably pair-free
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    out = _apriori_prefilter(li, support=3)
+    kept = {r["l_partkey"] for r in out.collect()}
+    assert kept == {10, 20}
+    # nothing-to-prune input comes back as the SAME frame (no join added)
+    dense = spark.createDataFrame(
+        [(o, p) for o in range(1, 5) for p in (10, 20)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    assert _apriori_prefilter(dense, support=3) is dense
