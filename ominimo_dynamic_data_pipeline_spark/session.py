@@ -83,6 +83,22 @@ _DEFAULTS: dict[str, str] = {
         "-XX:+UseParallelGC -Dderby.system.home=/tmp/spark-graft-derby"
     ),
     "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+    # RocksDB state-store tuning (round-9 measured pass, q141/q151 at
+    # sf30, 359 MB events source, auto-RocksDB posture, cold process per
+    # reading).  Changelog checkpointing uploads per-batch DELTAS instead
+    # of full SST snapshots: q141 46.2 -> 36.7 s, and is the documented
+    # production posture for large state.  trackTotalNumberOfRows costs
+    # one extra store lookup per put/delete purely to keep the
+    # numTotalStateRows metric exact; disabling it stacks to q141 32.1 s
+    # (-30%) / q151 46.4 -> 29.4 s (-37%).  Both knobs are result-neutral
+    # (metrics-only / checkpoint-format-only) and inert under the heap
+    # provider.  A stream's checkpoint must keep the changelog setting
+    # constant across restarts (Spark contract) — these are session-wide
+    # defaults, so that holds by construction.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows": "false",
     # Long multi-query sessions accumulate localCheckpoint / broadcast
     # blocks whose Py4J references the Python GC releases lazily; the
     # ContextCleaner only frees them after a JVM GC notices the refs are

@@ -157,3 +157,25 @@ def test_scan_split_scales_with_input():
         cur = auto_max_partition_bytes(b, cpus=32)
         assert prev <= cur <= 128 * MB
         prev = cur
+
+
+def test_rocksdb_state_store_tuning_pinned():
+    # round-9 measured pass (BENCH_r09 notes; sf30 events, cold process
+    # per reading): changelog checkpointing q141 46.2 -> 36.7 s; stacking
+    # trackTotalNumberOfRows=false -> 32.1 s (-30%), q151 46.4 -> 29.4 s
+    # (-37%).  Result-neutral; inert under the heap provider.
+    from ominimo_dynamic_data_pipeline_spark.session import _DEFAULTS
+
+    assert (
+        _DEFAULTS[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ]
+        == "true"
+    )
+    assert (
+        _DEFAULTS[
+            "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+        ]
+        == "false"
+    )
