@@ -130,6 +130,17 @@ def main() -> None:
     if errors:
         record["errors"] = errors
     print(json.dumps(record))
+    # bench results are materialized; reclaim the streaming sink/
+    # checkpoint scratch this session created (it otherwise accumulates
+    # across runs — measured 23 GB in round 9 — and starves shuffle disk)
+    try:
+        from ominimo_dynamic_data_pipeline_spark.streaming.ops import (
+            cleanup_scratch,
+        )
+
+        cleanup_scratch(spark)
+    except Exception:
+        pass
     spark.stop()
     if errors:
         raise SystemExit(1)

@@ -427,6 +427,39 @@ def dataset_bytes(sf_dir: str, table: str = "events.parquet") -> int:
 LAST_RUN_STATS: dict[str, dict] = {}
 
 
+def cleanup_scratch(spark: SparkSession | None = None) -> int:
+    """Delete this application's streaming scratch root (checkpoints +
+    per-batch sink parquet under ``$TMPDIR/spark_graft_streams/<appId>``)
+    and return the number of roots removed.
+
+    ``run_to_completion`` cannot clean up after itself — the DataFrame
+    it returns lazily READS the sink directory — so scratch outlives
+    each stream by design and a long harness session accumulates it
+    (round 9: 23 GB of probe scratch starved the sf100 soak's shuffle
+    space mid-query).  Call this once per session after results are
+    consumed: ``bench.py`` and ``tools/soak_heavy.py`` do.  With no
+    ``spark`` (or under Spark Connect), sweeps EVERY app's scratch —
+    only safe when no other local harness session is live."""
+    import shutil
+    import tempfile
+
+    root = Path(tempfile.gettempdir()) / "spark_graft_streams"
+    targets = []
+    if spark is not None:
+        try:
+            targets = [root / spark.sparkContext.applicationId]
+        except Exception:  # Spark Connect: no sparkContext handle
+            targets = []
+    if not targets:
+        targets = list(root.glob("*")) if root.is_dir() else []
+    n = 0
+    for t in targets:
+        if t.is_dir():
+            shutil.rmtree(t, ignore_errors=True)
+            n += 1
+    return n
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state."
     "RocksDBStateStoreProvider"

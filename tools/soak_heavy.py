@@ -70,6 +70,19 @@ def main() -> int:
                 )
         print(json.dumps({"summary": results}), flush=True)
     finally:
+        # scratch before stop: results are consumed (noop-written) by
+        # now, and leftover per-batch sink parquet + checkpoints from
+        # streaming queries starve the NEXT soak's shuffle space
+        # (measured round 9: 23 GB of accumulated scratch -> disk-full
+        # errors mid-sf100)
+        try:
+            from ominimo_dynamic_data_pipeline_spark.streaming.ops import (
+                cleanup_scratch,
+            )
+
+            cleanup_scratch(spark)
+        except Exception:
+            pass
         spark.stop()
     return 0
 
