@@ -170,11 +170,11 @@ def auto_shuffle_partitions(input_bytes: int) -> int:
 
 AUTO_SPLIT_FLOOR_BYTES = 4 << 20  # measured-good miniature scan splits
 AUTO_SPLIT_CAP_BYTES = 128 << 20  # Spark's cluster default
-AUTO_SPLIT_WAVES = 4  # target scan tasks ~= 4 waves across the cores
+AUTO_SPLIT_WAVES = 16  # target scan tasks ~= 16 waves across the cores
 
 
 def auto_max_partition_bytes(input_bytes: int, cpus: int | None = None) -> int:
-    """Scan-split size from estimated input bytes: aim at ~4 task waves
+    """Scan-split size from estimated input bytes: aim at ~16 task waves
     across the local cores, clamped to [4 MB, 128 MB].
 
     The static 4 MB local default restores scan parallelism on
@@ -183,11 +183,20 @@ def auto_max_partition_bytes(input_bytes: int, cpus: int | None = None) -> int:
     at 4 MB splits is ~4300 tasks, each re-reading and re-parsing the
     multi-thousand-row-group footer — 2-column lineitem scan 167.9 s vs
     14.2 s at 128 MB splits (round 9, BENCH_r09 notes; the hidden ~150 s
-    tax inside EVERY sf100 heavy query's round-8 reading).  The rule
-    keeps miniature inputs at the 4 MB floor (sf0.1 -> 4 MB, sf1 -> 4 MB)
-    and walks to the 128 MB cluster default as input grows (sf10
-    ~1.8 GB -> ~14 MB, sf30 ~5.4 GB -> ~42 MB, sf100 ~18 GB -> 128 MB).
-    ``SPARK_GRAFT_MAX_PARTITION_BYTES`` overrides."""
+    tax inside EVERY sf100 heavy query's round-8 reading).
+
+    The wave target is 16, NOT the throughput-optimal ~4: at 128 MB
+    splits each map task external-sorts multi-million-row join/agg
+    inputs, and the spill-then-merge transient DOUBLES per-task disk —
+    measured at sf100, q139's shuffle footprint grew past 52 GB and
+    ENOSPC'd the sandbox where the same query at 32 MB splits completes
+    in 341.5 s (vs 421.2 s at 4 MB and 480.4 s in round 8).  ~16 waves
+    keeps map inputs ~1M rows (no external sort), costs ~16 s of footer
+    tax on the largest single-file scan, and reaches the 128 MB cluster
+    default at >= 64 GB inputs where multi-file layouts amortize the
+    footer anyway.  sf0.1/sf1 stay at the 4 MB floor, sf10 ~1.8 GB ->
+    4 MB (round-8 posture unchanged), sf30 ~5.4 GB -> ~10 MB, sf100
+    ~18 GB -> ~36 MB.  ``SPARK_GRAFT_MAX_PARTITION_BYTES`` overrides."""
     if cpus is None:
         env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
         cpus = int(env_cpus) if env_cpus else (os.cpu_count() or 32)
