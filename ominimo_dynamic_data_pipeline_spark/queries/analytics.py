@@ -542,8 +542,16 @@ def q88_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation,
            EXTRACT(year FROM o.o_orderdate) AS order_year,
            COUNT(*) AS n_items,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS profit
+           -- round in DECIMAL space, then the VARCHAR->DOUBLE route.
+           -- The sf1 sweep found a TRUE half-case group (exact sum
+           -- ...711.075000): rounding the BINARY double (DuckDB ROUND,
+           -- sees ...0749999...) gives .07 while Spark's round() goes
+           -- through BigDecimal.valueOf's decimal-string semantics and
+           -- gives .08.  DECIMAL ROUND is exact half-away-from-zero in
+           -- DuckDB and Spark's decimal cast is HALF_UP — identical on
+           -- every value; the final cast uses strtod (correctly rounded)
+           CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS VARCHAR) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -576,14 +584,17 @@ def q89_product_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(
-                    (
-                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    ).cast("decimal(18,6)")
-                ).cast("double"),
-                2,
-            ).alias("profit"),
+            # round in DECIMAL space (HALF_UP cast == DuckDB's decimal
+            # ROUND half-away-from-zero for positive sums), then surface
+            # as double — see the oracle comment for the sf1 half-case
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            )
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("profit"),
         )
     )
 
@@ -923,12 +934,19 @@ def _apriori_prefilter(li: DataFrame, support: int) -> DataFrame:
 
 
 def _copurchase_sql_ctes(support: int = _COPURCHASE_SUPPORT) -> str:
+    # `pairs` is AS MATERIALIZED: DuckDB INLINES plain CTEs, so a
+    # consumer that references pairs (or anything derived from it) more
+    # than once re-evaluates the whole basket build per reference — the
+    # q108 oracle's weights/r0..r3 chain multiplied this ~2^iters times
+    # and spilled 58+ GB of DuckDB temp at sf1 (round-9 sweep ENOSPC),
+    # the exact oracle-side twin of the Spark lineage replay fixed the
+    # same round.  Materialization pins one evaluation.
     return f"""
     baskets AS (
         SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
         FROM lineitem GROUP BY l_orderkey
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT p1 AS part_a, p2 AS part_b, COUNT(*) AS n_orders
         FROM baskets, UNNEST(parts) AS t1(p1), UNNEST(parts) AS t2(p2)
         WHERE p1 < p2
@@ -1253,13 +1271,16 @@ def _q108_oracle() -> str:
         FROM weights w JOIN r{t - 1} r ON w.src = r.node
         GROUP BY w.dst
     ),
-    r{t} AS (
+    r{t} AS MATERIALIZED (
         SELECT n.node,
                {_Q108_BASE} + (85 * COALESCE(s.s, 0)) // 100 AS r
         FROM r{t - 1} n LEFT JOIN s{t} s USING (node)
     )"""
         )
     return (
+        # weights and every r_t are referenced 2-3x; MATERIALIZED stops
+        # DuckDB's CTE inlining from re-evaluating the chain per
+        # reference (see _copurchase_sql_ctes)
         f"""WITH {_COPURCHASE_SQL_CTES},
     edges AS (
         SELECT part_a AS src, part_b AS dst FROM pairs
@@ -1267,8 +1288,8 @@ def _q108_oracle() -> str:
         SELECT part_b AS src, part_a AS dst FROM pairs
     ),
     outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-    weights AS (SELECT e.src, e.dst, o.deg FROM edges e JOIN outdeg o USING (src)),
-    r0 AS (SELECT src AS node, CAST({_Q108_SCALE} AS BIGINT) AS r FROM outdeg),"""
+    weights AS MATERIALIZED (SELECT e.src, e.dst, o.deg FROM edges e JOIN outdeg o USING (src)),
+    r0 AS MATERIALIZED (SELECT src AS node, CAST({_Q108_SCALE} AS BIGINT) AS r FROM outdeg),"""
         + ",".join(its)
         + f"""
     SELECT node AS part, CAST(r AS BIGINT) AS pagerank FROM r{_Q108_ITERS}"""

@@ -171,7 +171,7 @@ def q70_priority_mix_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
     GROUP BY l_returnflag
@@ -365,7 +365,7 @@ def q75_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_mktsegment,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -462,7 +462,7 @@ def q78_status_priority_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_part('month', ts) AS m,
            date_part('day', ts)   AS d,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS total_value,
            (CASE WHEN d IS NULL THEN 1 ELSE 0 END
             + CASE WHEN m IS NULL THEN 1 ELSE 0 END
             + CASE WHEN y IS NULL THEN 1 ELSE 0 END) AS lvl
@@ -512,7 +512,7 @@ def q79_event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2)
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE), 2)
                AS total_price,
            MIN(o_orderdate) AS first_order,
            MAX(o_orderdate) AS last_order

@@ -85,15 +85,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           -- decimal sums surface as DOUBLE via the exact decimal STRING:
+           -- DuckDB's direct DECIMAL->DOUBLE cast divides int128 by
+           -- 10^scale in double space and lands 1 ulp off the correctly
+           -- rounded value once the sum passes ~16 significant digits
+           -- (found by the sf1 full-catalog sweep: sum_charge
+           -- ...941590 -> duckdb ...941593 vs spark/python ...94159);
+           -- strtod IS correctly rounded in both engines, and Spark's
+           -- Decimal.toDouble already is, so only the oracle changes
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
            SUM(l_quantity) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -132,8 +140,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o.o_orderkey,
            STRFTIME(o.o_orderdate, '%Y-%m-%d') AS order_date,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -179,8 +187,8 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_revenue_by_nation",
     """
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lineitems
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -308,10 +316,10 @@ def q06_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey,
            STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS running_spend,
            LAG(o_totalprice) OVER w AS prev_price,
            LEAD(o_totalprice) OVER w AS next_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS VARCHAR) AS DOUBLE)
                / COUNT(*) OVER w3 AS avg_3
     FROM orders
     WINDOW w AS (
@@ -379,7 +387,7 @@ def q08_customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name,
            COUNT(*) AS n_customers,
            COUNT(DISTINCT c.c_mktsegment) AS n_segments,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_balance,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_balance,
            MAX(c.c_acctbal) AS max_balance,
            MIN(c.c_acctbal) AS min_balance
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -413,7 +421,7 @@ def q09_nation_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -969,7 +977,7 @@ def q17_part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS order_quarter,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
            MIN(STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d')) AS month_start,
            MAX(CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)) AS max_days_since_epoch
     FROM orders
@@ -1072,7 +1080,7 @@ def q20_all_account_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -1084,7 +1092,7 @@ def q39_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                    AS total_price
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -1389,12 +1397,12 @@ def q45_trailing_spend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
            COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
            COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
-           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS rev_f,
-           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS rev_o,
-           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS rev_p
+           CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F'), 0) AS VARCHAR) AS DOUBLE) AS rev_f,
+           CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O'), 0) AS VARCHAR) AS DOUBLE) AS rev_o,
+           CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'P'), 0) AS VARCHAR) AS DOUBLE) AS rev_p
     FROM orders
     GROUP BY o_orderpriority
     """,

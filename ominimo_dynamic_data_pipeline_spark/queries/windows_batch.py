@@ -42,7 +42,7 @@ _TUMBLING_SQL = """
                AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS value_sum
     FROM events
     GROUP BY window_start, event_type
     """
@@ -249,7 +249,7 @@ def q115_streaming_attribution_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     "q116_streaming_stateful_totals_e2e",
     """
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS VARCHAR) AS DOUBLE)
                AS value_sum
     FROM events GROUP BY user_id
     """,
@@ -345,7 +345,7 @@ def q130_streaming_incremental_dedup_e2e(
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            c.c_mktsegment,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS value_sum
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY window_start, c.c_mktsegment
     """,
@@ -387,7 +387,7 @@ def q131_streaming_enrichment_e2e(
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS value_sum
     FROM events
     GROUP BY event_type
     """,
@@ -1009,7 +1009,7 @@ def q201_streaming_funnel_e2e(
     "q202_streaming_totals_rocksdb_e2e",
     """
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS VARCHAR) AS DOUBLE)
                AS value_sum
     FROM events GROUP BY user_id
     """,
