@@ -1296,6 +1296,25 @@ def rrf_fuse(
     )
 
 
+def duck_round(x: float, d: int) -> float:
+    """DuckDB's ROUND(double, d) exactly: std::round(x * 10^d) / 10^d —
+    multiply FIRST (whose own double rounding can land exactly on .5),
+    then half away from zero.  Spark's F.round instead goes through
+    BigDecimal.valueOf's shortest-decimal-string semantics, and the two
+    diverge on boundary doubles (the round-9 sf1 sweep caught an
+    mmr_score where the multiply crossed the half: 0.4146 vs 0.4147) —
+    any value that must hash-match a DuckDB ROUND must use THIS."""
+    import math as _math
+
+    p = 10.0 ** d
+    v = x * p
+    f = float(_math.floor(v))
+    frac = v - f
+    if frac > 0.5 or (frac == 0.5 and v > 0.0):
+        f += 1.0
+    return f / p
+
+
 def mmr_rerank(
     candidates: DataFrame,
     vectors: DataFrame,
@@ -1305,6 +1324,7 @@ def mmr_rerank(
     vec_col: str = "embedding",
     rel_col: str = "rel",
     sim_round_to: int | None = None,
+    score_round_to: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998): greedily pick k results per query maximizing
@@ -1368,6 +1388,7 @@ def mmr_rerank(
     kk = int(k)
     rel_name = rel_col
     sim_q = None if sim_round_to is None else int(sim_round_to)
+    score_q = None if score_round_to is None else int(score_round_to)
     # duplicate (query, id) candidate rows would let the greedy loop
     # pick the same neighbor twice (defeating diversification) —
     # collapse to the max relevance, mirroring rrf_fuse's dedupe
@@ -1425,20 +1446,9 @@ def mmr_rerank(
 
             import math as _math
 
-            # DuckDB ROUND(double, d) is std::round(x * 10^d) / 10^d —
-            # HALF AWAY FROM ZERO.  Python's round() is half-even, which
-            # diverges on exact half-points (round(0.15625, 4) = 0.1562
-            # vs DuckDB 0.1563) and would break the bit-for-bit trace
-            # claim — so replicate DuckDB's arithmetic exactly.
-            def duck_round(x, d):
-                p = 10.0 ** d
-                v = x * p
-                f = float(_math.floor(v))
-                frac = v - f
-                if frac > 0.5 or (frac == 0.5 and v > 0.0):
-                    f += 1.0
-                return f / p
-
+            # penalty cosines quantize with DuckDB ROUND semantics —
+            # module-level duck_round (round-9: also applied to the
+            # final score via score_round_to)
             nrm_s = [(_math.sqrt(sdot(r, r)) or 1.0) for r in rows_v]
             sims = np.zeros((n, n), dtype=np.float64)
             for i in range(n):
@@ -1464,9 +1474,12 @@ def mmr_rerank(
                     best_key, best_i = key, i
             selected.append(best_i)
             remaining.remove(best_i)
-            rows.append(
-                (qid, int(ids[best_i]), float(best_key[0]), len(selected))
-            )
+            score = float(best_key[0])
+            if score_q is not None:
+                # DuckDB ROUND semantics so the oracle's final
+                # ROUND(score, d) is bit-identical (see duck_round)
+                score = duck_round(score, score_q)
+            rows.append((qid, int(ids[best_i]), score, len(selected)))
         return pd.DataFrame(
             rows,
             columns=["query_id", "neighbor_id", "mmr_score", "mmr_rank"],

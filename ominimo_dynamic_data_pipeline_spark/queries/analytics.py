@@ -146,7 +146,12 @@ def q81_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rev AS (
         SELECT r.r_name AS region, n.n_name AS nation,
                EXTRACT(year FROM o.o_orderdate) AS order_year,
-               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+               -- exact DECIMAL accumulation: a raw double SUM is
+               -- order-dependent and the sf1 sweep caught 5 groups
+               -- whose last-ulp difference crossed the round(2)
+               -- boundary; decimal round + strtod route as in q89/q01
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6))) AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -154,9 +159,11 @@ def q81_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name, n.n_name, EXTRACT(year FROM o.o_orderdate))
     SELECT region, nation, CAST(order_year AS BIGINT) AS order_year,
-           ROUND(revenue, 2) AS revenue,
-           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region, order_year),
-                 6) AS share
+           CAST(CAST(ROUND(revenue, 2) AS VARCHAR) AS DOUBLE) AS revenue,
+           ROUND(CAST(CAST(revenue AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(revenue) OVER (
+                       PARTITION BY region, order_year) AS VARCHAR)
+                    AS DOUBLE), 6) AS share
     FROM rev
     """,
 )
@@ -183,9 +190,14 @@ def q82_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("order_year"),
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            # exact decimal accumulation (see the oracle comment): the
+            # raw double SUM diverged by 1 ulp from DuckDB on 5 sf1
+            # groups, crossing the round(2) boundary
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            ).alias("revenue")
         )
     )
     w = Window.partitionBy("region", "order_year")
@@ -193,8 +205,14 @@ def q82_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region",
         "nation",
         "order_year",
-        F.round("revenue", 2).alias("revenue"),
-        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+        F.col("revenue").cast("decimal(38,2)").cast("double").alias(
+            "revenue"
+        ),
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(w).cast("double"),
+            6,
+        ).alias("share"),
     )
 
 

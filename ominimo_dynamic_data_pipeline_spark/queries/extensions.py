@@ -1356,7 +1356,12 @@ def q156_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q188_symspell_name_pairs",
     """
     WITH n AS (
-        SELECT c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        -- DISTINCT mirrors the operator's value-pair semantics: the
+        -- sf1 sweep found repeated names (the upscaled copies reuse
+        -- c_name), and a raw self-join multiplies each value pair by
+        -- the product of its duplicate counts (exactly 100x at sf1's
+        -- 10 copies) while symspell_pairs dedups values up front
+        SELECT DISTINCT c_name FROM customer WHERE c_mktsegment = 'BUILDING'
     )
     SELECT a.c_name AS name_a, b.c_name AS name_b,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

@@ -2804,6 +2804,7 @@ def q145_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # max_df * |postings|.  Oracle: the same posting-df window + self-join.
 # --------------------------------------------------------------------------
 _Q146_MAX_DF, _Q146_THRESHOLD = 10, 0.5
+_Q146_MAX_PAIRS = 2_000_000  # mirrors shingle_join_candidates' default
 
 
 @query(
@@ -2816,7 +2817,31 @@ _Q146_MAX_DF, _Q146_THRESHOLD = 10, 0.5
         SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
         FROM posts
     ),
-    rare AS (SELECT doc_id, gram FROM tagged WHERE df <= {_Q146_MAX_DF}),
+    rare0 AS (
+        SELECT doc_id, gram, df FROM tagged WHERE df <= {_Q146_MAX_DF}
+    ),
+    -- mirror of pair_budget_cutoff (llm/dedup.py): smallest dfs keep
+    -- first; the first df whose cumulative pair mass overflows the
+    -- max_pairs budget sheds itself and every larger df.  The sf1
+    -- sweep caught the unmirrored shed (spark 2520 vs oracle 2560 —
+    -- the sf0.01 gate never trips the budget, sf1 does)
+    histo AS (
+        SELECT df AS n, COUNT(DISTINCT gram) AS grams
+        FROM rare0 GROUP BY df
+    ),
+    cum AS (
+        SELECT n,
+               SUM(n * (n - 1) // 2 * grams) OVER (
+                   ORDER BY n
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_pairs
+        FROM histo
+    ),
+    cut AS (SELECT MIN(n) AS c FROM cum WHERE cum_pairs > {_Q146_MAX_PAIRS}),
+    rare AS (
+        SELECT doc_id, gram FROM rare0
+        WHERE df < COALESCE((SELECT c FROM cut), df + 1)
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM rare a JOIN rare b
@@ -2845,7 +2870,8 @@ def q146_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variant measures SLOWER same-session (sf1: 10.7 -> 12.3 s; see
     # containment_near_dups's docstring for why recompute wins here)
     return D.containment_near_dups(
-        d, max_df=_Q146_MAX_DF, threshold=_Q146_THRESHOLD
+        d, max_df=_Q146_MAX_DF, threshold=_Q146_THRESHOLD,
+        max_pairs=_Q146_MAX_PAIRS,
     )
 
 
@@ -3535,9 +3561,15 @@ def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = S.brute_force_topk(e, q, k=_Q160_POOL, round_to=4).select(
         "query_id", "neighbor_id", F.col("cos").alias("rel")
     )
+    # score_round_to replaces the old F.round(mmr_score, 4): Spark's
+    # F.round (BigDecimal shortest-string HALF_UP) and DuckDB's ROUND
+    # (multiply-then-half-away) diverge on boundary doubles — the sf1
+    # sweep caught one (0.4146 vs 0.4147); the kernel now applies
+    # DuckDB-exact rounding itself (similarity.duck_round)
     return mmr_rerank(
-        pool, e, k=_Q160_K, lambda_=_Q160_LAMBDA, sim_round_to=4
-    ).withColumn("mmr_score", F.round("mmr_score", 4))
+        pool, e, k=_Q160_K, lambda_=_Q160_LAMBDA,
+        sim_round_to=4, score_round_to=4,
+    )
 
 
 # --------------------------------------------------------------------------
