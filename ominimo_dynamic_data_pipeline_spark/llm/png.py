@@ -31,6 +31,13 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # channels per pixel, by PNG color type (8-bit depth only)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Hard ceiling on decoded (post-filter) bytes per payload: a hostile
+# stream can pair a tiny IDAT with enormous IHDR dims (zlib bomb) and
+# would otherwise exhaust an executor worker's memory before the size
+# check runs.  256 MiB comfortably covers the documented scope (KB..MB
+# payloads); raise it explicitly for a corpus of genuinely huge frames.
+MAX_DECODED_BYTES = 256 * 1024 * 1024
+
 
 def is_png(payload: bytes) -> bool:
     return bytes(payload[:8]) == PNG_SIGNATURE
@@ -66,6 +73,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
         chunk = data[pos + 8 : pos + 8 + length]
         if len(chunk) != length:
             raise ValueError("truncated PNG chunk")
+        crc_bytes = data[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise ValueError("truncated PNG chunk CRC")
+        if struct.unpack(">I", crc_bytes)[0] != zlib.crc32(ctype + chunk):
+            raise ValueError(
+                f"PNG chunk CRC mismatch in {ctype.decode('latin1')!r}"
+            )
         pos += 12 + length  # length + type + data + CRC
         if ctype == b"IHDR":
             (width, height, bit_depth, color_type, _comp, _filt,
@@ -93,12 +107,31 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
     if width == 0 or height == 0:
         raise ValueError("zero-dimension PNG")
     channels = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    if expected > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG decoded size {expected} bytes exceeds "
+            f"MAX_DECODED_BYTES ({MAX_DECODED_BYTES}) — "
+            f"{width}x{height}x{channels} is outside the documented "
+            "payload scope (zlib-bomb guard)"
+        )
+    # Bounded inflate: never materialize more than `expected` bytes no
+    # matter what the IDAT stream claims — a stream that would overflow
+    # errors here instead of allocating, and a short one fails the size
+    # check below.
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected)
+    if dec.unconsumed_tail or (
+        not dec.eof and dec.decompress(b"", 1)
+    ):
+        raise ValueError(
+            f"PNG pixel data overflows expected {expected} bytes"
+        )
+    if len(raw) != expected:
         raise ValueError(
             f"PNG pixel data size mismatch: got {len(raw)} bytes, "
-            f"expected {(stride + 1) * height}"
+            f"expected {expected}"
         )
     out = bytearray(stride * height)
     prev_start = -1  # start of previous reconstructed row in `out`

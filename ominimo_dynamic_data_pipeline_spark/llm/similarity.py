@@ -1315,6 +1315,43 @@ def duck_round(x: float, d: int) -> float:
     return f / p
 
 
+def duck_round_expr(col: Column | str, d: int = 0) -> Column:
+    """`duck_round` as a pure-JVM Column expression — DuckDB's
+    ROUND(double, d) bit-exactly, inside whole-stage codegen (no UDF,
+    no Arrow hop).
+
+    Why it is exact: with v = x * 10^d (the same IEEE multiply DuckDB
+    performs), `v - floor(v)` is computed EXACTLY in doubles — for
+    |v| >= 1 Sterbenz's lemma applies (floor(v) is within [v/2, 2v]),
+    and for |v| < 1 floor(v) is 0 or -1, both exact — so the
+    half-away-from-zero tie test below sees the true fractional part,
+    matching std::round(v) for every finite double with |v| < 2^52.
+    For |v| >= 2^52, v is already integral and std::round(v) == v, so
+    the result is v / 10^d; that branch also keeps F.floor's LongType
+    from overflowing.  NaN passes through (DuckDB: round(NaN) = NaN),
+    and NULL propagates through the arithmetic.
+
+    Use this, not F.round, for any final double that must hash-match a
+    DuckDB `ROUND(double, d)` oracle: F.round goes through
+    BigDecimal.valueOf's shortest-decimal-string HALF_UP and diverges
+    from DuckDB on boundary doubles (the round-9 sf1 sweep caught one).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("double")
+    p = F.lit(float(10.0 ** d))
+    v = c * p
+    f = F.floor(v).cast("double")
+    frac = v - f
+    rounded = F.when(
+        (frac > 0.5) | ((frac == 0.5) & (v > 0.0)), f + 1.0
+    ).otherwise(f)
+    return (
+        F.when(F.isnan(v) | (F.abs(v) >= F.lit(2.0 ** 52)), v)
+        .otherwise(rounded)
+        / p
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     vectors: DataFrame,

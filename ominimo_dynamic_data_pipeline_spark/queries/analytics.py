@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 from ominimo_dynamic_data_pipeline_spark.functions.sketches import CountMinSketch
 from ominimo_dynamic_data_pipeline_spark.llm.text import tokens
 from ominimo_dynamic_data_pipeline_spark.queries.llm import SQL_TOKS
+from ominimo_dynamic_data_pipeline_spark.llm.similarity import duck_round_expr
 from ominimo_dynamic_data_pipeline_spark.queries.tables import (
     exact_str_double,
     load_table,
@@ -100,7 +101,7 @@ def q80_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
+        duck_round_expr(
             F.avg(-F.log((F.col("c") + 1.0) / (F.col("ctx") + F.col("v")))), 5
         ).alias("avg_neg_logp"),
     )
@@ -129,7 +130,29 @@ _Q81_SQL = """
 @query("q81_above_brand_avg", _Q81_SQL.format(part="part"))
 def q81_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v81")
-    return spark.sql(_Q81_SQL.format(part="part_v81"))
+    # The correlated-subquery decorrelation is the feature under test, so
+    # the SQL text stays shared with the oracle — but the final double
+    # ROUNDs move out to duck_round_expr (Spark's SQL ROUND is BigDecimal
+    # HALF_UP; DuckDB's is multiply-then-half-away — boundary doubles
+    # diverge), applied on top of the raw columns the subquery produces.
+    raw = spark.sql(
+        """
+        SELECT p_partkey, p_brand, rp, brand_avg
+        FROM (
+            SELECT p.p_partkey, p.p_brand,
+                   p.p_retailprice AS rp,
+                   (SELECT AVG(p2.p_retailprice) FROM part_v81 p2
+                    WHERE p2.p_brand = p.p_brand) AS brand_avg
+            FROM part_v81 p)
+        WHERE rp > 1.05 * brand_avg
+        """
+    )
+    return raw.select(
+        "p_partkey",
+        "p_brand",
+        duck_round_expr(F.col("rp"), 2).alias("retail"),
+        duck_round_expr(F.col("brand_avg"), 4).alias("brand_avg"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -208,7 +231,7 @@ def q82_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("decimal(38,2)").cast("double").alias(
             "revenue"
         ),
-        F.round(
+        duck_round_expr(
             F.col("revenue").cast("double")
             / F.sum("revenue").over(w).cast("double"),
             6,
@@ -266,8 +289,8 @@ def q83_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.min("med"), 4).alias("med_chars"),
-            F.round(F.min("mad"), 4).alias("mad_chars"),
+            duck_round_expr(F.min("med"), 4).alias("med_chars"),
+            duck_round_expr(F.min("mad"), 4).alias("mad_chars"),
             F.sum(
                 F.when(
                     F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
@@ -324,7 +347,7 @@ def q84_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("source").agg(
         F.min("n_docs").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).alias("n_langs"),
-        F.round(F.sum("term"), 6).alias("lang_entropy"),
+        duck_round_expr(F.sum("term"), 6).alias("lang_entropy"),
         F.max("ranked").getField("lang").alias("dominant_lang"),
     )
 
@@ -399,7 +422,7 @@ def q85_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("dup").alias("dup_chunks"),
-            F.round(F.sum("dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
+            duck_round_expr(F.sum("dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
         )
     )
 
@@ -469,18 +492,27 @@ def q87_pipe_revenue_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFram
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "lineitem_v87"
     )
-    return spark.sql(
+    # Pipe syntax is the feature under test; the final double ROUNDs move
+    # out of the SQL text to duck_round_expr so the hash matches DuckDB's
+    # ROUND on boundary doubles too (Spark SQL ROUND is BigDecimal
+    # HALF_UP; DuckDB's is multiply-then-half-away-from-zero).
+    raw = spark.sql(
         """
         FROM lineitem_v87
         |> WHERE l_shipdate <= :cutoff
         |> AGGREGATE COUNT(*) AS n_items,
-                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                         AS revenue,
-                     ROUND(AVG(l_discount), 6) AS avg_discount
+                     SUM(l_extendedprice * (1 - l_discount)) AS revenue_raw,
+                     AVG(l_discount) AS avg_discount_raw
            GROUP BY l_returnflag
-        |> SELECT l_returnflag, n_items, revenue, avg_discount
+        |> SELECT l_returnflag, n_items, revenue_raw, avg_discount_raw
         """,
         args={"cutoff": "1998-09-02"},
+    )
+    return raw.select(
+        "l_returnflag",
+        "n_items",
+        duck_round_expr(F.col("revenue_raw"), 2).alias("revenue"),
+        duck_round_expr(F.col("avg_discount_raw"), 6).alias("avg_discount"),
     )
 
 
@@ -742,8 +774,8 @@ def q95_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             "n_events",
-            F.round("mean7", 6).alias("mean7"),
-            F.round(z, 6).alias("zscore"),
+            duck_round_expr("mean7", 6).alias("mean7"),
+            duck_round_expr(z, 6).alias("zscore"),
             (F.abs(z) >= 2).alias("is_anomaly"),
         )
     )
@@ -802,7 +834,7 @@ def q96_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < p)
         .select(
             "doc_id", "lang", "source", "n_tokens",
-            F.round(p, 6).alias("keep_p"),
+            duck_round_expr(p, 6).alias("keep_p"),
         )
     )
 
@@ -874,7 +906,7 @@ def q132_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=_TM_ALPHA, budget=_TM_BUDGET, seed=_TM_SEED, mod=_TM_MOD,
     )
     return out.select(
-        "doc_id", "lang", F.round("keep_p", 6).alias("keep_p")
+        "doc_id", "lang", duck_round_expr("keep_p", 6).alias("keep_p")
     )
 
 
@@ -922,26 +954,34 @@ def _apriori_prefilter(li: DataFrame, support: int) -> DataFrame:
     """
     from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
         _persist_tracked,
+        release_persisted,
     )
 
+    # Persist the CENSUS itself (one row per part — tiny next to
+    # lineitem): the count below materializes it, and BOTH prune
+    # branches then derive from the cached frame, so neither re-runs
+    # the groupBy at execution time.  (Previously the semi branch
+    # joined an unpersisted `freq` — recomputing the census — while a
+    # persisted `infrequent` frame backed nothing in the returned
+    # plan.)
     freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_n"))
-    infrequent = freq.filter(F.col("_n") < support).select("l_partkey")
-    infrequent.persist()
+    # Persisted under the dedup registry slot (released like the other
+    # operator intermediates) — the returned lazy result reads it.
+    _persist_tracked("apriori_prefilter", freq)
     try:
-        n_infrequent = infrequent.count()
+        n_infrequent = freq.filter(F.col("_n") < support).count()
     except Exception:
-        infrequent.unpersist(blocking=False)
+        release_persisted("apriori_prefilter")
         raise
     if n_infrequent == 0:
-        infrequent.unpersist(blocking=False)
+        release_persisted("apriori_prefilter")
         return li
-    # Keep the tail persisted under the dedup registry slot (released
-    # like the other operator intermediates) — the lazy result reads it.
-    _persist_tracked("apriori_prefilter", infrequent)
     if n_infrequent <= _APRIORI_BROADCAST_MAX:
         # small tail: broadcast anti-join, no lineitem exchange
         return li.join(
-            F.broadcast(infrequent), on="l_partkey", how="left_anti"
+            F.broadcast(freq.filter(F.col("_n") < support).select("l_partkey")),
+            on="l_partkey",
+            how="left_anti",
         )
     # huge tail = huge pruning: a lineitem exchange pays for itself
     return li.join(
@@ -1253,8 +1293,8 @@ def q100_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         "n_rows",
-        F.round(ex[1], 6).alias("exact_p50"),
-        F.round(ex[4], 6).alias("exact_p95"),
+        duck_round_expr(ex[1], 6).alias("exact_p50"),
+        duck_round_expr(ex[4], 6).alias("exact_p95"),
         ((ap[0] >= ex[0]) & (ap[0] <= ex[2])).alias("p50_within_tol"),
         ((ap[1] >= ex[3]) & (ap[1] <= ex[5])).alias("p95_within_tol"),
     )
@@ -1687,7 +1727,7 @@ def q117_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         probs.groupBy("event_type")
         .agg(
-            F.round(
+            duck_round_expr(
                 F.sum(
                     (F.col("p_cur") - F.col("p_ref"))
                     * F.log(F.col("p_cur") / F.col("p_ref"))
@@ -1810,8 +1850,8 @@ def q121_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = F.col("ex")
     return merged.crossJoin(F.broadcast(exact)).select(
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.round(ex[1], 6).alias("exact_p50"),
-        F.round(ex[4], 6).alias("exact_p95"),
+        duck_round_expr(ex[1], 6).alias("exact_p50"),
+        duck_round_expr(ex[4], 6).alias("exact_p95"),
         (
             (F.kll_sketch_get_quantile_double("sk", F.lit(0.5)) >= ex[0])
             & (F.kll_sketch_get_quantile_double("sk", F.lit(0.5)) <= ex[2])
@@ -2329,7 +2369,7 @@ def q169_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         li.filter(F.col("l_extendedprice") > 0)
         .select(
-            F.round(F.col("l_extendedprice") * 100, 0)
+            duck_round_expr(F.col("l_extendedprice") * 100, 0)
             .cast("bigint")
             .alias("cents")
         )
@@ -2533,9 +2573,9 @@ def q174_event_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_gaps",
         "mean_gap_s",
-        F.round(F.col("pcts")[0], 6).alias("p50_s"),
-        F.round(F.col("pcts")[1], 6).alias("p90_s"),
-        F.round(F.col("pcts")[2], 6).alias("p99_s"),
+        duck_round_expr(F.col("pcts")[0], 6).alias("p50_s"),
+        duck_round_expr(F.col("pcts")[1], 6).alias("p90_s"),
+        duck_round_expr(F.col("pcts")[2], 6).alias("p99_s"),
     )
 
 
@@ -2636,8 +2676,8 @@ def q177_cohort_conversion_latency(
         "n_converted",
         "conversion_rate",
         "mean_days",
-        F.round(F.col("pcts")[0], 6).alias("p50_days"),
-        F.round(F.col("pcts")[1], 6).alias("p90_days"),
+        duck_round_expr(F.col("pcts")[0], 6).alias("p50_days"),
+        duck_round_expr(F.col("pcts")[1], 6).alias("p90_days"),
     )
 
 
@@ -2913,7 +2953,7 @@ def q187_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_retailprice",
         "p_size",
-        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+        duck_round_expr(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
     )
     return pareto_frontier(
         p, minimize_col="cents", maximize_col="p_size", by=("p_brand",)
@@ -3124,7 +3164,7 @@ def q193_winsorized_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q194_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    cents_row = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents_row = duck_round_expr(F.col("o_totalprice") * 100).cast("bigint")
 
     def snap(cutoff: str) -> DataFrame:
         return (

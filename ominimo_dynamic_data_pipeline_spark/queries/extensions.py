@@ -23,6 +23,7 @@ from ominimo_dynamic_data_pipeline_spark.operators.bloom import (
 )
 from ominimo_dynamic_data_pipeline_spark.queries.llm import SQL_TOKS
 from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+from ominimo_dynamic_data_pipeline_spark.llm.similarity import duck_round_expr
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -83,7 +84,7 @@ def q68_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(price > 250000).alias("big_cnt"),
         F.bool_and(price > 0).alias("all_positive"),
         F.bool_or(price > 400000).alias("any_giant"),
-        F.round(F.median(price), 2).alias("med_price"),
+        duck_round_expr(F.median(price), 2).alias("med_price"),
         F.max_by(key, F.struct(price, key)).alias("top_order"),
         F.min_by(key, F.struct(price, key)).alias("bottom_order"),
     )
@@ -112,8 +113,8 @@ def q69_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_mktsegment",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        duck_round_expr(F.percent_rank().over(w), 6).alias("pct_rank"),
+        duck_round_expr(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("c_custkey", 3).over(w).alias("third_poorest"),
     )
 
@@ -290,7 +291,7 @@ def q73_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = doc_toks.join(counts, "token").crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg(-F.log(F.col("cnt") / F.col("tot"))), 5).alias(
+        duck_round_expr(F.avg(-F.log(F.col("cnt") / F.col("tot"))), 5).alias(
             "avg_neg_logp"
         ),
     )
@@ -348,7 +349,7 @@ def q75_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         expl.groupBy("label", (F.col("dim0") + 1).alias("dim"))
         .agg(
-            F.round(F.avg("val"), 6).alias("centroid"),
+            duck_round_expr(F.avg("val"), 6).alias("centroid"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
@@ -422,7 +423,7 @@ def q77_blocklist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("tk").cast("bigint").alias("n_tokens"),
         F.col("hits").cast("bigint").alias("block_hits"),
-        F.round(ratio, 6).alias("block_ratio"),
+        duck_round_expr(ratio, 6).alias("block_ratio"),
         (ratio > 0.05).alias("flagged"),
     )
 
@@ -540,7 +541,7 @@ def q103_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(path).filter(F.col("o_orderstatus") == "O")
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(
+        duck_round_expr(
             F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double"),
             2,
         ).alias("total_price"),
@@ -688,7 +689,7 @@ def q107_custom_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        F.sum(duck_round_expr(F.col("value") * 100, 0).cast("bigint"))
         .cast("bigint")
         .alias("total_cents"),
         F.min("ts").alias("first_ts"),
@@ -974,7 +975,7 @@ def q135_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "c_custkey",
         "s_suppkey",
-        F.round("score", 4).alias("score"),
+        duck_round_expr("score", 4).alias("score"),
         tier.alias("tier"),
     )
 
@@ -1025,7 +1026,7 @@ def q140_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     loo = F.when(
         F.col("cnt") > 1,
-        F.round(
+        duck_round_expr(
             (F.col("seg_sum") - F.col("t")).cast("double")
             / (F.col("cnt") - 1),
             4,
@@ -1228,7 +1229,7 @@ def q124_gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         "seg",
         F.date_format("d", "yyyy-MM-dd").alias("d"),
         "interpolated",
-        F.round(F.col("rev"), 4).alias("revenue"),
+        duck_round_expr(F.col("rev"), 4).alias("revenue"),
     )
 
 
@@ -1444,7 +1445,7 @@ def q196_deletion_cascade_audit(
 
     del_c = c.where(F.col("c_custkey") % 97 == 0).select(
         "c_custkey",
-        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        duck_round_expr(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
     )
     del_o = o.join(
         F.broadcast(del_c.select("c_custkey")),
@@ -1452,14 +1453,14 @@ def q196_deletion_cascade_audit(
         "left_semi",
     ).select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        duck_round_expr(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
     del_l = li.join(
         F.broadcast(del_o.select("o_orderkey")),
         li.l_orderkey == del_o.o_orderkey,
         "left_semi",
     ).select(
-        F.round(F.col("l_extendedprice") * 100)
+        duck_round_expr(F.col("l_extendedprice") * 100)
         .cast("bigint")
         .alias("cents")
     )
@@ -1555,11 +1556,11 @@ def q199_invoice_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+        duck_round_expr(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
     )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t"),
+        duck_round_expr(F.col("o_totalprice") * 100).cast("bigint").alias("t"),
     )
     j = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_linenumber", "w", "t"
@@ -1636,7 +1637,7 @@ def q200_discount_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w")
+        duck_round_expr(F.col("l_extendedprice") * 100).cast("bigint").alias("w")
     )
     sc = F.explode(
         F.array(*[F.lit(b) for b in _Q200_SCENARIOS])

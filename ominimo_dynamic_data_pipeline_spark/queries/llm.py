@@ -21,6 +21,7 @@ from ominimo_dynamic_data_pipeline_spark.llm import dedup as D
 from ominimo_dynamic_data_pipeline_spark.llm import multimodal as M
 from ominimo_dynamic_data_pipeline_spark.llm import similarity as S
 from ominimo_dynamic_data_pipeline_spark.llm import text as T
+from ominimo_dynamic_data_pipeline_spark.llm.similarity import duck_round_expr
 from ominimo_dynamic_data_pipeline_spark.queries.tables import (
     exact_str_double,
     load_table,
@@ -118,12 +119,12 @@ def q21_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(
+        duck_round_expr(
             F.when(n_tokens > 0, (n_chars - n_tokens + 1.0) / n_tokens), 6
         ).alias("avg_token_len"),
-        F.round(punct / F.nullif(n_chars, F.lit(0)), 6).alias("punct_ratio"),
-        F.round(digits / F.nullif(n_chars, F.lit(0)), 6).alias("digit_ratio"),
-        F.round(stop_hits / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
+        duck_round_expr(punct / F.nullif(n_chars, F.lit(0)), 6).alias("punct_ratio"),
+        duck_round_expr(digits / F.nullif(n_chars, F.lit(0)), 6).alias("digit_ratio"),
+        duck_round_expr(stop_hits / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
     )
 
 
@@ -206,7 +207,7 @@ def q23_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     out = T.tf_idf(d, top_k_per_doc=3)
-    return out.withColumn("tfidf", F.round("tfidf", 6)).withColumn(
+    return out.withColumn("tfidf", duck_round_expr("tfidf", 6)).withColumn(
         "rn", F.col("rn").cast("bigint")
     )
 
@@ -292,7 +293,7 @@ def q26_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, threshold=0.5, cache_shingles=True,
         max_bucket_size=MINHASH_MAX_BUCKET,
     )
-    return out.withColumn("jaccard", F.round("jaccard", 6))
+    return out.withColumn("jaccard", duck_round_expr("jaccard", 6))
 
 
 # --------------------------------------------------------------------------
@@ -407,7 +408,7 @@ def q28_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=_LSH_TABLES,
         max_bucket_size=EMBEDDING_MAX_BUCKET,
     )
-    return out.withColumn("cos", F.round("cos", 4)).filter(F.col("cos") >= 0.45)
+    return out.withColumn("cos", duck_round_expr("cos", 4)).filter(F.col("cos") >= 0.45)
 
 
 # --------------------------------------------------------------------------
@@ -623,7 +624,7 @@ def q32_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         *[
-            F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
+            duck_round_expr(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
             for i in range(M.FEATURE_DIM)
         ],
     )
@@ -671,7 +672,7 @@ def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.2)
-        .withColumn("jaccard", F.round("jaccard", 6))
+        .withColumn("jaccard", duck_round_expr("jaccard", 6))
     )
 
 
@@ -1347,7 +1348,7 @@ def q58_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "scale",
         *[F.col("codes")[i].alias(f"c{i}") for i in range(4)],
-        F.round("l2_err", 6).alias("l2_err"),
+        duck_round_expr("l2_err", 6).alias("l2_err"),
     )
 
 
@@ -2939,7 +2940,7 @@ def q147_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("_df") > 1).alias("n_shared"),
         )
         .withColumn(
-            "shared_frac", F.round(F.col("n_shared") / F.col("n_fps"), 6)
+            "shared_frac", duck_round_expr(F.col("n_shared") / F.col("n_fps"), 6)
         )
     )
 
@@ -3561,7 +3562,7 @@ def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = S.brute_force_topk(e, q, k=_Q160_POOL, round_to=4).select(
         "query_id", "neighbor_id", F.col("cos").alias("rel")
     )
-    # score_round_to replaces the old F.round(mmr_score, 4): Spark's
+    # score_round_to replaces the old duck_round_expr(mmr_score, 4): Spark's
     # F.round (BigDecimal shortest-string HALF_UP) and DuckDB's ROUND
     # (multiply-then-half-away) diverge on boundary doubles — the sf1
     # sweep caught one (0.4146 vs 0.4147); the kernel now applies
@@ -4272,7 +4273,7 @@ def q175_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = e.select("label", nrm.alias("nrm"))
-    nq = F.round(F.col("nrm") * 1000000, 0).cast("bigint")
+    nq = duck_round_expr(F.col("nrm") * 1000000, 0).cast("bigint")
     return n.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         (
@@ -4282,7 +4283,7 @@ def q175_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_norm"),
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
-        F.round(F.percentile("nrm", F.lit(0.50)), 6).alias("p50_norm"),
+        duck_round_expr(F.percentile("nrm", F.lit(0.50)), 6).alias("p50_norm"),
         F.sum(F.when(F.col("nrm") < 0.000001, 1).otherwise(0))
         .cast("bigint")
         .alias("n_near_zero"),
@@ -4458,7 +4459,7 @@ def q182_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         F.posexplode(F.col("embedding")).alias("dim", "valf")
     ).select("dim", F.col("valf").cast("double").alias("val"))
-    vq = F.round(F.col("val") * 1000000, 0).cast("bigint")
+    vq = duck_round_expr(F.col("val") * 1000000, 0).cast("bigint")
     m = c.withColumn("vq", vq).groupBy("dim").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("vq").cast("bigint").alias("s1"),
@@ -4552,7 +4553,7 @@ def q184_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("bigint").alias("dim"),
         F.col("valf").cast("double").alias("val"),
     )
-    term_nq = F.round(
+    term_nq = duck_round_expr(
         F.abs(F.col("val") - F.col("mean_val"))
         / F.col("std_val")
         * 1000000000,

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ominimo_dynamic_data_pipeline_spark.queries.tables import load_table
+from ominimo_dynamic_data_pipeline_spark.llm.similarity import duck_round_expr
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -463,7 +464,7 @@ def q11_returnflag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            duck_round_expr(F.sum("l_quantity"), 2).alias("total_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -542,7 +543,7 @@ def q14_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count(F.lit(1)).alias("late_items"),
-            F.round(F.sum("l_quantity"), 2).alias("late_qty"),
+            duck_round_expr(F.sum("l_quantity"), 2).alias("late_qty"),
         )
     )
 
@@ -818,7 +819,7 @@ def q137_pit_features_for_labels(
         F.date_format("day", "yyyy-MM-dd").alias("label_day"),
         F.date_format("day_feat", "yyyy-MM-dd").alias("feature_day"),
         "clicks_7d",
-        F.round("value_7d", 2).alias("value_7d"),
+        duck_round_expr("value_7d", 2).alias("value_7d"),
     )
 
 
@@ -927,7 +928,7 @@ def q16_events_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("bigint")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg(k), 4).alias("avg_k"),
+        duck_round_expr(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
 
@@ -1031,10 +1032,10 @@ def q19_lineitem_math_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
-        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
-        F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        duck_round_expr(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        duck_round_expr(F.log("l_extendedprice"), 6).alias("price_ln"),
+        duck_round_expr(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        duck_round_expr(F.pow("l_discount", 2), 6).alias("disc_sq"),
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
         F.ceil(F.col("l_extendedprice") / 1000).alias("price_kilo_ceil"),
         F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
@@ -1205,7 +1206,7 @@ def q59_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.count("first_click").alias("n_clicked"),
         converted.alias("n_converted"),
-        F.round(
+        duck_round_expr(
             converted / F.nullif(F.count("first_click"), F.lit(0)), 6
         ).alias("conversion_rate"),
     )
@@ -1237,7 +1238,7 @@ def q60_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round(F.col("n_events") / F.col("total_events"), 6).alias(
+            duck_round_expr(F.col("n_events") / F.col("total_events"), 6).alias(
                 "share"
             ),
         )
@@ -1334,10 +1335,10 @@ def q43_embedding_array_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
-        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
-        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
-        F.round(l1, 4).alias("l1_norm"),
+        duck_round_expr(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        duck_round_expr(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        duck_round_expr(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        duck_round_expr(l1, 4).alias("l1_norm"),
     )
 
 
@@ -1458,10 +1459,10 @@ def q47_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pcts.alias("pcts"))
         .select(
             "l_returnflag",
-            F.round(F.col("pcts")[0], 6).alias("p25"),
-            F.round(F.col("pcts")[1], 6).alias("p50"),
-            F.round(F.col("pcts")[2], 6).alias("p75"),
-            F.round(F.col("pcts")[3], 6).alias("p95"),
+            duck_round_expr(F.col("pcts")[0], 6).alias("p25"),
+            duck_round_expr(F.col("pcts")[1], 6).alias("p50"),
+            duck_round_expr(F.col("pcts")[2], 6).alias("p75"),
+            duck_round_expr(F.col("pcts")[3], 6).alias("p95"),
         )
     )
 
@@ -1488,15 +1489,15 @@ def q47_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q48_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
-        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+        duck_round_expr(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        duck_round_expr(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        duck_round_expr(F.corr("l_quantity", "l_extendedprice"), 6).alias(
             "qty_price_corr"
         ),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+        duck_round_expr(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "qty_price_covar"
         ),
-        F.round(F.avg("l_quantity"), 6).alias("qty_mean"),
+        duck_round_expr(F.avg("l_quantity"), 6).alias("qty_mean"),
     )
 
 

@@ -20,6 +20,7 @@ from ominimo_dynamic_data_pipeline_spark.queries.tables import (
     load_table,
 )
 from ominimo_dynamic_data_pipeline_spark.streaming import ops as stream_ops
+from ominimo_dynamic_data_pipeline_spark.llm.similarity import duck_round_expr
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -277,7 +278,7 @@ def q116_streaming_stateful_totals_e2e(
     return final.select(
         "user_id",
         F.col("s.n_events").alias("n_events"),
-        F.round("s.value_sum", 2).alias("value_sum"),
+        duck_round_expr("s.value_sum", 2).alias("value_sum"),
     )
 
 
@@ -1031,5 +1032,5 @@ def q202_streaming_totals_rocksdb_e2e(
     return final.select(
         "user_id",
         F.col("s.n_events").alias("n_events"),
-        F.round("s.value_sum", 2).alias("value_sum"),
+        duck_round_expr("s.value_sum", 2).alias("value_sum"),
     )

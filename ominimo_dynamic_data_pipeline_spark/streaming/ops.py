@@ -427,7 +427,9 @@ def dataset_bytes(sf_dir: str, table: str = "events.parquet") -> int:
 LAST_RUN_STATS: dict[str, dict] = {}
 
 
-def cleanup_scratch(spark: SparkSession | None = None) -> int:
+def cleanup_scratch(
+    spark: SparkSession | None = None, all_apps: bool = False
+) -> int:
     """Delete this application's streaming scratch root (checkpoints +
     per-batch sink parquet under ``$TMPDIR/spark_graft_streams/<appId>``)
     and return the number of roots removed.
@@ -437,9 +439,14 @@ def cleanup_scratch(spark: SparkSession | None = None) -> int:
     each stream by design and a long harness session accumulates it
     (round 9: 23 GB of probe scratch starved the sf100 soak's shuffle
     space mid-query).  Call this once per session after results are
-    consumed: ``bench.py`` and ``tools/soak_heavy.py`` do.  With no
-    ``spark`` (or under Spark Connect), sweeps EVERY app's scratch —
-    only safe when no other local harness session is live."""
+    consumed: ``bench.py`` and ``tools/soak_heavy.py`` do.
+
+    The cross-application sweep is OPT-IN: only ``all_apps=True`` ever
+    touches other apps' scratch (a concurrent session's live
+    checkpoints/sinks live there too).  When the application id cannot
+    be resolved — Spark Connect, no ``spark`` handle, stopped context —
+    and ``all_apps`` is False, this is a no-op returning 0 rather than
+    a silent sweep of everything."""
     import shutil
     import tempfile
 
@@ -451,6 +458,8 @@ def cleanup_scratch(spark: SparkSession | None = None) -> int:
         except Exception:  # Spark Connect: no sparkContext handle
             targets = []
     if not targets:
+        if not all_apps:
+            return 0
         targets = list(root.glob("*")) if root.is_dir() else []
     n = 0
     for t in targets:

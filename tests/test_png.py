@@ -102,6 +102,46 @@ def test_decode_scope_errors_are_loud():
         P.decode_png(P.PNG_SIGNATURE + _chunk(b"IHDR", ihdr))
 
 
+def test_chunk_crc_mismatch_is_loud():
+    # flip one pixel byte but keep the stored CRC: a silent wrong-pixel
+    # decode before the CRC check landed
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    idat = _chunk(b"IDAT", zlib.compress(b"\x00a"))
+    corrupted = idat[:8] + bytes([idat[8] ^ 0xFF]) + idat[9:]
+    bad = P.PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + corrupted + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        P.decode_png(bad)
+
+
+def test_zlib_bomb_ihdr_dims_guarded():
+    # hostile payload: tiny IDAT, IHDR claiming a 65536 x 65536 RGBA
+    # frame (16 GiB decoded) — must error on the size ceiling, not
+    # attempt the allocation
+    ihdr = struct.pack(">IIBBBBB", 65536, 65536, 8, 6, 0, 0, 0)
+    bad = (
+        P.PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="MAX_DECODED_BYTES"):
+        P.decode_png(bad)
+
+
+def test_idat_overflow_beyond_expected_is_loud():
+    # stream inflates to MORE than (stride+1)*height: bounded inflate
+    # must flag the overflow instead of materializing it
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bad = (
+        P.PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00a" + b"\x00" * 4096))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="overflows expected"):
+        P.decode_png(bad)
+
+
 def _chunk(ctype: bytes, body: bytes) -> bytes:
     return (
         struct.pack(">I", len(body))
@@ -209,4 +249,9 @@ def test_band_sum_reconstruction_exact_for_every_possible_sum():
     for s in range(0, 255 * 8 + 1):
         f6 = round(s / (255.0 * 8), 6)  # decode_image's rounding
         f32 = float(np.float32(f6))  # array<float> storage
+        # Python round() is half-even but the query rounds with Spark's
+        # F.round (BigDecimal HALF_UP); pin that BOTH modes agree by
+        # showing f32*2040 never gets near a .5 boundary — every
+        # rounding mode is the identity when the error is < 0.4.
+        assert abs(f32 * 255 * 8 - s) < 0.4
         assert round(f32 * 255 * 8) == s

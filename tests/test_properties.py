@@ -1455,3 +1455,66 @@ def test_countmin_bucket_matches_independent_int64_model():
         assert sk._bucket(item, 0) == want
 
     check()
+
+
+def test_duck_round_expr_matches_duckdb_bit_for_bit(spark):
+    """duck_round_expr is DuckDB's ROUND(double, d) exactly — including
+    the boundary doubles where Spark's F.round (BigDecimal HALF_UP on
+    the shortest decimal string) diverges.  Adversarial values: for each
+    scale, integers-plus-half divided back by 10^d, nudged ±2 ulps so
+    the multiply lands just above / on / below the tie, plus seeded
+    uniform values, NaN/inf/NULL and the 2^52 integral threshold."""
+    import math
+    import random
+    import struct as _struct
+
+    import duckdb
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        duck_round,
+        duck_round_expr,
+    )
+
+    def nudge(x: float, ulps: int) -> float:
+        for _ in range(abs(ulps)):
+            b = _struct.unpack("<q", _struct.pack("<d", x))[0]
+            x = _struct.unpack("<d", _struct.pack("<q", b + (1 if ulps > 0 else -1)))[0]
+        return x
+
+    rng = random.Random(20260816)
+    vals: list[tuple[float | None, int]] = []
+    for d in (0, 2, 4, 6):
+        p = 10.0 ** d
+        for _ in range(300):
+            base = (rng.randint(-(10 ** 7), 10 ** 7) + 0.5) / p
+            for u in (-2, -1, 0, 1, 2):
+                vals.append((nudge(base, u), d))
+        for _ in range(200):
+            vals.append((rng.uniform(-1e9, 1e9) / rng.choice([1.0, 7.0, 1e6]), d))
+    vals += [
+        (float("nan"), 2), (float("inf"), 2), (float("-inf"), 2),
+        (None, 2), (2.0 ** 52, 2), (2.0 ** 53, 4), (1e300, 6), (0.0, 0),
+        (-0.5, 0), (0.5, 0), (2.5, 0), (-2.5, 0),
+    ]
+    rows = [(i, x, d) for i, (x, d) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, x double, d int")
+    got: dict[int, float | None] = {}
+    for d in sorted({d for _, d in vals}):
+        part = df.filter(F.col("d") == d).select(
+            "id", duck_round_expr(F.col("x"), d).alias("r")
+        )
+        for r in part.collect():
+            got[r["id"]] = r["r"]
+    con = duckdb.connect()
+    for i, (x, d) in enumerate(vals):
+        exp = con.execute("SELECT round(?::DOUBLE, ?)", [x, d]).fetchone()[0]
+        g = got[i]
+        assert (g is None) == (exp is None), (x, d, g, exp)
+        if g is None:
+            continue
+        if math.isnan(g) and math.isnan(exp):
+            continue
+        assert _struct.pack("<d", g) == _struct.pack("<d", exp), (x, d, g, exp)
+        # and the scalar twin agrees with the Column form
+        if x is not None and not math.isnan(x) and math.isfinite(x) and abs(x * 10.0 ** d) < 2.0 ** 52:
+            assert duck_round(x, d) == g
