@@ -4,7 +4,7 @@
 
 MINIBENCH_QUERIES = q01_pricing_summary,q26_minhash_near_dups,q30_knn_lsh,q50_validated_lineitem,q101_streaming_tumbling_e2e,q110_bm25_retrieval
 
-.PHONY: check test minibench selfcheck oracle bench
+.PHONY: check test minibench selfcheck oracle bench sweep-sf1
 
 check: test minibench selfcheck
 
@@ -23,3 +23,8 @@ oracle:
 
 bench:
 	python bench.py
+
+# Full-catalog Spark-vs-DuckDB hash sweep at the sf1 decade (~25-40 min;
+# regenerates nothing — run tools/make_sf1.py first in a fresh container).
+sweep-sf1:
+	python tools/sweep_sf1.py

@@ -220,10 +220,18 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
     zlib is genuinely inexpressible in Catalyst, so this is the correct
     use of the scalar-UDF escape hatch: Arrow-batched columnar transfer,
     one Python call per batch (not per row), deterministic output
-    (zlib level pinned).  Values are unit-pinned in tests; no SQL oracle
-    exists because DuckDB has no zlib surface (rows-only catalog entry).
+    (zlib level pinned).  Values are unit-pinned in tests; DuckDB has no
+    zlib surface, so the catalog oracle (q64) renders a literal
+    (doc_id, compressed_bytes) table with the SAME zlib.compress(. , 6)
+    call at import time — the q44-centroid precedent.
     """
     from pyspark.sql.functions import pandas_udf
+
+    # function-level import: similarity -> dedup -> text would cycle at
+    # module scope
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        duck_round_expr,
+    )
 
     # functional form: `from __future__ import annotations` stringifies
     # the pd.Series hints, which the decorator cannot resolve here
@@ -243,7 +251,7 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
         ),
     ).withColumn(
         "compression_ratio",
-        F.round(
+        duck_round_expr(
             F.col("compressed_bytes") / F.nullif(F.col("n_bytes"), F.lit(0)), 6
         ),
     )

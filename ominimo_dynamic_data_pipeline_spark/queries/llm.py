@@ -1298,10 +1298,43 @@ def q63_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q64 — compression-ratio quality signal (entropy proxy) via the scalar
-# Arrow pandas_udf escape hatch; zlib has no DuckDB surface -> rows-only
-# (values unit-pinned in tests/test_llm.py).
+# Arrow pandas_udf escape hatch.  zlib has no DuckDB surface, so the
+# oracle follows the q44-centroid precedent: a literal
+# (doc_id, compressed_bytes) table is rendered AT IMPORT from the
+# comparison directory's documents.parquet by the same
+# zlib.compress(text.encode('utf-8'), 6) call the Spark UDF makes —
+# the literal pins the zlib result, DuckDB independently recomputes
+# n_bytes (strlen) and the rounded ratio.  Degrades to rows-only if the
+# directory is missing (values stay unit-pinned in tests/test_llm.py).
 # --------------------------------------------------------------------------
-@query("q64_compression_ratio")
+def _q64_sql() -> str | None:
+    import zlib
+
+    path = f"{_ORACLE_SF_DIR}/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["doc_id", "text"])
+    vals = ",".join(
+        f"({i},{len(zlib.compress((t or '').encode('utf-8'), 6))})"
+        for i, t in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        )
+    )
+    return f"""
+    WITH comp(doc_id, compressed_bytes) AS (VALUES {vals})
+    SELECT d.doc_id,
+           CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+           CAST(c.compressed_bytes AS BIGINT) AS compressed_bytes,
+           ROUND(c.compressed_bytes
+                 / CAST(NULLIF(strlen(d.text), 0) AS DOUBLE), 6)
+               AS compression_ratio
+    FROM documents d JOIN comp c USING (doc_id)
+    """
+
+
+@query("q64_compression_ratio", _q64_sql())
 def q64_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.compression_ratio(d)
