@@ -9,11 +9,27 @@ Single-shot timings (no bench.py warm-up double-run): at soak scale the
 ~3 s one-time codegen cost is noise against 100+ s queries, and one run
 of q108 at sf100 is ~20 min of compute.  Prints one JSON line per query
 and a final summary line.
+
+Each per-query line also carries a RESOURCE PROBE (round-10: built to
+decompose the in-session streaming drag — q116 291.5 s as the session's
+12th query vs 160.5 s isolated): free disk, streaming scratch bytes,
+block-manager (shuffle/spill) bytes, and cumulative JVM GC millis, each
+read before/after.  Two opt-in between-query conditions isolate causes:
+
+    SPARK_GRAFT_SOAK_CLEANUP_BETWEEN=1   cleanup_scratch(spark) after
+                                         every query (tests the
+                                         scratch-accumulation hypothesis)
+    SPARK_GRAFT_SOAK_GC_BETWEEN=1        driver System.gc() after every
+                                         query — local mode's lever for
+                                         ContextCleaner-driven shuffle
+                                         file removal (tests the
+                                         stale-shuffle-files hypothesis)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,6 +41,55 @@ from ominimo_dynamic_data_pipeline_spark.queries import QUERIES  # noqa: E402
 from ominimo_dynamic_data_pipeline_spark.session import (  # noqa: E402
     estimate_input_bytes,
 )
+
+
+def _du(path: Path) -> int:
+    if not path.is_dir():
+        return 0
+    total = 0
+    for root, _, files in os.walk(path, onerror=lambda e: None):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def probe(spark) -> dict:
+    """Resource snapshot: free disk, streaming scratch, block-manager
+    (shuffle/spill) footprint, cumulative JVM GC time.  All cheap
+    (~ms) next to 100+ s soak queries."""
+    import shutil
+    import tempfile
+
+    tmp = Path(tempfile.gettempdir())
+    out = {
+        "free_disk_gb": round(shutil.disk_usage(tmp).free / 2**30, 2),
+        "scratch_gb": round(
+            _du(tmp / "spark_graft_streams") / 2**30, 3
+        ),
+        "blockmgr_gb": round(
+            sum(_du(p) for p in tmp.glob("blockmgr-*")) / 2**30, 3
+        ),
+    }
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management
+            .ManagementFactory.getGarbageCollectorMXBeans()
+        )
+        out["gc_ms"] = sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        )
+        rt = (
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        )
+        out["heap_used_gb"] = round(
+            (rt.totalMemory() - rt.freeMemory()) / 2**30, 2
+        )
+    except Exception:
+        pass
+    return out
 
 
 def main() -> int:
@@ -53,21 +118,49 @@ def main() -> int:
     # block-manager dir when Py4J tears down first — a soak session's
     # shuffle/spill files (tens of GB at sf100) must not outlive it,
     # INCLUDING on KeyboardInterrupt / unexpected exceptions mid-soak.
+    cleanup_between = os.environ.get(
+        "SPARK_GRAFT_SOAK_CLEANUP_BETWEEN", ""
+    ) == "1"
+    gc_between = os.environ.get("SPARK_GRAFT_SOAK_GC_BETWEEN", "") == "1"
     try:
         for name in names:
+            pre = probe(spark)
             t0 = time.time()
             try:
                 QUERIES[name](spark, sf_dir).write.mode(
                     "overwrite"
                 ).format("noop").save()
                 results[name] = round(time.time() - t0, 3)
-                print(json.dumps({name: results[name]}), flush=True)
+                post = probe(spark)
+                rec = {name: results[name], "pre": pre, "post": post}
+                if "gc_ms" in pre and "gc_ms" in post:
+                    rec["gc_delta_ms"] = post["gc_ms"] - pre["gc_ms"]
+                print(json.dumps(rec), flush=True)
             except Exception as exc:  # keep soaking the rest
                 results[name] = -1.0
                 print(
                     json.dumps({name: "ERROR", "err": repr(exc)[:200]}),
                     flush=True,
                 )
+            if cleanup_between:
+                try:
+                    from ominimo_dynamic_data_pipeline_spark.streaming.ops import (
+                        cleanup_scratch,
+                    )
+
+                    n = cleanup_scratch(spark)
+                    print(
+                        json.dumps({"cleanup_between": name, "roots": n}),
+                        flush=True,
+                    )
+                except Exception:
+                    pass
+            if gc_between:
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                    print(json.dumps({"gc_between": name}), flush=True)
+                except Exception:
+                    pass
         print(json.dumps({"summary": results}), flush=True)
     finally:
         # scratch before stop: results are consumed (noop-written) by
