@@ -678,6 +678,58 @@ def run_to_completion(
                     / 1000.0,
                     3,
                 ),
+                # state-operator decomposition (round-10: names WHERE
+                # inside addBatch a stateful stream spends its time —
+                # update/commit/removal are the store, the remainder is
+                # scan+shuffle+sink).  Times are summed across batches
+                # and operators; rows/memory are the final batch's.
+                "state_update_sec": round(
+                    sum(
+                        int(so.get("allUpdatesTimeMs") or 0)
+                        for p in prog
+                        for so in (p.get("stateOperators") or [])
+                    )
+                    / 1000.0,
+                    3,
+                ),
+                "state_commit_sec": round(
+                    sum(
+                        int(so.get("commitTimeMs") or 0)
+                        for p in prog
+                        for so in (p.get("stateOperators") or [])
+                    )
+                    / 1000.0,
+                    3,
+                ),
+                "state_removal_sec": round(
+                    sum(
+                        int(so.get("allRemovalsTimeMs") or 0)
+                        for p in prog
+                        for so in (p.get("stateOperators") or [])
+                    )
+                    / 1000.0,
+                    3,
+                ),
+                "state_rows_total": max(
+                    (
+                        int(so.get("numRowsTotal") or 0)
+                        for p in prog
+                        for so in (p.get("stateOperators") or [])
+                    ),
+                    default=0,
+                ),
+                "state_memory_gb": round(
+                    max(
+                        (
+                            int(so.get("memoryUsedBytes") or 0)
+                            for p in prog
+                            for so in (p.get("stateOperators") or [])
+                        ),
+                        default=0,
+                    )
+                    / 2**30,
+                    3,
+                ),
             }
         except Exception:  # accounting must never fail the run
             LAST_RUN_STATS.pop(query_name, None)

@@ -135,6 +135,16 @@ def main() -> int:
                 rec = {name: results[name], "pre": pre, "post": post}
                 if "gc_ms" in pre and "gc_ms" in post:
                     rec["gc_delta_ms"] = post["gc_ms"] - pre["gc_ms"]
+                try:
+                    from ominimo_dynamic_data_pipeline_spark.streaming.ops import (
+                        LAST_RUN_STATS,
+                    )
+
+                    if LAST_RUN_STATS:
+                        rec["streaming"] = dict(LAST_RUN_STATS)
+                        LAST_RUN_STATS.clear()
+                except Exception:
+                    pass
                 print(json.dumps(rec), flush=True)
             except Exception as exc:  # keep soaking the rest
                 results[name] = -1.0
