@@ -73,6 +73,25 @@ def probe(spark) -> dict:
             sum(_du(p) for p in tmp.glob("blockmgr-*")) / 2**30, 3
         ),
     }
+    # reused pyspark daemon/worker RSS: python-stateful ops (q116) are
+    # worker-bound, and the reused pool can bloat across a session
+    rss = 0
+    nworkers = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\0", b" ")
+            if b"pyspark.daemon" not in cmd and b"pyspark.worker" not in cmd:
+                continue
+            with open(f"/proc/{pid}/statm") as fh:
+                rss += int(fh.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+            nworkers += 1
+        except OSError:
+            continue
+    out["py_workers"] = nworkers
+    out["py_worker_rss_gb"] = round(rss / 2**30, 2)
     try:
         beans = (
             spark.sparkContext._jvm.java.lang.management
