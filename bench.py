@@ -113,6 +113,14 @@ def main() -> None:
                     for k in agg:
                         agg[k] = round(agg[k] + st.get(k, 0), 3)
                 streaming[name] = agg
+                # results are consumed (forced twice) — drop this
+                # query's sink/checkpoint scratch NOW, outside the
+                # timed window.  Round-10 measured the late-session
+                # streaming drag to be exactly this accumulation:
+                # 8-11 GB of dead scratch writeback throttled q116's
+                # stateful stage 1.4x at sf100 (BENCH_sf100.json);
+                # cleaning between queries removed the whole gap.
+                stream_ops.cleanup_scratch(spark)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)

@@ -16,9 +16,11 @@ decompose the in-session streaming drag — q116 291.5 s as the session's
 block-manager (shuffle/spill) bytes, and cumulative JVM GC millis, each
 read before/after.  Two opt-in between-query conditions isolate causes:
 
-    SPARK_GRAFT_SOAK_CLEANUP_BETWEEN=1   cleanup_scratch(spark) after
-                                         every query (tests the
-                                         scratch-accumulation hypothesis)
+    SPARK_GRAFT_SOAK_CLEANUP_BETWEEN=0   keep prior queries' scratch on
+                                         disk (reproduces the round-9
+                                         drag; cleanup-between is the
+                                         measured winner and the
+                                         default since round 10)
     SPARK_GRAFT_SOAK_GC_BETWEEN=1        driver System.gc() after every
                                          query — local mode's lever for
                                          ContextCleaner-driven shuffle
@@ -137,9 +139,14 @@ def main() -> int:
     # block-manager dir when Py4J tears down first — a soak session's
     # shuffle/spill files (tens of GB at sf100) must not outlive it,
     # INCLUDING on KeyboardInterrupt / unexpected exceptions mid-soak.
+    # DEFAULT-ON since round 10: each query's results are consumed (noop
+    # write) before the next starts, and leaving prior sinks/checkpoints
+    # on disk IS the measured late-session streaming drag (q116 at sf100:
+    # 323.3 s with 8 GB of dead scratch vs 227.6 s cleaned — the round-9
+    # carried finding, closed).  Set =0 to reproduce the drag.
     cleanup_between = os.environ.get(
-        "SPARK_GRAFT_SOAK_CLEANUP_BETWEEN", ""
-    ) == "1"
+        "SPARK_GRAFT_SOAK_CLEANUP_BETWEEN", "1"
+    ) != "0"
     gc_between = os.environ.get("SPARK_GRAFT_SOAK_GC_BETWEEN", "") == "1"
     try:
         for name in names:
