@@ -474,6 +474,11 @@ ROCKSDB_PROVIDER = (
     "RocksDBStateStoreProvider"
 )
 
+HEAP_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
+
 
 def run_to_completion(
     stream_df: DataFrame,
@@ -596,10 +601,15 @@ def run_to_completion(
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)
     if state_store is not None:
-        provider = (
-            ROCKSDB_PROVIDER if state_store.lower() == "rocksdb"
-            else state_store
-        )
+        lowered = state_store.lower()
+        if lowered == "rocksdb":
+            provider = ROCKSDB_PROVIDER
+        elif lowered in ("heap", "hdfs"):
+            # the stock on-heap store's class name is an implementation
+            # detail callers shouldn't have to spell
+            provider = HEAP_PROVIDER
+        else:
+            provider = state_store  # explicit provider class passthrough
         spark.conf.set(provider_key, provider)
 
     import shutil
