@@ -90,6 +90,58 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
 
 
+class subset_copartition:
+    """Context manager enabling ZERO-EXCHANGE joins whose equi-keys are a
+    SUPERSET of a bucketed table's bucket columns — e.g. the binned
+    interval joins (``operators/joins.py``), which join on
+    ``(key, bin)`` where ``bin`` is generated per-row at query time and
+    therefore can never itself be a bucket column.
+
+    Two session confs gate this, both restored on exit:
+
+      * ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` → false:
+        the auto heuristic DISABLES the bucketed layout under a
+        Generate(explode) → join shape (the scan reports
+        ``Bucketed: false`` and the exchange silently returns);
+      * ``spark.sql.requireAllClusterKeysForCoPartition`` → false: the
+        default rejects subset co-partitioning —
+        HashPartitioning(key) satisfies ClusteredDistribution(key, bin)
+        only with the requirement relaxed.  Rows sharing a key land in
+        one task, which is exactly the interval join's locality need;
+        the parallelism trade (buckets, not shuffle width) is why this
+        is a SCOPED context, not a session default.
+
+    Measured (round 10, sf100, 150M-row span frame, 377M output pairs,
+    checksums identical, ``BENCH_sf100.json``): the q139 overlap
+    self-join reads a custkey-bucketed span table with ZERO exchanges in
+    62.7 s vs 445.1 s for the shipped build-and-shuffle shape — 7.1x;
+    the one-time bucketed build (126.1 s) amortizes on the second
+    downstream query.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._keys = (
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "spark.sql.requireAllClusterKeysForCoPartition",
+        )
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k in self._keys:
+            self._saved[k] = self._spark.conf.get(k, None)
+            self._spark.conf.set(k, "false")
+        return self._spark
+
+    def __exit__(self, *exc):
+        for k, v in self._saved.items():
+            if v is None:
+                self._spark.conf.unset(k)
+            else:
+                self._spark.conf.set(k, v)
+        return False
+
+
 def epoch_ordinal(col, dtype):
     """Integer-comparable ordinal of an orderable column, for binning and
     range scaling: DAYS since epoch for dates (exact integers, immune to

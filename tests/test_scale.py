@@ -83,6 +83,74 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
 
 
+def test_subset_copartition_interval_join_zero_exchange(spark, sf_dir):
+    # The q139 at-scale layout (round 10, BENCH_sf100.json: 445.1 ->
+    # 62.7 s on 150M spans): a custkey-bucketed span table self-joined
+    # through the binned interval-overlap operator with NO exchange.
+    # The join's equi-key is (custkey, bin) where bin is generated
+    # per-row, so only SUBSET co-partitioning (bucket on custkey alone)
+    # can ever serve it — scale.subset_copartition flips the two confs
+    # that gate it and restores them on exit.
+    from pyspark.sql import functions as F
+
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("start_d"),
+            F.max(F.col("l_shipdate").cast("date")).alias("end_d"),
+        )
+    )
+    scale.write_bucketed(
+        spans, "t_spans_b", "o_custkey", num_buckets=8,
+        sort_col="o_custkey",
+    )
+
+    def overlap(frame):
+        return interval_overlap_join(
+            frame,
+            frame.select(
+                "o_custkey",
+                F.col("o_orderkey").alias("order_b"),
+                F.col("start_d").alias("b_start"),
+                F.col("end_d").alias("b_end"),
+            ),
+            "start_d", "end_d", "b_start", "b_end",
+            by=["o_custkey"], bin_size=120,
+        ).filter(F.col("o_orderkey") < F.col("order_b"))
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with scale.subset_copartition(spark):
+            bucketed = overlap(spark.table("t_spans_b"))
+            p = plan_of(bucketed)
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p
+            got = _sorted_rows(
+                bucketed, ["o_custkey", "o_orderkey", "order_b"]
+            )
+        # confs restored on exit
+        assert (
+            spark.conf.get(
+                "spark.sql.requireAllClusterKeysForCoPartition"
+            )
+            != "false"
+        )
+        want = _sorted_rows(
+            overlap(spans), ["o_custkey", "o_orderkey", "order_b"]
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_spans_b")
+
+
 def test_morton_key_matches_python_interleave(spark):
     # pin the bit layout: a's bit i -> 2i+1, b's bit i -> 2i
     def py_morton(a, b, bits=16):

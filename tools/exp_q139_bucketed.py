@@ -113,9 +113,25 @@ def main() -> int:
         estimate_input_bytes,
     )
 
+    extra = {}
+    if mode == "BC":
+        # Two confs are REQUIRED for the zero-exchange read (verified at
+        # sf10, plan probes this round):
+        #  * autoBucketedScan auto-DISABLES the bucketed layout under
+        #    the Generate(explode)->join shape, silently restoring the
+        #    exchange ("Bucketed: false" in the scan);
+        #  * requireAllClusterKeysForCoPartition (default true) rejects
+        #    the subset co-partitioning HashPartitioning(custkey) ⊆
+        #    ClusteredDistribution(custkey, bin) that makes bucket-only
+        #    layouts usable under a composite equi-key.
+        extra = {
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+            "spark.sql.requireAllClusterKeysForCoPartition": "false",
+        }
     spark = get_spark(
         app_name=f"exp-q139-{mode}",
         input_bytes=estimate_input_bytes(sf_dir),
+        extra_conf=extra or None,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
