@@ -910,6 +910,88 @@ def q139_overlapping_order_spans(
 
 
 # --------------------------------------------------------------------------
+# q204 — q139's ADOPTED at-scale layout as a driver-verified entry: the
+# span frame is written ONCE as a custkey-bucketed table, and the binned
+# interval-overlap self-join reads it with ZERO exchanges under
+# scale.subset_copartition (bucket-only HashPartitioning(custkey)
+# serving the (custkey, bin) equi-key — bin is generated per row and can
+# never be a bucket column).  Measured at sf100: 445.1 -> 62.7 s (7.1x),
+# hash-identical 377M pairs (BENCH_sf100.json round10 record).  The
+# result is eagerly localCheckpoint()ed INSIDE the conf scope: the plan
+# must execute while the two gating confs are set (a lazily-returned
+# frame would re-plan with defaults at action time and silently regain
+# the exchange), and checkpointing also frees the session confs for
+# whatever runs next.  Oracle: identical to q139's (same semantics, same
+# rows) — the entry verifies the LAYOUT path, q139 the build-and-shuffle
+# path.
+# --------------------------------------------------------------------------
+@query("q204_overlap_spans_bucketed", ORACLES["q139_overlapping_order_spans"])
+def q204_overlap_spans_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
+    from ominimo_dynamic_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+    from ominimo_dynamic_data_pipeline_spark.operators.scale import (
+        subset_copartition,
+        write_bucketed,
+    )
+
+    table = "q204_spans_bucketed"
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("start_d"),
+            F.max(F.col("l_shipdate").cast("date")).alias("end_d"),
+        )
+    )
+    # rebuild every call (sf_dir can change between calls); a previous
+    # PROCESS's managed-table files survive in the warehouse dir while
+    # its catalog entry did not — clear both before the CREATE
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    if wh:
+        shutil.rmtree(Path(wh) / table, ignore_errors=True)
+    write_bucketed(
+        spans, table, "o_custkey", num_buckets=32, sort_col="o_custkey"
+    )
+    with subset_copartition(spark):
+        bucketed = spark.table(table)
+        pairs = interval_overlap_join(
+            bucketed,
+            bucketed.select(
+                "o_custkey",
+                F.col("o_orderkey").alias("order_b"),
+                F.col("start_d").alias("b_start"),
+                F.col("end_d").alias("b_end"),
+            ),
+            "start_d", "end_d", "b_start", "b_end",
+            by=["o_custkey"], bin_size=120,
+        ).filter(F.col("o_orderkey") < F.col("order_b"))
+        out = pairs.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("order_a"),
+            "order_b",
+            (
+                F.datediff(
+                    F.least("end_d", "b_end"),
+                    F.greatest("start_d", "b_start"),
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("overlap_days"),
+        ).localCheckpoint(eager=True)
+    return out
+
+
+# --------------------------------------------------------------------------
 # q16 — JSON access on events.props (semi-structured column).
 # --------------------------------------------------------------------------
 @query(
