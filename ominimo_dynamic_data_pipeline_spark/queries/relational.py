@@ -866,6 +866,18 @@ def q139_overlapping_order_spans(
         interval_overlap_join,
     )
 
+    # Shape note (round 10, measured at sf100): auto-routing this query
+    # through the bucketed-span layout above a size threshold was BUILT,
+    # MEASURED, AND REJECTED — 380.6 s vs 445.1 shuffle-shape, only a
+    # 1.17x win, because a catalog query must hand back a frame whose
+    # plan survives the scoped subset-co-partition confs, and the eager
+    # localCheckpoint that pins it materializes the full 377M-row output
+    # (~12 GB of blockmgr that then lives to session end — the exact
+    # disk-pressure class the round-10 streaming fix removed).  The
+    # layout's real 7.1x (62.7 s reads after a one-time 126 s build)
+    # belongs to DEPLOYMENTS that maintain the span table bucketed and
+    # consume results inside the conf scope — shipped as q204 +
+    # scale.subset_copartition, not as this query's default.
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     spans = (
@@ -910,23 +922,23 @@ def q139_overlapping_order_spans(
 
 
 # --------------------------------------------------------------------------
-# q204 — q139's ADOPTED at-scale layout as a driver-verified entry: the
-# span frame is written ONCE as a custkey-bucketed table, and the binned
-# interval-overlap self-join reads it with ZERO exchanges under
-# scale.subset_copartition (bucket-only HashPartitioning(custkey)
-# serving the (custkey, bin) equi-key — bin is generated per row and can
-# never be a bucket column).  Measured at sf100: 445.1 -> 62.7 s (7.1x),
-# hash-identical 377M pairs (BENCH_sf100.json round10 record).  The
-# result is eagerly localCheckpoint()ed INSIDE the conf scope: the plan
-# must execute while the two gating confs are set (a lazily-returned
-# frame would re-plan with defaults at action time and silently regain
-# the exchange), and checkpointing also frees the session confs for
-# whatever runs next.  Oracle: identical to q139's (same semantics, same
-# rows) — the entry verifies the LAYOUT path, q139 the build-and-shuffle
-# path.
+# The bucketed-span overlap implementation behind q204: the span frame
+# is written ONCE as a
+# custkey-bucketed table, and the binned interval-overlap self-join
+# reads it with ZERO exchanges under scale.subset_copartition
+# (bucket-only HashPartitioning(custkey) serving the (custkey, bin)
+# equi-key — bin is generated per row and can never be a bucket
+# column).  Measured at sf100: 445.1 -> 62.7 s read / 126.1 s one-time
+# build, hash-identical 377M pairs (BENCH_sf100.json round10 record).
+# The result is eagerly localCheckpoint()ed INSIDE the conf scope: the
+# plan must execute while the two gating confs are set (a
+# lazily-returned frame would re-plan with defaults at action time and
+# silently regain the exchange), and checkpointing also frees the
+# session confs for whatever runs next.
 # --------------------------------------------------------------------------
-@query("q204_overlap_spans_bucketed", ORACLES["q139_overlapping_order_spans"])
-def q204_overlap_spans_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bucketed_overlap_spans(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
     import shutil
     from pathlib import Path
 
@@ -938,7 +950,6 @@ def q204_overlap_spans_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
-    table = "q204_spans_bucketed"
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     spans = (
@@ -989,6 +1000,18 @@ def q204_overlap_spans_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_days"),
         ).localCheckpoint(eager=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# q204 — the bucketed layout as its OWN driver-verified entry, so the
+# deployment path (bucketed spans + subset co-partitioning) stays
+# hash-verified against the DuckDB oracle at every test scale (sf0.01
+# driver gate, sf1 sweep).  Oracle: identical to q139's (same
+# semantics, same rows).
+# --------------------------------------------------------------------------
+@query("q204_overlap_spans_bucketed", ORACLES["q139_overlapping_order_spans"])
+def q204_overlap_spans_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bucketed_overlap_spans(spark, sf_dir, "q204_spans_bucketed")
 
 
 # --------------------------------------------------------------------------
