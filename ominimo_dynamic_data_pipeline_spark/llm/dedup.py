@@ -41,6 +41,20 @@ MINHASH_PRIME = 1073741789  # largest prime < 2^30
 _PERSISTED: dict[str, list[DataFrame]] = {}
 
 
+def _dre():
+    """similarity.duck_round_expr via a call-time import: dedup is a
+    similarity dependency, so the module edge must point the other way.
+    Any d>0 double rounding that must hash-match a DuckDB ROUND routes
+    through it (F.round's BigDecimal HALF_UP diverges on boundary
+    doubles); d=0 integer quantizations stay on F.round (provably
+    identical semantics at scale 0)."""
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        duck_round_expr,
+    )
+
+    return duck_round_expr
+
+
 def _persist_tracked(op: str, *frames: DataFrame):
     """MEMORY_AND_DISK-persist ``frames`` under the operator's registry
     slot, releasing the previous call's frames for the same operator.
@@ -1330,7 +1344,7 @@ def novelty_scores(
         )
         .withColumn(
             "novelty_frac",
-            F.round(F.col("n_novel") / F.col("n_shingles"), 6),
+            _dre()(F.col("n_novel") / F.col("n_shingles"), 6),
         )
     )
 
@@ -1490,9 +1504,9 @@ def containment_scores(
         .select(
             "id_a",
             "id_b",
-            F.round(inter / F.size("sa.sh"), 6).alias("containment_a"),
-            F.round(inter / F.size("sb.sh"), 6).alias("containment_b"),
-            F.round(
+            _dre()(inter / F.size("sa.sh"), 6).alias("containment_a"),
+            _dre()(inter / F.size("sb.sh"), 6).alias("containment_b"),
+            _dre()(
                 inter
                 / F.size(F.array_union("sa.sh", "sb.sh")),
                 6,

@@ -67,7 +67,7 @@ def brute_force_topk(
         F.col("q_nrm") * F.col("c_nrm")
     )
     if round_to is not None:
-        cos = F.round(cos, round_to)
+        cos = duck_round_expr(cos, round_to)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cos"))
@@ -347,7 +347,7 @@ def lsh_topk(
         .distinct()
     )
     if round_to is not None:
-        scored = scored.withColumn("cos", F.round("cos", round_to))
+        scored = scored.withColumn("cos", duck_round_expr("cos", round_to))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -684,7 +684,7 @@ def ivf_topk(
         )
     )
     if round_to is not None:
-        scored = scored.withColumn("cos", F.round("cos", round_to))
+        scored = scored.withColumn("cos", duck_round_expr("cos", round_to))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -797,7 +797,7 @@ def semantic_decontaminate(
     return cn.select(
         F.col(id_col),
         *keep_cols,
-        F.round(mc, 6).alias("max_eval_cos"),
+        duck_round_expr(mc, 6).alias("max_eval_cos"),
         F.coalesce(mc >= F.lit(threshold), F.lit(False)).alias(
             "contaminated"
         ),
@@ -1003,7 +1003,7 @@ def ivfpq_topk(
         )
     )
     if round_to is not None:
-        reranked = reranked.withColumn("cos", F.round("cos", round_to))
+        reranked = reranked.withColumn("cos", duck_round_expr("cos", round_to))
     wf = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         reranked.withColumn("rank", F.row_number().over(wf).cast("bigint"))
@@ -1175,7 +1175,7 @@ def bm25_topk(
         .join(F.broadcast(stats))
         .groupBy("query_id", "neighbor_id")
         .agg(
-            F.round(
+            duck_round_expr(
                 F.sum(
                     F.log(
                         F.lit(1.0)

@@ -36,6 +36,18 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _dre():
+    """similarity.duck_round_expr via a call-time import (text is a leaf
+    of the dedup -> similarity chain).  d>0 double roundings that must
+    hash-match DuckDB ROUND route through it; d=0 integer quantizations
+    stay on F.round (identical semantics at scale 0)."""
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        duck_round_expr,
+    )
+
+    return duck_round_expr
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase, trim, collapse internal whitespace — the canonical form
     used by fingerprints and exact-dedup."""
@@ -372,7 +384,7 @@ def repetition_signals(
     )
 
     def dup_frac(n: Column, nd: Column) -> Column:
-        return F.when(n > 0, F.round(1.0 - nd / n, 6))
+        return F.when(n > 0, _dre()(1.0 - nd / n, 6))
 
     return per_doc.select(
         F.col(id_col),
@@ -380,7 +392,7 @@ def repetition_signals(
         dup_frac(F.col("n_tokens"), F.col("nd_tok")).alias("dup_token_frac"),
         dup_frac(F.col("n_g2"), F.col("nd_g2")).alias("dup_2gram_frac"),
         dup_frac(F.col("n_g3"), F.col("nd_g3")).alias("dup_3gram_frac"),
-        F.round(F.col("top_token_count") / F.col("n_tokens"), 6).alias(
+        _dre()(F.col("top_token_count") / F.col("n_tokens"), 6).alias(
             "top_token_frac"
         ),
     )
@@ -451,7 +463,7 @@ def model_quality_score(
     return staged.select(
         F.col(id_col),
         n_tok.cast("bigint").alias("n_tokens"),
-        F.round(F.when(n_tok > 0, prob), 6).alias("quality_score"),
+        _dre()(F.when(n_tok > 0, prob), 6).alias("quality_score"),
     )
 
 
