@@ -699,3 +699,31 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     for u, (n, v) in want.items():
         assert got[u][0] == n, u
         assert abs(got[u][1] - v) < 1e-6, u
+
+
+def test_cleanup_scratch_scoping(spark, tmp_path, monkeypatch):
+    # Round-10 ADVICE fix: the cross-application sweep must be OPT-IN.
+    # With a resolvable app id only THIS app's root is removed; with no
+    # handle the call is a no-op unless all_apps=True is passed.
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    root = tmp_path / "spark_graft_streams"
+    mine = root / spark.sparkContext.applicationId
+    other = root / "some-other-live-app"
+    for d in (mine, other):
+        (d / "checkpoint").mkdir(parents=True)
+        (d / "checkpoint" / "state").write_text("x")
+
+    # scoped: removes only this app's root
+    assert ops.cleanup_scratch(spark) == 1
+    assert not mine.exists() and other.exists()
+
+    # no handle + no opt-in: no-op (a concurrent session's live
+    # checkpoints must never be collateral)
+    assert ops.cleanup_scratch(None) == 0
+    assert other.exists()
+
+    # explicit opt-in sweeps everything left
+    assert ops.cleanup_scratch(None, all_apps=True) == 1
+    assert not other.exists()
