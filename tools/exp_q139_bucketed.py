@@ -26,7 +26,7 @@ Adopt-or-reject: C's win must cover a sane amortization story vs A
 checksum.
 
 Usage:
-    python tools/exp_q139_bucketed.py <sf_dir> [A|B|C]
+    python tools/exp_q139_bucketed.py <sf_dir> [A|BC]
 """
 
 from __future__ import annotations
