@@ -137,6 +137,59 @@ def main() -> None:
         record["streaming"] = streaming
     if errors:
         record["errors"] = errors
+
+    # Host-calibration probe (round-10 verdict #5): a fixed synthetic
+    # cpu/shuffle/scan/fsync workload stamped into every record, so
+    # cross-round walls can be normalized by the probe ratio instead of
+    # being incomparable under 1.3-2x host drift (see BASELINE.md).
+    try:
+        from tools.host_probe import run_probe
+
+        record["host_probe"] = run_probe(spark)
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH host_probe failed: {exc}", file=sys.stderr)
+
+    # Per-query regression diff (round-10 verdict #2): compare against
+    # the committed per-query records, normalized by the session median
+    # ratio (cancels host drift), and flag anything >1.5x — the gate
+    # that would have caught the round-10 duck_round_expr duplication
+    # (q146 3.3x, q92 3.3x vs a 1.09x session median).  Refresh records
+    # intentionally with SPARK_GRAFT_UPDATE_RECORDS=1.
+    records_path = Path(__file__).resolve().parent / "BENCH_RECORDS.json"
+    if os.environ.get("SPARK_GRAFT_UPDATE_RECORDS") == "1" and sf == 0.1:
+        records_path.write_text(
+            json.dumps(timings, indent=1, sort_keys=True) + "\n"
+        )
+        print(f"BENCH records re-stamped: {records_path}", file=sys.stderr)
+    elif records_path.exists() and sf == 0.1 and not only:
+        prior = json.loads(records_path.read_text())
+        ratios = {
+            n: timings[n] / prior[n]
+            for n in timings
+            if n in prior and prior[n] >= 0.05 and timings[n] > 0
+        }
+        if ratios:
+            med = sorted(ratios.values())[len(ratios) // 2]
+            flagged = {
+                n: {
+                    "sec": timings[n],
+                    "record_sec": prior[n],
+                    "ratio_vs_median": round(r / med, 2),
+                }
+                for n, r in ratios.items()
+                if r / med > 1.5 and timings[n] - prior[n] * med > 0.15
+            }
+            record["bench_diff"] = {
+                "median_host_ratio": round(med, 3),
+                "flagged": flagged,
+            }
+            for n, info in sorted(flagged.items()):
+                print(
+                    f"BENCH REGRESSION {n}: {info['sec']}s vs record "
+                    f"{info['record_sec']}s ({info['ratio_vs_median']}x "
+                    f"over the {med:.2f}x session median)",
+                    file=sys.stderr,
+                )
     print(json.dumps(record))
     # bench results are materialized; reclaim the streaming sink/
     # checkpoint scratch this session created (it otherwise accumulates

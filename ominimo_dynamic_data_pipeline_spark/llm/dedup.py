@@ -44,10 +44,12 @@ _PERSISTED: dict[str, list[DataFrame]] = {}
 def _dre():
     """similarity.duck_round_expr via a call-time import: dedup is a
     similarity dependency, so the module edge must point the other way.
-    Any d>0 double rounding that must hash-match a DuckDB ROUND routes
+    Any double rounding that must hash-match a DuckDB ROUND routes
     through it (F.round's BigDecimal HALF_UP diverges on boundary
-    doubles); d=0 integer quantizations stay on F.round (provably
-    identical semantics at scale 0)."""
+    doubles).  At d=0 the two are provably identical, so either spelling
+    is correct there — the query catalog uses duck_round_expr uniformly
+    for oracle-matched outputs, while purely-internal integer
+    quantizations may keep F.round."""
     from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
         duck_round_expr,
     )

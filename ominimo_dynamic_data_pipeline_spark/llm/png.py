@@ -133,6 +133,15 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
             f"PNG pixel data size mismatch: got {len(raw)} bytes, "
             f"expected {expected}"
         )
+    if not dec.eof:
+        # A stream cut off exactly at `expected` output bytes passes the
+        # size check with an empty unconsumed_tail and empty flush probe;
+        # eof=False is the only tell.  Valid streams reach eof=True even
+        # when max_length equals the output size (the decompressor
+        # consumes the stream-end marker + adler32 trailer), so this only
+        # rejects genuinely truncated IDAT data — and restores the
+        # adler32 verification the unbounded zlib.decompress performed.
+        raise ValueError("truncated PNG zlib stream")
     out = bytearray(stride * height)
     prev_start = -1  # start of previous reconstructed row in `out`
     for y in range(height):

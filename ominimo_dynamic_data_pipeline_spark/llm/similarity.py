@@ -1335,21 +1335,41 @@ def duck_round_expr(col: Column | str, d: int = 0) -> Column:
     DuckDB `ROUND(double, d)` oracle: F.round goes through
     BigDecimal.valueOf's shortest-decimal-string HALF_UP and diverges
     from DuckDB on boundary doubles (the round-9 sf1 sweep caught one).
+
+    Single-evaluation contract: the rounding logic references its input
+    ~6 times (frac, tie test, NaN/2^52 guards); Catalyst inlines every
+    reference and codegen does NOT CSE across `when` branches, so the
+    naive inline form re-evaluates the argument ~10x in the physical
+    plan — which tripled q146 (50 array_intersect in the plan instead
+    of 5) and q92 (sigmoid weight-fold x10) at sf0.1 in round 10.  To
+    evaluate the argument exactly ONCE we bind v = c * 10^d as a
+    higher-order-function lambda variable:
+    ``transform(array(c * p), b -> round(b))[0]`` — the array
+    constructor evaluates `c` once, and every reference inside the
+    lambda reads the bound NamedLambdaVariable, not the original
+    expression tree.  Arithmetic is unchanged, so bit-exactness holds
+    (property-tested vs DuckDB in tests/test_png.py's boundary suite).
+    Guarded by the plan-budget gate in tests/test_plans.py.
     """
     c = F.col(col) if isinstance(col, str) else col
     c = c.cast("double")
     p = F.lit(float(10.0 ** d))
-    v = c * p
-    f = F.floor(v).cast("double")
-    frac = v - f
-    rounded = F.when(
-        (frac > 0.5) | ((frac == 0.5) & (v > 0.0)), f + 1.0
-    ).otherwise(f)
-    return (
-        F.when(F.isnan(v) | (F.abs(v) >= F.lit(2.0 ** 52)), v)
-        .otherwise(rounded)
-        / p
-    )
+
+    def _round_bound(v: Column) -> Column:
+        # v is the lambda variable (already c * 10^d, evaluated once);
+        # every reference below is a cheap bound-variable read.
+        f = F.floor(v).cast("double")
+        frac = v - f
+        rounded = F.when(
+            (frac > 0.5) | ((frac == 0.5) & (v > 0.0)), f + 1.0
+        ).otherwise(f)
+        return (
+            F.when(F.isnan(v) | (F.abs(v) >= F.lit(2.0 ** 52)), v)
+            .otherwise(rounded)
+            / p
+        )
+
+    return F.get(F.transform(F.array(c * p), _round_bound), 0)
 
 
 def mmr_rerank(

@@ -38,9 +38,11 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def _dre():
     """similarity.duck_round_expr via a call-time import (text is a leaf
-    of the dedup -> similarity chain).  d>0 double roundings that must
-    hash-match DuckDB ROUND route through it; d=0 integer quantizations
-    stay on F.round (identical semantics at scale 0)."""
+    of the dedup -> similarity chain).  Double roundings that must
+    hash-match DuckDB ROUND route through it; at d=0 the two spellings
+    are provably identical, so oracle-matched catalog outputs use
+    duck_round_expr uniformly while purely-internal integer
+    quantizations may keep F.round."""
     from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
         duck_round_expr,
     )

@@ -1322,6 +1322,10 @@ def _q64_sql() -> str | None:
             tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
         )
     )
+    if not vals:
+        # zero-row documents table would render the malformed
+        # `AS (VALUES )` — degrade to the rows-only check instead
+        return None
     return f"""
     WITH comp(doc_id, compressed_bytes) AS (VALUES {vals})
     SELECT d.doc_id,

@@ -692,7 +692,10 @@ def run_to_completion(
                 # inside addBatch a stateful stream spends its time —
                 # update/commit/removal are the store, the remainder is
                 # scan+shuffle+sink).  Times are summed across batches
-                # and operators; rows/memory are the final batch's.
+                # and operators; rows/memory are the PEAK across batches
+                # (max(), not the final batch — eviction-heavy streams
+                # like q141's watermark expiry shrink state between
+                # batches, and the peak is what sizes the store).
                 "state_update_sec": round(
                     sum(
                         int(so.get("allUpdatesTimeMs") or 0)

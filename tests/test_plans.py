@@ -830,3 +830,64 @@ def test_fixed_global_windows_stay_fixed(q):
     ):
         p = plan_of(q(name))
         assert not unpartitioned_window_lines(p), name
+
+
+# --------------------------------------------------------------------------
+# Expression-duplication plan budgets (round-10 verdict item #1/#2): the
+# round-10 `duck_round_expr` conversion silently re-evaluated expensive
+# argument expressions ~10x in the physical plan (Catalyst inlines every
+# reference; codegen does not CSE across `when` branches), tripling q146
+# (50 array_intersect instead of 5) and q92 (sigmoid fold x10) at sf0.1 —
+# and no existing gate (hash parity, exchange pins, driver bench tail)
+# could see it.  These budgets pin the per-plan occurrence count of the
+# known-expensive subexpressions for every query the round-10 audit named;
+# a helper change that re-inlines its argument trips them immediately.
+# --------------------------------------------------------------------------
+
+# name -> {plan-substring-regex: max allowed occurrences}
+PLAN_EXPR_BUDGETS = {
+    # 3 containment scores x (a-side + b-side shingle refs) = 5 is the
+    # honest count; round-10's regression shipped 50 here.
+    "q146_containment_near_dups": {r"array_intersect": 5, r"array_union": 2},
+    # one sigmoid weight fold; round-10's regression shipped 10.
+    "q92_model_quality_score": {r"aggregate\(": 2},
+    # cosine fold per (rel, pairwise) stage; never duplicated per round().
+    "q160_mmr_rerank": {r"aggregate\(": 4},
+    "q67_repetition_signals": {r"transform\(": 6},
+    "q145_ngram_novelty": {r"transform\(": 2, r"regexp_replace": 2},
+    "q85_chunk_dedup": {r"regexp_replace": 4},
+    "q64_compression_ratio": {r"transform\(": 2},
+    "q37_token_stats": {r"regexp_replace": 2, r"regexp_extract": 2},
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_EXPR_BUDGETS))
+def test_expensive_exprs_not_duplicated_in_plan(q, name):
+    import re as _re
+
+    p = plan_of(q(name), "simple")
+    for marker, budget in PLAN_EXPR_BUDGETS[name].items():
+        n = len(_re.findall(marker, p))
+        assert n <= budget, (
+            f"{name}: {marker} appears {n}x in the physical plan "
+            f"(budget {budget}) — an expensive subexpression is being "
+            f"re-evaluated; check duck_round_expr-style helpers for "
+            f"argument inlining"
+        )
+
+
+def test_duck_round_expr_evaluates_argument_once(spark):
+    # direct helper regression test: wrap an expensive expression and
+    # assert it appears exactly once in the executed plan (the round-10
+    # inline form produced 10 copies).
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        duck_round_expr,
+    )
+
+    df = spark.range(10).select(
+        F.array(F.col("id"), F.col("id") + 1).alias("a"),
+        F.array(F.col("id")).alias("b"),
+    )
+    expensive = F.size(F.array_intersect("a", "b")) / F.size("a")
+    p = plan_of(df.select(duck_round_expr(expensive, 6).alias("r")), "simple")
+    assert p.count("array_intersect") == 1, p

@@ -142,6 +142,52 @@ def test_idat_overflow_beyond_expected_is_loud():
         P.decode_png(bad)
 
 
+def test_idat_truncated_at_exact_output_is_loud():
+    # hostile corner the round-10 bounded inflate missed (ADVICE): a zlib
+    # stream cut off EXACTLY at `expected` output bytes leaves eof=False
+    # with empty unconsumed_tail and an empty flush probe — decode must
+    # still reject it (the unbounded zlib.decompress did, via Error -5 +
+    # adler32).
+    w, h = 64, 16
+    samples = bytes((x * 3 + y) & 0xFF for y in range(h) for x in range(w))
+    good = P.encode_png(w, h, samples, color_type=0)
+    # rebuild with the IDAT body cut at the shortest prefix that still
+    # inflates to exactly (stride+1)*h bytes
+    expected = (w + 1) * h
+    body = _idat_of(good)
+    cut_body = None
+    for cut in range(len(body), 0, -1):
+        dec = zlib.decompressobj()
+        try:
+            raw = dec.decompress(body[:cut], expected)
+        except zlib.error:
+            continue
+        if len(raw) == expected and not dec.eof:
+            cut_body = body[:cut]
+            break
+    assert cut_body is not None, "could not build the truncation fixture"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    bad = (
+        P.PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", cut_body)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated PNG zlib stream"):
+        P.decode_png(bad)
+
+
+def _idat_of(payload: bytes) -> bytes:
+    out, pos = bytearray(), len(P.PNG_SIGNATURE)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            out.extend(payload[pos + 8 : pos + 8 + length])
+        pos += 12 + length
+    return bytes(out)
+
+
 def _chunk(ctype: bytes, body: bytes) -> bytes:
     return (
         struct.pack(">I", len(body))
