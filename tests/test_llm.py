@@ -2184,3 +2184,81 @@ def test_multimodal_stub_error_points_at_hook():
         M.decode_image(b"xx", fake=False)
     with _pt.raises(NotImplementedError, match="resize_fn"):
         M.resize_image_bytes(b"xx", 3, 2, fake=False)
+
+
+# --------------------------------------------------------------------------
+# Oracle-independence second pins (round-10 verdict item #8): these three
+# operators back restatement-class oracles (the DuckDB SQL mirrors the
+# same tokenization/fingerprint convention the Spark side uses, so a bug
+# in the shared convention would cancel out in the parity gate).  Each
+# pin asserts hand-computed expected values on a tiny corpus, giving the
+# convention a reference independent of BOTH engines.  See
+# docs/ORACLES.md for the full taxonomy.
+# --------------------------------------------------------------------------
+
+
+def test_term_frequencies_hand_computed(spark):
+    # q23's operator: normalize -> split -> count.  Expected counts
+    # computed by hand: "the" x3, "cat" x2, "sat" x1, "mat" x1.
+    df = spark.createDataFrame(
+        [("The cat  sat",), ("the CAT\tthe mat",)], schema="text string"
+    )
+    got = {
+        r["token"]: r["tf"]
+        for r in T.term_frequencies(df).collect()
+    }
+    assert got == {"the": 3, "cat": 2, "sat": 1, "mat": 1}
+    # min_count filter drops the singletons
+    got2 = {
+        r["token"]: r["tf"]
+        for r in T.term_frequencies(df, min_count=2).collect()
+    }
+    assert got2 == {"the": 3, "cat": 2}
+
+
+def test_gram_frame_hand_computed(spark):
+    # q63's operator: distinct token 3-grams per doc.  "a b c d" -> two
+    # grams; the duplicated doc 2 gram list is DISTINCT so "x y z x y z"
+    # with n=3 keeps repeated grams once; short docs vanish.
+    df = spark.createDataFrame(
+        [(1, "a b  C d"), (2, "x y z x y z"), (3, "too short")],
+        schema="doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["gram"]) for r in D.gram_frame(df, n=3).collect()
+    }
+    assert got == {
+        (1, "a b c"),
+        (1, "b c d"),
+        (2, "x y z"),
+        (2, "y z x"),
+        (2, "z x y"),
+    }
+
+
+def test_streaming_incremental_dedup_hand_computed(spark):
+    # q130's operator on its static-degradation path (same plan
+    # semantics as the streaming twin): docs 11/12 share a normalized
+    # fingerprint (min id 11 survives, 2 copies), doc 13 matches the
+    # reference corpus and is anti-joined away, doc 14 is unique.
+    from ominimo_dynamic_data_pipeline_spark.streaming import ops as S_ops
+
+    incoming = spark.createDataFrame(
+        [
+            (11, "Hello  World"),
+            (12, "hello world"),
+            (13, "already   curated"),
+            (14, "brand new doc"),
+        ],
+        schema="doc_id bigint, text string",
+    )
+    reference = spark.createDataFrame(
+        [("already curated",)], schema="text string"
+    ).select(F.md5(T.normalize_text(F.col("text"))).alias("fp"))
+    got = {
+        r["doc_id"]: r["n_batch_copies"]
+        for r in S_ops.streaming_incremental_dedup(
+            incoming, reference
+        ).collect()
+    }
+    assert got == {11: 2, 14: 1}
