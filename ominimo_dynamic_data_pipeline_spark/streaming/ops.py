@@ -44,15 +44,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a native TIMESTAMP or as epoch-nanos bigint (nanosAsLong), and the
     conversion mirrors the batch loader exactly.
     """
-    # The file stream source requires a directory; pathGlobFilter narrows it
-    # to the events file within the scale-factor dir.
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    # The file stream source requires a directory.  Single-file layout
+    # (the sf* testdata): list the scale dir with pathGlobFilter picking
+    # the one events file.  Directory layout (a real lake / the
+    # multi-file sf100 re-layout): load the table directory itself —
+    # pathGlobFilter matches LEAF file names, so filtering the parent dir
+    # by "events.parquet" would match zero part files and read nothing.
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if Path(path).is_dir():
+        raw = reader.load(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -328,15 +332,15 @@ def interval_click_attribution(
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (schema from the
-    footer, same pattern as read_events_stream) — the continuous-ingest
-    source for streaming dedup."""
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    footer, same single-file-vs-directory handling as
+    read_events_stream) — the continuous-ingest source for streaming
+    dedup."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if Path(path).is_dir():
+        return reader.load(path)
+    return reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
 
 
 def streaming_incremental_dedup(

@@ -727,3 +727,45 @@ def test_cleanup_scratch_scoping(spark, tmp_path, monkeypatch):
     # explicit opt-in sweeps everything left
     assert ops.cleanup_scratch(None, all_apps=True) == 1
     assert not other.exists()
+
+
+def test_stream_sources_read_directory_layout(spark, sf_dir, tmp_path):
+    # Real lakes (and the multi-file sf100 re-layout) store each table as
+    # a DIRECTORY of part files; pathGlobFilter matches leaf file names,
+    # so the single-file listing trick would read zero part files there.
+    # Both stream sources must detect the layout and load the table dir
+    # directly, producing the same rows as the batch reader.
+    from ominimo_dynamic_data_pipeline_spark.streaming import ops as so
+
+    for table, reader in (
+        ("events", so.read_events_stream),
+        ("documents", so.read_documents_stream),
+    ):
+        src = f"{sf_dir}/{table}.parquet"
+        spark.read.parquet(src).repartition(3).write.parquet(
+            str(tmp_path / f"{table}.parquet")
+        )
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    stream = so.read_events_stream(spark, str(tmp_path))
+    assert stream.isStreaming
+    out = so.run_to_completion(
+        so.stream_dedup(stream.union(stream), keys=("event_id",)),
+        "dir_layout_events_sink",
+        shuffle_partitions=4,
+        scratch_dir=str(tmp_path / "scratch_e"),
+    )
+    assert out.count() == expected
+
+    dstream = so.read_documents_stream(spark, str(tmp_path))
+    assert dstream.isStreaming
+    docs_expected = spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).count()
+    dout = so.run_to_completion(
+        dstream.groupBy().count(),
+        "dir_layout_docs_sink",
+        output_mode="complete",
+        shuffle_partitions=4,
+        scratch_dir=str(tmp_path / "scratch_d"),
+    )
+    assert dout.collect()[0]["count"] == docs_expected
