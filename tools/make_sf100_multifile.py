@@ -12,9 +12,17 @@ directory (8 files for the small text/vector tables, which are already
 sub-GB) with the SAME rows — `spark.read.parquet` treats the directory
 identically, and every soak query's hash must come out unchanged.
 
-Rows are redistributed round-robin (repartition), which permutes
-row order; all 12 soak queries aggregate/join before any ordering, so
-results are order-independent — the sweep re-verifies hashes anyway.
+Rows are RANGE-partitioned on each table's natural cluster key and
+sorted within partitions, preserving the clustering of the single-file
+originals — a plain round-robin `repartition(n)` was measured to be the
+WRONG re-layout: it scatters each key's rows across all files, which
+(a) degrades parquet encoding ~20% (documents 656->796 MB, orders
+1.8->2.2 GB) and (b) destroys map-side combine locality, so
+key-clustered aggregations explode their shuffle volume (q97 192->378 s,
+q146 97->239 s in the aborted first re-stamp).  Real lakes are written
+clustered by ingest order / partition key, so range-split is also the
+representative layout.  Results are row-set identical either way; a
+fingerprint check runs per table after the write.
 
     python tools/make_sf100_multifile.py [table ...]
 """
@@ -32,14 +40,15 @@ from ominimo_dynamic_data_pipeline_spark import get_spark  # noqa: E402
 SRC = Path(__file__).resolve().parent.parent / "testdata_sf100"
 DST = Path(__file__).resolve().parent.parent / "testdata_sf100_mf"
 
-# table -> output file count (64 for the >1 GB tables per the measured
-# 16-wave rule at 32 cores; 8 keeps the small ones from fragmenting)
+# table -> (output file count, cluster key).  64 files for the >1 GB
+# tables per the measured 16-wave rule at 32 cores; 8 keeps the small
+# ones from fragmenting.  Keys mirror the generators' write order.
 FILES = {
-    "lineitem": 64,
-    "orders": 64,
-    "events": 64,
-    "documents": 8,
-    "embeddings": 8,
+    "lineitem": (64, "l_orderkey"),
+    "orders": (64, "o_orderkey"),
+    "events": (64, "event_id"),
+    "documents": (8, "doc_id"),
+    "embeddings": (8, "vec_id"),
 }
 
 
@@ -48,7 +57,9 @@ def main() -> None:
     spark = get_spark(app_name="make_sf100_multifile")
     spark.sparkContext.setLogLevel("ERROR")
     DST.mkdir(exist_ok=True)
-    for table, n in FILES.items():
+    from pyspark.sql import functions as F
+
+    for table, (n, key) in FILES.items():
         if only and table not in only:
             continue
         src = SRC / f"{table}.parquet"
@@ -56,13 +67,27 @@ def main() -> None:
             print(f"SKIP {table}: {src} missing")
             continue
         t0 = time.time()
+        df = spark.read.parquet(str(src))
         (
-            spark.read.parquet(str(src))
-            .repartition(n)
+            df.repartitionByRange(n, key)
+            .sortWithinPartitions(key)
             .write.mode("overwrite")
             .parquet(str(DST / f"{table}.parquet"))
         )
-        print(f"{table}: {n} files in {time.time() - t0:.1f}s")
+        # row-set fingerprint: count + sum of xxhash64 over all columns
+        # must match the single-file original exactly
+        fp = lambda d: d.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*d.columns)).alias("h"),
+        ).collect()[0]
+        a, b = fp(df), fp(spark.read.parquet(str(DST / f"{table}.parquet")))
+        ok = a["n"] == b["n"] and a["h"] == b["h"]
+        print(
+            f"{table}: {n} files in {time.time() - t0:.1f}s "
+            f"fingerprint={'MATCH' if ok else 'FAIL'}"
+        )
+        if not ok:
+            raise SystemExit(f"{table}: fingerprint mismatch after re-layout")
     spark.stop()
 
 
