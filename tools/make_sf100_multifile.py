@@ -40,15 +40,21 @@ from ominimo_dynamic_data_pipeline_spark import get_spark  # noqa: E402
 SRC = Path(__file__).resolve().parent.parent / "testdata_sf100"
 DST = Path(__file__).resolve().parent.parent / "testdata_sf100_mf"
 
-# table -> (output file count, cluster key).  64 files for the >1 GB
-# tables per the measured 16-wave rule at 32 cores; 8 keeps the small
-# ones from fragmenting.  Keys mirror the generators' write order.
+# table -> (output file count, cluster key).  64 files for EVERY table:
+# Spark can only split a parquet file at row-group boundaries, and these
+# writes produce one row group per file, so the scan-stage task count ==
+# file count — and for the text/embedding tables the heavy CPU
+# (shingling, posexplode moments) runs IN the scan stage.  The first
+# re-layout used 8 files for the small tables and q197 ran 2.2x slower
+# than single-file PURELY from 8-way parallelism on 32 cores
+# (116.9 vs 54.2 s isolated A/B); 64 files restores >= 2 waves.
+# Keys mirror the generators' write order.
 FILES = {
     "lineitem": (64, "l_orderkey"),
     "orders": (64, "o_orderkey"),
     "events": (64, "event_id"),
-    "documents": (8, "doc_id"),
-    "embeddings": (8, "vec_id"),
+    "documents": (64, "doc_id"),
+    "embeddings": (64, "vec_id"),
 }
 
 
