@@ -1470,11 +1470,14 @@ def containment_near_dups(
         df, id_col, text_col, shingle_n,
         max_df=max_df, shingles=posts, max_pairs=max_pairs,
     )
-    scored = containment_scores(
+    # threshold applies INSIDE the scorer on the raw staged ratios (via
+    # the exact duck_round_cutoff preimage): a filter on the rounded
+    # output columns here would predicate-push the full ~10x rounding
+    # expression into the pair join (measured: 20 array_intersect in the
+    # join condition vs 2 raw-ratio copies)
+    return containment_scores(
         df, cand, id_col, text_col, shingle_n, shingles=sh,
-    )
-    return scored.filter(
-        F.greatest("containment_a", "containment_b") >= threshold
+        min_containment=threshold,
     )
 
 
@@ -1485,13 +1488,19 @@ def containment_scores(
     text_col: str = "text",
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    min_containment: float | None = None,
 ) -> DataFrame:
     """Exact shingle CONTAINMENT for candidate pairs: |A∩B| / |A| and
     |A∩B| / |B| alongside plain Jaccard — the asymmetric similarity
     that flags quote-inclusion / partial-copy pairs Jaccard hides (a
     tweet quoted in an article: containment_a ~ 1, jaccard ~ 0).
     Same join shape as jaccard_pairs (pairs resolve against the shingle
-    frame twice); shingle arrays shuffle only for candidate ids."""
+    frame twice); shingle arrays shuffle only for candidate ids.
+
+    ``min_containment`` filters on the RAW staged ratios using the exact
+    rounded-threshold preimage (duck_round_cutoff), equivalent row-set
+    to ``greatest(containment_a, containment_b) >= t`` on the rounded
+    outputs but pushdown-cheap (see containment_near_dups)."""
     sh = (
         shingles
         if shingles is not None
@@ -1499,19 +1508,40 @@ def containment_scores(
     )
     a = sh.alias("sa")
     b = sh.alias("sb")
-    inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
-    return (
+    # Stage the set sizes in their own projection, then round plain
+    # column arithmetic: duck_round_expr references its argument ~10x,
+    # so the array ops must be bound to names first (CollapseProject
+    # keeps the projections apart — see the helper's contract).  One
+    # array_intersect + one array_union in the plan, total.
+    staged = (
         pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
         .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
         .select(
             "id_a",
             "id_b",
-            _dre()(inter / F.size("sa.sh"), 6).alias("containment_a"),
-            _dre()(inter / F.size("sb.sh"), 6).alias("containment_b"),
-            _dre()(
-                inter
-                / F.size(F.array_union("sa.sh", "sb.sh")),
-                6,
-            ).alias("jaccard"),
+            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("_inter"),
+            F.size("sa.sh").alias("_na"),
+            F.size("sb.sh").alias("_nb"),
+            F.size(F.array_union("sa.sh", "sb.sh")).alias("_nu"),
         )
+    )
+    if min_containment is not None:
+        from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+            duck_round_cutoff,
+        )
+
+        cut = duck_round_cutoff(min_containment, 6)
+        staged = staged.filter(
+            F.greatest(
+                F.col("_inter") / F.col("_na"),
+                F.col("_inter") / F.col("_nb"),
+            )
+            >= F.lit(cut)
+        )
+    return staged.select(
+        "id_a",
+        "id_b",
+        _dre()(F.col("_inter") / F.col("_na"), 6).alias("containment_a"),
+        _dre()(F.col("_inter") / F.col("_nb"), 6).alias("containment_b"),
+        _dre()(F.col("_inter") / F.col("_nu"), 6).alias("jaccard"),
     )

@@ -66,12 +66,16 @@ def brute_force_topk(
     cos = dot_double(F.col("qv"), F.col("cv")) / (
         F.col("q_nrm") * F.col("c_nrm")
     )
-    if round_to is not None:
-        cos = duck_round_expr(cos, round_to)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cos"))
     )
+    if round_to is not None:
+        # staged column-ref rewrite: the dot-product fold stays in its
+        # own projection, evaluated once (duck_round_expr's contract)
+        scored = scored.withColumn(
+            "cos", duck_round_expr("cos", round_to)
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -794,11 +798,13 @@ def semantic_decontaminate(
         / (F.col("nrm") * e["n"]),
     )
     mc = F.when(F.col("nrm") > 0, F.array_max(cos_arr))
-    return cn.select(
+    # stage the |eval|-way cosine sweep once; round/compare column refs
+    staged = cn.select(F.col(id_col), *keep_cols, mc.alias("_mc"))
+    return staged.select(
         F.col(id_col),
         *keep_cols,
-        duck_round_expr(mc, 6).alias("max_eval_cos"),
-        F.coalesce(mc >= F.lit(threshold), F.lit(False)).alias(
+        duck_round_expr(F.col("_mc"), 6).alias("max_eval_cos"),
+        F.coalesce(F.col("_mc") >= F.lit(threshold), F.lit(False)).alias(
             "contaminated"
         ),
     )
@@ -1315,6 +1321,42 @@ def duck_round(x: float, d: int) -> float:
     return f / p
 
 
+def duck_round_cutoff(threshold: float, d: int) -> float:
+    """Smallest non-negative double x with duck_round(x, d) >= threshold.
+
+    duck_round(., d) is monotone non-decreasing, so
+    {x : duck_round(x, d) >= t} is exactly {x >= cutoff} — filtering the
+    RAW score with this cutoff selects precisely the rows whose ROUNDED
+    score clears the threshold.  That matters for plans: a filter on a
+    rounded column gets predicate-pushed below the rounding projection,
+    and pushdown substitutes the full rounding expression (which
+    references its argument ~10x — see duck_round_expr's contract) into
+    the join condition.  Filtering the raw value keeps the pushed
+    predicate one-copy cheap; the projection above rounds once for the
+    survivors.  Bisection runs on the raw IEEE bit ordering (valid for
+    non-negative doubles), so the cutoff is exact to the ULP.
+    Scores here (jaccard/containment/cosine-with-threshold) are
+    non-negative by construction; assert rather than guess otherwise.
+    """
+    import struct
+
+    assert threshold > 0.0, "cutoff bisection assumes a positive threshold"
+    bits = lambda x: struct.unpack("<q", struct.pack("<d", x))[0]
+    unbits = lambda b: struct.unpack("<d", struct.pack("<q", b))[0]
+    lo, hi = 0.0, float(threshold) + 10.0 ** (-d)
+    if duck_round(lo, d) >= threshold:
+        return lo
+    assert duck_round(hi, d) >= threshold
+    lo_b, hi_b = bits(lo), bits(hi)
+    while hi_b - lo_b > 1:
+        mid_b = (lo_b + hi_b) // 2
+        if duck_round(unbits(mid_b), d) >= threshold:
+            hi_b = mid_b
+        else:
+            lo_b = mid_b
+    return unbits(hi_b)
+
+
 def duck_round_expr(col: Column | str, d: int = 0) -> Column:
     """`duck_round` as a pure-JVM Column expression — DuckDB's
     ROUND(double, d) bit-exactly, inside whole-stage codegen (no UDF,
@@ -1336,40 +1378,45 @@ def duck_round_expr(col: Column | str, d: int = 0) -> Column:
     BigDecimal.valueOf's shortest-decimal-string HALF_UP and diverges
     from DuckDB on boundary doubles (the round-9 sf1 sweep caught one).
 
-    Single-evaluation contract: the rounding logic references its input
-    ~6 times (frac, tie test, NaN/2^52 guards); Catalyst inlines every
-    reference and codegen does NOT CSE across `when` branches, so the
-    naive inline form re-evaluates the argument ~10x in the physical
-    plan — which tripled q146 (50 array_intersect in the plan instead
-    of 5) and q92 (sigmoid weight-fold x10) at sf0.1 in round 10.  To
-    evaluate the argument exactly ONCE we bind v = c * 10^d as a
-    higher-order-function lambda variable:
-    ``transform(array(c * p), b -> round(b))[0]`` — the array
-    constructor evaluates `c` once, and every reference inside the
-    lambda reads the bound NamedLambdaVariable, not the original
-    expression tree.  Arithmetic is unchanged, so bit-exactness holds
-    (property-tested vs DuckDB in tests/test_png.py's boundary suite).
-    Guarded by the plan-budget gate in tests/test_plans.py.
+    CHEAP-ARGUMENT CONTRACT: the rounding logic references its input
+    ~10 times (frac, tie test, NaN/2^52 guards); Catalyst inlines every
+    reference and codegen does not CSE across `when` branches, so the
+    argument is re-evaluated up to 10x per row.  Pass ONLY cheap
+    expressions: a column reference, a literal, or an aggregate output
+    (the planner dedupes identical aggregate expressions).  For an
+    EXPENSIVE expression (array ops, HOF folds, regex), STAGE it into a
+    named column in its own projection first and round the reference:
+
+        staged = df.withColumn("_raw", expensive)
+        staged.select(duck_round_expr("_raw", 6).alias(...))
+
+    CollapseProject will NOT merge the two projections (it refuses to
+    duplicate a non-cheap expression referenced more than once,
+    plan-tested in tests/test_plans.py), so the expensive input is
+    evaluated exactly once, inside whole-stage codegen.  The round-10
+    regression shipped unstaged expensive args (q146's plan ran 50
+    array_intersect instead of 5); a round-11 interim fix bound the
+    argument via transform(array(v), ...)[0] — single-eval but
+    CodegenFallback, and the interpreted HOF evaluation measurably
+    poisoned the whole session's interpreted paths (q191-after-q146 at
+    sf100: 512 s vs 112 s with codegen rounding, 4.6x, reproduced
+    A/B) — so the codegen inline form + call-site staging is the
+    contract.  Guarded by the plan-budget gate in tests/test_plans.py.
     """
     c = F.col(col) if isinstance(col, str) else col
     c = c.cast("double")
     p = F.lit(float(10.0 ** d))
-
-    def _round_bound(v: Column) -> Column:
-        # v is the lambda variable (already c * 10^d, evaluated once);
-        # every reference below is a cheap bound-variable read.
-        f = F.floor(v).cast("double")
-        frac = v - f
-        rounded = F.when(
-            (frac > 0.5) | ((frac == 0.5) & (v > 0.0)), f + 1.0
-        ).otherwise(f)
-        return (
-            F.when(F.isnan(v) | (F.abs(v) >= F.lit(2.0 ** 52)), v)
-            .otherwise(rounded)
-            / p
-        )
-
-    return F.get(F.transform(F.array(c * p), _round_bound), 0)
+    v = c * p
+    f = F.floor(v).cast("double")
+    frac = v - f
+    rounded = F.when(
+        (frac > 0.5) | ((frac == 0.5) & (v > 0.0)), f + 1.0
+    ).otherwise(f)
+    return (
+        F.when(F.isnan(v) | (F.abs(v) >= F.lit(2.0 ** 52)), v)
+        .otherwise(rounded)
+        / p
+    )
 
 
 def mmr_rerank(

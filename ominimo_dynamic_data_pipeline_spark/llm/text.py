@@ -130,17 +130,41 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: the language with the most distinct marker
     hits; deterministic tie-break by fixed language order; 'und' when no
     marker hits at all."""
-    scores = language_scores(F.col(text_col))
-    langs = list(scores)
+    langs = list(LANG_MARKERS)
+    # Stage the token array once, then each language's marker-hit count
+    # over the staged reference (one regex pass per row, not one per
+    # language), then build the
+    # strict-improvement chain over the staged column refs: the chain
+    # nests every earlier score inside every later `when`, so inlined
+    # scores explode combinatorially (measured: 57 array_intersect +
+    # 57 regexp_replace in q22's plan, 114 in q173's; staged: one of
+    # each per language).  CollapseProject keeps the staging projection
+    # separate (non-cheap exprs referenced more than once).  Fixed
+    # evaluation order and values are unchanged => same CASE chain in
+    # the SQL oracle, same results.
+    staged = df.withColumn("_lid_toks", tokens(F.col(text_col)))
+    for lang in langs:
+        staged = staged.withColumn(
+            f"_ls_{lang}",
+            F.size(
+                F.array_intersect(
+                    F.col("_lid_toks"),
+                    F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]),
+                )
+            ),
+        )
     best = F.lit("und")
     best_score = F.lit(0)
-    # Build a strict-improvement chain in fixed order => deterministic and
-    # replicable as a CASE chain in the SQL oracle.
+    # strict-improvement chain in fixed order => deterministic and
+    # replicable as a CASE chain in the SQL oracle
     for lang in langs:
-        improved = scores[lang] > best_score
+        score = F.col(f"_ls_{lang}")
+        improved = score > best_score
         best = F.when(improved, F.lit(lang)).otherwise(best)
-        best_score = F.when(improved, scores[lang]).otherwise(best_score)
-    return df.withColumn("lang_pred", best)
+        best_score = F.when(improved, score).otherwise(best_score)
+    return staged.withColumn("lang_pred", best).drop(
+        "_lid_toks", *[f"_ls_{lang}" for lang in langs]
+    )
 
 
 def term_frequencies(
@@ -462,10 +486,19 @@ def model_quality_score(
     n_tok = F.size("tk")
     raw = wsum / n_tok + F.lit(float(bias))
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
-    return staged.select(
+    # Stage the sigmoid (it contains the per-token weight fold) before
+    # rounding: duck_round_expr references its argument ~10x and the
+    # fold must run once per row, not ten times (the round-10 q92
+    # regression).  CollapseProject keeps the projections apart.
+    scored = staged.select(
         F.col(id_col),
         n_tok.cast("bigint").alias("n_tokens"),
-        _dre()(F.when(n_tok > 0, prob), 6).alias("quality_score"),
+        F.when(n_tok > 0, prob).alias("_prob"),
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        _dre()(F.col("_prob"), 6).alias("quality_score"),
     )
 
 

@@ -109,12 +109,22 @@ def q21_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     norm = T.normalize_text(F.col("text"))
     toks = T.tokens(F.col("text"))
-    n_chars = F.length(norm)
-    n_tokens = F.size(toks)
-    punct = F.length(F.regexp_replace(norm, r"[^.,;:!?]", ""))
-    digits = F.length(F.regexp_replace(norm, r"[^0-9]", ""))
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*T.LANG_MARKERS["en"])))
-    return d.select(
+    # stage the regex/array counters once per row, round column refs
+    # (duck_round_expr references its argument ~10x — unstaged, each
+    # ratio would run its regexp_replace pass ten times per row)
+    staged = d.select(
+        "doc_id",
+        "lang",
+        F.length(norm).alias("_nc"),
+        F.size(toks).alias("_nt"),
+        F.length(F.regexp_replace(norm, r"[^.,;:!?]", "")).alias("_punct"),
+        F.length(F.regexp_replace(norm, r"[^0-9]", "")).alias("_digits"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*T.LANG_MARKERS["en"]))
+        ).alias("_stop"),
+    )
+    n_chars, n_tokens = F.col("_nc"), F.col("_nt")
+    return staged.select(
         "doc_id",
         "lang",
         n_chars.cast("bigint").alias("n_chars"),
@@ -122,9 +132,9 @@ def q21_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         duck_round_expr(
             F.when(n_tokens > 0, (n_chars - n_tokens + 1.0) / n_tokens), 6
         ).alias("avg_token_len"),
-        duck_round_expr(punct / F.nullif(n_chars, F.lit(0)), 6).alias("punct_ratio"),
-        duck_round_expr(digits / F.nullif(n_chars, F.lit(0)), 6).alias("digit_ratio"),
-        duck_round_expr(stop_hits / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
+        duck_round_expr(F.col("_punct") / F.nullif(n_chars, F.lit(0)), 6).alias("punct_ratio"),
+        duck_round_expr(F.col("_digits") / F.nullif(n_chars, F.lit(0)), 6).alias("digit_ratio"),
+        duck_round_expr(F.col("_stop") / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
     )
 
 

@@ -858,6 +858,11 @@ PLAN_EXPR_BUDGETS = {
     "q85_chunk_dedup": {r"regexp_replace": 4},
     "q64_compression_ratio": {r"transform\(": 2},
     "q37_token_stats": {r"regexp_replace": 2, r"regexp_extract": 2},
+    # language-ID CASE chain: staged marker counts (round 11) — the
+    # unstaged chain nests every earlier score in every later `when`,
+    # exploding to 57 (q22) / 114 (q173) intersect+regex copies.
+    "q22_language_id": {r"array_intersect": 6, r"regexp_replace": 2},
+    "q173_langid_confusion": {r"array_intersect": 12, r"regexp_replace": 4},
 }
 
 
@@ -876,10 +881,15 @@ def test_expensive_exprs_not_duplicated_in_plan(q, name):
         )
 
 
-def test_duck_round_expr_evaluates_argument_once(spark):
-    # direct helper regression test: wrap an expensive expression and
-    # assert it appears exactly once in the executed plan (the round-10
-    # inline form produced 10 copies).
+def test_duck_round_staging_contract(spark):
+    # duck_round_expr's cheap-argument contract: the helper inlines its
+    # argument ~10x (codegen form — the round-11 interim HOF binding was
+    # single-eval but its interpreted evaluation poisoned the session's
+    # other interpreted paths, q191-after-q146 512 vs 112 s at sf100),
+    # so expensive expressions must be STAGED into a named column and
+    # the reference rounded.  This pins the optimizer behavior the
+    # pattern relies on: CollapseProject must NOT merge the staging
+    # projection back in (it would duplicate the non-cheap expression).
     from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
         duck_round_expr,
     )
@@ -889,5 +899,15 @@ def test_duck_round_expr_evaluates_argument_once(spark):
         F.array(F.col("id")).alias("b"),
     )
     expensive = F.size(F.array_intersect("a", "b")) / F.size("a")
-    p = plan_of(df.select(duck_round_expr(expensive, 6).alias("r")), "simple")
+    staged = df.withColumn("_raw", expensive).select(
+        duck_round_expr(F.col("_raw"), 6).alias("r")
+    )
+    p = plan_of(staged, "simple")
     assert p.count("array_intersect") == 1, p
+    # and the unstaged form really does duplicate — the reason the
+    # contract exists (if Spark ever starts CSE-ing this, the staging
+    # pattern becomes unnecessary and this pin should be revisited)
+    p_unstaged = plan_of(
+        df.select(duck_round_expr(expensive, 6).alias("r")), "simple"
+    )
+    assert p_unstaged.count("array_intersect") > 1
