@@ -99,6 +99,20 @@ _DEFAULTS: dict[str, str] = {
         "true"
     ),
     "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows": "false",
+    # Round-11 measured pass on q141's watermark-eviction residual
+    # (tools/exp_q141_eviction.py, sf100 multi-file, cold process per
+    # variant, result fingerprints identical): larger memtables (fewer
+    # L0 SSTs for the expiry scan's merge iterator) + a real block cache
+    # (default is 8 MB) take q141 110.7 -> 84.4 s wall, state update
+    # 1792 -> 1250 task-s, watermark removal 505 -> 365 task-s (-28%).
+    # Both are storage-layout/cache-only (result-neutral) and inert on
+    # the heap provider.  Memory bound: budgets apply per OPEN store and
+    # only task-active stores are open, so worst-case extra is
+    # ~(128*4 + 64) MB x executor cores — pair with
+    # rocksdb.boundedMemoryUsage on memory-constrained executors.
+    "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB": "128",
+    "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber": "4",
+    "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB": "64",
     # Long multi-query sessions accumulate localCheckpoint / broadcast
     # blocks whose Py4J references the Python GC releases lazily; the
     # ContextCleaner only frees them after a JVM GC notices the refs are
