@@ -15,6 +15,29 @@ generated-class cache holds ~100 entries, so with 79 queries x several
 codegen stages a global warm-up pass is evicted before the timed pass
 reaches it.  The timed number is steady-state throughput, the quantity
 that scales to the 100 TB posture.
+
+Record re-stamp protocol (round-12, after the round-11 gate cried wolf
+eight times across two hosts with zero real regressions):
+
+- ``SPARK_GRAFT_UPDATE_RECORDS=1`` at sf0.1 re-stamps
+  ``BENCH_RECORDS.json``.  In that mode each query is timed for
+  ``SPARK_GRAFT_TIMED_PASSES`` (default 3) warm passes and the MEDIAN is
+  stamped — a single pass leaves +/-2x run-to-run noise baked into
+  sub-second records (judge-measured: q69 bounced 0.35-0.67s against a
+  0.172s single-pass record).  Re-stamp on the commit that changes a
+  query's plan, never to paper over an unexplained slowdown.
+- A subset run (``SPARK_GRAFT_QUERIES=...``) MERGES its median timings
+  into the existing records instead of overwriting the file — a subset
+  overwrite would silently destroy the 204-query baseline the
+  regression gate compares against.
+- The regression diff (full catalog runs only) flags a query when its
+  host-median-normalized ratio exceeds 1.5x AND the absolute delta
+  clears a noise floor (0.5s for records under 1s, where +/-2x is pure
+  scheduler noise; 0.15s for records >= 1s) AND the slowdown survives
+  one isolated re-run at the end of the session (ordering/GC effects
+  don't).  ``SPARK_GRAFT_INJECT_SLOWDOWN=qname:3.0`` multiplies that
+  query's measured walls — the test hook proving the gate still trips
+  on a real 3x regression.
 """
 
 from __future__ import annotations
@@ -22,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -34,6 +58,68 @@ from ominimo_dynamic_data_pipeline_spark.queries import QUERIES
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def parse_inject(spec: str) -> dict[str, float]:
+    """Parse SPARK_GRAFT_INJECT_SLOWDOWN ("q01:3.0,q02:2") into a
+    per-query wall-time multiplier map (the regression-gate test hook)."""
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        if ":" in part:
+            name, factor = part.rsplit(":", 1)
+            out[name.strip()] = float(factor)
+    return out
+
+
+def diff_against_records(timings, prior, rerun=None):
+    """Regression diff vs the committed per-query records.
+
+    Pure logic, unit-tested in tests/test_bench.py.  Host drift is
+    cancelled by normalizing every ratio by the session median ratio.  A
+    query is a regression CANDIDATE when its normalized ratio exceeds
+    1.5x AND the absolute delta clears the noise floor — 0.5s for
+    records under 1s (sub-second walls vary +/-2x run-to-run on a busy
+    32-core box; round-11 produced eight sub-second false flags across
+    two hosts and zero real ones), 0.15s for records >= 1s where 1.5x is
+    meaningful.  A candidate is only FLAGGED if ``rerun`` (an isolated
+    end-of-session re-measurement; None in unit tests) still trips on
+    the better of the two walls — in-session ordering and GC effects
+    don't reproduce in isolation, real plan regressions do.
+
+    Returns {"median_host_ratio": ..., "flagged": {...}} or None when no
+    comparable records exist.
+    """
+    ratios = {
+        n: timings[n] / prior[n]
+        for n in timings
+        if n in prior and prior[n] >= 0.05 and timings[n] > 0
+    }
+    if not ratios:
+        return None
+    med = sorted(ratios.values())[len(ratios) // 2]
+
+    def trips(sec: float, rec: float) -> bool:
+        floor = 0.5 if rec < 1.0 else 0.15
+        return sec / rec / med > 1.5 and sec - rec * med > floor
+
+    flagged = {}
+    for n in sorted(ratios):
+        if not trips(timings[n], prior[n]):
+            continue
+        info = {
+            "sec": timings[n],
+            "record_sec": prior[n],
+            "ratio_vs_median": round(ratios[n] / med, 2),
+        }
+        if rerun is not None:
+            try:
+                info["rerun_sec"] = round(rerun(n), 3)
+            except Exception:  # noqa: BLE001 — a failing rerun never clears
+                info["rerun_sec"] = timings[n]
+            if not trips(min(timings[n], info["rerun_sec"]), prior[n]):
+                continue  # didn't reproduce in isolation: ordering noise
+        flagged[n] = info
+    return {"median_host_ratio": round(med, 3), "flagged": flagged}
 
 
 def main() -> None:
@@ -86,6 +172,48 @@ def main() -> None:
         except Exception:
             pass
 
+    update_records = os.environ.get("SPARK_GRAFT_UPDATE_RECORDS") == "1"
+    # re-stamp mode defaults to median-of-3 warm passes (single-pass
+    # records bake +/-2x sub-second noise into the baseline); the normal
+    # comparison run keeps one timed pass and relies on the noise floor +
+    # isolated-rerun confirmation instead
+    passes = int(
+        os.environ.get(
+            "SPARK_GRAFT_TIMED_PASSES", "3" if update_records else "1"
+        )
+    )
+    inject = parse_inject(os.environ.get("SPARK_GRAFT_INJECT_SLOWDOWN", ""))
+
+    def timed_pass(name, fn):
+        """One warm timed pass; returns (sec, streaming_agg_or_None)."""
+        stream_ops.LAST_RUN_STATS.clear()
+        start = time.perf_counter()
+        force(fn(spark, sf_dir))
+        sec = (time.perf_counter() - start) * inject.get(name, 1.0)
+        agg = None
+        if stream_ops.LAST_RUN_STATS:
+            # micro-batch breakdown for streaming queries: wall time =
+            # batches x fixed overhead + data work; sf-growth gates
+            # should read add_batch_sec (the data term), not wall time
+            agg = {
+                "batches": 0,
+                "input_rows": 0,
+                "trigger_exec_sec": 0.0,
+                "add_batch_sec": 0.0,
+                "fixed_overhead_sec": 0.0,
+            }
+            for st in stream_ops.LAST_RUN_STATS.values():
+                for k in agg:
+                    agg[k] = round(agg[k] + st.get(k, 0), 3)
+            # results are consumed — drop this query's sink/checkpoint
+            # scratch NOW, outside the timed window.  Round-10 measured
+            # the late-session streaming drag to be exactly this
+            # accumulation: 8-11 GB of dead scratch writeback throttled
+            # q116's stateful stage 1.4x at sf100 (BENCH_sf100.json);
+            # cleaning between queries removed the whole gap.
+            stream_ops.cleanup_scratch(spark)
+        return sec, agg
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     streaming: dict[str, dict] = {}
@@ -94,33 +222,13 @@ def main() -> None:
         # loudly in the output instead (stderr + an `errors` field)
         try:
             force(fn(spark, sf_dir))  # warm-up: codegen/JIT compile this plan
-            stream_ops.LAST_RUN_STATS.clear()
-            start = time.perf_counter()
-            force(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - start, 3)
-            if stream_ops.LAST_RUN_STATS:
-                # micro-batch breakdown for streaming queries: wall time =
-                # batches x fixed overhead + data work; sf-growth gates
-                # should read add_batch_sec (the data term), not wall time
-                agg = {
-                    "batches": 0,
-                    "input_rows": 0,
-                    "trigger_exec_sec": 0.0,
-                    "add_batch_sec": 0.0,
-                    "fixed_overhead_sec": 0.0,
-                }
-                for st in stream_ops.LAST_RUN_STATS.values():
-                    for k in agg:
-                        agg[k] = round(agg[k] + st.get(k, 0), 3)
-                streaming[name] = agg
-                # results are consumed (forced twice) — drop this
-                # query's sink/checkpoint scratch NOW, outside the
-                # timed window.  Round-10 measured the late-session
-                # streaming drag to be exactly this accumulation:
-                # 8-11 GB of dead scratch writeback throttled q116's
-                # stateful stage 1.4x at sf100 (BENCH_sf100.json);
-                # cleaning between queries removed the whole gap.
-                stream_ops.cleanup_scratch(spark)
+            samples = []
+            for _ in range(passes):
+                sec, agg = timed_pass(name, fn)
+                samples.append(sec)
+                if agg is not None:
+                    streaming[name] = agg
+            timings[name] = round(statistics.median(samples), 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
@@ -156,38 +264,42 @@ def main() -> None:
     # (q146 3.3x, q92 3.3x vs a 1.09x session median).  Refresh records
     # intentionally with SPARK_GRAFT_UPDATE_RECORDS=1.
     records_path = Path(__file__).resolve().parent / "BENCH_RECORDS.json"
-    if os.environ.get("SPARK_GRAFT_UPDATE_RECORDS") == "1" and sf == 0.1:
+    if update_records and sf == 0.1:
+        # a SUBSET re-stamp merges into the existing baseline — a plain
+        # overwrite here would silently destroy the other ~200 records
+        # the regression gate compares against (round-11 ADVICE)
+        merged = dict(timings)
+        if only and records_path.exists():
+            merged = {**json.loads(records_path.read_text()), **timings}
         records_path.write_text(
-            json.dumps(timings, indent=1, sort_keys=True) + "\n"
+            json.dumps(merged, indent=1, sort_keys=True) + "\n"
         )
-        print(f"BENCH records re-stamped: {records_path}", file=sys.stderr)
+        print(
+            f"BENCH records re-stamped ({'merged subset' if only else 'full'},"
+            f" median of {passes} passes): {records_path}",
+            file=sys.stderr,
+        )
     elif records_path.exists() and sf == 0.1 and not only:
+
+        def isolated_rerun(name: str) -> float:
+            # confirmation outside the batch ordering: re-warm (the JVM
+            # generated-class cache holds ~100 entries, this plan has
+            # been evicted by now) then take one clean wall
+            fn = QUERIES[name]
+            force(fn(spark, sf_dir))
+            sec, _ = timed_pass(name, fn)
+            return sec
+
         prior = json.loads(records_path.read_text())
-        ratios = {
-            n: timings[n] / prior[n]
-            for n in timings
-            if n in prior and prior[n] >= 0.05 and timings[n] > 0
-        }
-        if ratios:
-            med = sorted(ratios.values())[len(ratios) // 2]
-            flagged = {
-                n: {
-                    "sec": timings[n],
-                    "record_sec": prior[n],
-                    "ratio_vs_median": round(r / med, 2),
-                }
-                for n, r in ratios.items()
-                if r / med > 1.5 and timings[n] - prior[n] * med > 0.15
-            }
-            record["bench_diff"] = {
-                "median_host_ratio": round(med, 3),
-                "flagged": flagged,
-            }
-            for n, info in sorted(flagged.items()):
+        diff = diff_against_records(timings, prior, rerun=isolated_rerun)
+        if diff is not None:
+            record["bench_diff"] = diff
+            for n, info in sorted(diff["flagged"].items()):
                 print(
-                    f"BENCH REGRESSION {n}: {info['sec']}s vs record "
-                    f"{info['record_sec']}s ({info['ratio_vs_median']}x "
-                    f"over the {med:.2f}x session median)",
+                    f"BENCH REGRESSION {n}: {info['sec']}s (isolated rerun "
+                    f"{info['rerun_sec']}s) vs record {info['record_sec']}s "
+                    f"({info['ratio_vs_median']}x over the "
+                    f"{diff['median_host_ratio']}x session median)",
                     file=sys.stderr,
                 )
     print(json.dumps(record))

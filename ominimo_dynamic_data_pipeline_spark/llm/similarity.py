@@ -1340,7 +1340,13 @@ def duck_round_cutoff(threshold: float, d: int) -> float:
     """
     import struct
 
-    assert threshold > 0.0, "cutoff bisection assumes a positive threshold"
+    if threshold <= 0.0:
+        # every non-negative score rounds to >= a non-positive threshold,
+        # so the cutoff filter degenerates to "keep all" — returning 0.0
+        # preserves the pre-round-11 behavior of threshold=0.0 callers
+        # (containment_scores/near_dups kept all non-null pairs) instead
+        # of asserting (round-11 ADVICE)
+        return 0.0
     bits = lambda x: struct.unpack("<q", struct.pack("<d", x))[0]
     unbits = lambda b: struct.unpack("<d", struct.pack("<q", b))[0]
     lo, hi = 0.0, float(threshold) + 10.0 ** (-d)

@@ -36,6 +36,23 @@ EVENTS_SCHEMA = (
 )
 
 
+def _path_is_dir(spark: SparkSession, path: str) -> bool:
+    """Directory test through the Hadoop FileSystem API, so remote URIs
+    (s3a://, hdfs://) resolve against the right filesystem.  The local
+    ``Path.is_dir()`` answer is False for ANY remote URI, which would
+    silently route a remote directory table into the pathGlobFilter
+    branch — matching zero leaf part files and streaming nothing
+    (round-11 ADVICE).  Falls back to the local check only when the JVM
+    gateway is unavailable (plain-Python unit tests)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.getFileStatus(hpath).isDirectory())
+    except Exception:  # noqa: BLE001
+        return Path(path).is_dir()
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet.
 
@@ -53,7 +70,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema).format("parquet")
-    if Path(path).is_dir():
+    if _path_is_dir(spark, path):
         raw = reader.load(path)
     else:
         raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
@@ -338,7 +355,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema).format("parquet")
-    if Path(path).is_dir():
+    if _path_is_dir(spark, path):
         return reader.load(path)
     return reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
 

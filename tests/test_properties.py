@@ -1518,3 +1518,38 @@ def test_duck_round_expr_matches_duckdb_bit_for_bit(spark):
         # and the scalar twin agrees with the Column form
         if x is not None and not math.isnan(x) and math.isfinite(x) and abs(x * 10.0 ** d) < 2.0 ** 52:
             assert duck_round(x, d) == g
+
+
+def test_duck_round_cutoff_exact_preimage():
+    """duck_round_cutoff(t, d) is the exact ULP boundary of
+    {x >= 0 : duck_round(x, d) >= t}: the cutoff itself clears the
+    threshold after rounding, the next-lower double does not.  Property
+    checked over seeded thresholds at every scale the engine uses, plus
+    the threshold<=0 degenerate case (round-11 ADVICE: 0.0 used to
+    assert; it must mean keep-all)."""
+    import random
+    import struct as _struct
+
+    from ominimo_dynamic_data_pipeline_spark.llm.similarity import (
+        duck_round,
+        duck_round_cutoff,
+    )
+
+    def prev_double(x: float) -> float:
+        b = _struct.unpack("<q", _struct.pack("<d", x))[0]
+        return _struct.unpack("<d", _struct.pack("<q", b - 1))[0]
+
+    rng = random.Random(20260817)
+    for d in (0, 2, 4, 6):
+        p = 10.0 ** d
+        thresholds = [rng.randint(1, 10 ** min(d + 3, 7)) / p for _ in range(200)]
+        thresholds += [1.0 / p, 0.5, 0.85, 0.999999]
+        for t in thresholds:
+            cut = duck_round_cutoff(t, d)
+            assert duck_round(cut, d) >= t, (t, d, cut)
+            if cut > 0.0:
+                assert duck_round(prev_double(cut), d) < t, (t, d, cut)
+    # degenerate thresholds: keep-all, expressed as cutoff 0.0 (scores
+    # are non-negative by construction)
+    assert duck_round_cutoff(0.0, 6) == 0.0
+    assert duck_round_cutoff(-1.0, 2) == 0.0
