@@ -214,26 +214,61 @@ def minhash_signatures(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc minhash signature: for each of ``num_hashes`` hash functions,
-    the min hash over the doc's shingles.  Computed with higher-order array
-    functions — per-row, shuffle-free.
+    the min hash over the doc's shingles.
 
     Hash family: Kirsch-Mitzenmacher double hashing.  Each shingle is
     md5-hashed ONCE to a 60-bit base; h_i = (hi30 + (i+1)*lo30) mod P with
     P the largest prime < 2^30.  One md5+conv per shingle instead of
     ``num_hashes`` (16x fewer: cut the sf0.1 signature job from 23 s to
     ~4 s) and products stay < 2^35, inside exact bigint range for both
-    Spark and the DuckDB oracle.  Stages: text -> toks -> sh -> hs -> mins,
-    each an attribute projection (see shingles_from_tokens).  Pass a
-    precomputed (ideally cached) ``shingles`` frame to share the shingle
-    stage with other consumers (see minhash_near_dups).
+    Spark and the DuckDB oracle.
+
+    Two physical forms, same results (round-12 optimization):
+
+    * ``shingles`` provided AND persisted (every hot-path caller — the
+      catalog queries all run ``cache_shingles=True``): the cached
+      arrays EXPLODE into (id, shingle) rows, md5 is staged once per
+      row, and all ``num_hashes`` minima run as ONE whole-stage-codegen
+      hash aggregate.  Array higher-order functions are CodegenFallback
+      (interpreted per element, boxed) — the explode+agg form measured
+      1.70 s -> 0.90 s at sf0.1, collect-identical.  A MIN is
+      insensitive to duplicates, so the exploded multiset needs no
+      dedup; partial aggregation reduces to one 17-column row per
+      (doc, map task) before the exchange, so the added shuffle carries
+      ~``8*(num_hashes+1)`` bytes/doc at any corpus size.  The
+      InMemoryRelation boundary makes the explode safe
+      (InferFiltersFromGenerate cannot re-inline the tokenize chain —
+      the gram_frame blow-up).
+    * otherwise: the per-row HOF ladder (text -> toks -> sh -> hs ->
+      mins staged projections, zero shuffle).  Exploding an UNPERSISTED
+      shingle frame would re-inline ``tokens()`` into the inferred
+      Generate filter (O(grams x tokens) regex passes — see
+      gram_frame), and a window-assembled gram stream would shuffle
+      text; interpreted minima are the cheaper evil here.  The guard is
+      the frame's actual storage level, not the argument's presence, so
+      an unpersisted shared frame still degrades safely.
     """
+    lo_mask = F.lit((1 << 30) - 1)
+    prime = F.lit(MINHASH_PRIME)
+    if shingles is not None and (
+        shingles.storageLevel.useMemory or shingles.storageLevel.useDisk
+    ):
+        hashed = shingles.select(
+            F.col(id_col), F.explode("sh").alias("_sg")
+        ).select(F.col(id_col), md5_long(F.col("_sg")).alias("_h"))
+        hi = F.shiftright(F.col("_h"), 30)
+        lo = F.col("_h").bitwiseAND(lo_mask)
+        return hashed.groupBy(id_col).agg(
+            *[
+                F.min((hi + F.lit(i + 1) * lo) % prime).alias(f"mh_{i}")
+                for i in range(num_hashes)
+            ]
+        )
     sh_df = (
         shingles
         if shingles is not None
         else shingle_frame(df, id_col, text_col, shingle_n)
     )
-    lo_mask = F.lit((1 << 30) - 1)
-    prime = F.lit(MINHASH_PRIME)
     # Stage base hashes, then the split halves, each from the previous
     # attribute (one md5 per shingle; per-(i, shingle) work in the nested
     # transform is then one multiply-add-mod).
@@ -554,46 +589,47 @@ def simhash_frame(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bits: int = 64,
 ) -> DataFrame:
-    """(id, sig) SimHash frame with staged projections (the hot-path twin
-    of the ``simhash`` column helper; identical signatures).
+    """(id, sig) SimHash frame (the hot-path twin of the ``simhash``
+    column helper; identical signatures).
 
-    Stages: distinct tokens -> md5 hash array (ONE md5 per token; a second
-    seed array only when bits > 60) -> per-bit sign sums in one nested
-    transform -> OR of the sign bits.  Cut q27 at sf0.1 from 6.3 s to
-    ~1 s; same staging rationale as minhash_signatures."""
-    toks_df = df.select(
+    Round-12 shape — explode + ONE codegen hash aggregate (the
+    minhash_signatures precedent): distinct tokens EXPLODE to
+    (id, token) rows, each token is md5-hashed once per seed (seed 101
+    for bits 0-59, 202 above), and all ``bits`` sign sums run as one
+    whole-stage-codegen aggregate; the signature assembles from the
+    summed signs in a plain projection.  Integer sums are
+    order-insensitive, so results are bit-identical to the previous
+    per-row form (staged projections whose per-bit sign sums ran
+    through ``F.aggregate`` — CodegenFallback, interpreted per array
+    element).  The added exchange carries ~``8 * (bits + 1)`` bytes per
+    doc at any corpus size; map-side partial aggregation reduces the
+    exploded stream before it.  Exploding is safe here because the
+    Generate input is the raw tokenize expression (the inferred
+    size() > 0 filter re-evaluates tokens() once per row, the same
+    cost the previous emptiness filter paid — never the O(grams x
+    tokens) shingle-lambda blow-up gram_frame documents)."""
+    toks = df.select(
         F.col(id_col),
-        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
-    ).filter(F.size(F.col("toks")) > 0)
-    hash_cols = [
-        F.transform(F.col("toks"), lambda t: md5_long(t, seed=101)).alias("h1")
-    ]
-    if bits > 60:
-        hash_cols.append(
-            F.transform(F.col("toks"), lambda t: md5_long(t, seed=202)).alias(
-                "h2"
-            )
-        )
-    hs_df = toks_df.select(F.col(id_col), *hash_cols)
-
-    def bit_term(i: int) -> Column:
-        src, off = (F.col("h1"), i) if i < 60 else (F.col("h2"), i - 60)
-        s = F.aggregate(
-            src,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, off).bitwiseAND(1) == 1, 1).otherwise(-1),
-        )
-        return F.when(
-            s > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
-        ).otherwise(F.lit(0).cast("bigint"))
-
-    sig = F.aggregate(
-        F.array(*[bit_term(i) for i in range(bits)]),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t"),
     )
-    return hs_df.select(F.col(id_col), sig.alias("sig"))
+    hash_cols = [md5_long(F.col("_t"), seed=101).alias("_h1")]
+    if bits > 60:
+        hash_cols.append(md5_long(F.col("_t"), seed=202).alias("_h2"))
+    hashed = toks.select(F.col(id_col), *hash_cols)
+
+    def sign_sum(i: int) -> Column:
+        src, off = (F.col("_h1"), i) if i < 60 else (F.col("_h2"), i - 60)
+        return F.sum(
+            F.when(F.shiftright(src, off).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"_s{i}")
+
+    sums = hashed.groupBy(id_col).agg(*[sign_sum(i) for i in range(bits)])
+    sig = F.lit(0).cast("bigint")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"_s{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sums.select(F.col(id_col), sig.alias("sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
