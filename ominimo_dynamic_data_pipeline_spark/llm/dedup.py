@@ -505,17 +505,29 @@ def jaccard_pairs(
     )
     a = sh.alias("sa")
     b = (sh if shingles_b is None else shingles_b).alias("sb")
-    return (
+    # Only SIZES are needed: |A∪B| = |A| + |B| - |A∩B| for the distinct
+    # shingle sets, so the O(|A|+|B|) hash-set pass of array_union is
+    # replaced by two O(1) size() lookups — one set pass per pair
+    # instead of two, same integers, same double division (round-12;
+    # containment_scores applies the identity the same way).  The sizes
+    # must be STAGED before the division: duck-rounding-free here, but
+    # the raw expression referenced twice would re-run array_intersect.
+    staged = (
         pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
         .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("sa.sh", "sb.sh"))
-                / F.size(F.array_union("sa.sh", "sb.sh"))
-            ).alias("jaccard"),
+            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("_inter"),
+            (F.size("sa.sh") + F.size("sb.sh")).alias("_nab"),
         )
+    )
+    return staged.select(
+        "id_a",
+        "id_b",
+        (F.col("_inter") / (F.col("_nab") - F.col("_inter"))).alias(
+            "jaccard"
+        ),
     )
 
 
@@ -1548,7 +1560,8 @@ def containment_scores(
     # column arithmetic: duck_round_expr references its argument ~10x,
     # so the array ops must be bound to names first (CollapseProject
     # keeps the projections apart — see the helper's contract).  One
-    # array_intersect + one array_union in the plan, total.
+    # array_intersect in the plan, total (the union size derives from
+    # the set identity below).
     staged = (
         pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
         .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
@@ -1558,8 +1571,11 @@ def containment_scores(
             F.size(F.array_intersect("sa.sh", "sb.sh")).alias("_inter"),
             F.size("sa.sh").alias("_na"),
             F.size("sb.sh").alias("_nb"),
-            F.size(F.array_union("sa.sh", "sb.sh")).alias("_nu"),
         )
+        # |A∪B| = |A| + |B| - |A∩B| for distinct shingle sets: drops the
+        # second O(|A|+|B|) hash-set pass (array_union) per pair; same
+        # integers, same divisions (round-12, the jaccard_pairs twin).
+        .withColumn("_nu", F.col("_na") + F.col("_nb") - F.col("_inter"))
     )
     if min_containment is not None:
         from ominimo_dynamic_data_pipeline_spark.llm.similarity import (

@@ -671,15 +671,27 @@ def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     sh = D.shingle_frame(d, n=2)
     a, b = sh.alias("a"), sh.alias("b")
-    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
-        F.array_union("a.sh", "b.sh")
-    )
-    return (
+    # Stage the intersect size as an attribute, then derive the union
+    # size from |A∪B| = |A| + |B| - |A∩B| (distinct shingle sets): one
+    # hash-set pass per pair instead of two, and the >= 0.2 filter
+    # pushdown re-references cheap attributes, never a second
+    # array_intersect (round-12; same identity as jaccard_pairs).
+    staged = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            jac.alias("jaccard"),
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("_inter"),
+            (F.size("a.sh") + F.size("b.sh")).alias("_nab"),
+        )
+    )
+    return (
+        staged.select(
+            "id_a",
+            "id_b",
+            (F.col("_inter") / (F.col("_nab") - F.col("_inter"))).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= 0.2)
         .withColumn("jaccard", duck_round_expr("jaccard", 6))
