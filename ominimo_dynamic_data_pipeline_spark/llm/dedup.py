@@ -505,6 +505,11 @@ def jaccard_pairs(
     )
     a = sh.alias("sa")
     b = (sh if shingles_b is None else shingles_b).alias("sb")
+    # NOTE: unlike containment_scores, the candidate stream here gets NO
+    # pre-join repartition — LSH verify pair volumes are small enough
+    # that the extra exchange measured neutral-to-worse (3 interleaved
+    # cycles on q26/q57/q127/q195); the containment path's rare-shingle
+    # candidates are ~10x more compute per row and did win (1.8x).
     # Only SIZES are needed: |A∪B| = |A| + |B| - |A∩B| for the distinct
     # shingle sets, so the O(|A|+|B|) hash-set pass of array_union is
     # replaced by two O(1) size() lookups — one set pass per pair
@@ -1556,6 +1561,18 @@ def containment_scores(
     )
     a = sh.alias("sa")
     b = sh.alias("sb")
+    # The candidate rows are tiny in BYTES but heavy in per-row COMPUTE
+    # (one hash-set pass over both shingle sets each), so AQE's
+    # byte-based partition coalescing squeezes the scorer onto a
+    # handful of tasks (measured: 4 tasks carrying the whole stage at
+    # sf0.1).  Re-spread the id pairs (~16 bytes/row) across the
+    # session's full parallelism before the heavy joins — width derives
+    # from the cluster (defaultParallelism), not a constant, and the
+    # pair count is budget-bounded upstream (max_pairs), so the extra
+    # exchange stays trivially small at any corpus size.
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism
+    )
     # Stage the set sizes in their own projection, then round plain
     # column arithmetic: duck_round_expr references its argument ~10x,
     # so the array ops must be bound to names first (CollapseProject
