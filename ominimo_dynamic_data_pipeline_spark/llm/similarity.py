@@ -550,12 +550,37 @@ def train_centroids_from_parquet(
     return lloyd_centroids(x, k_lists, iters)
 
 
+def _sql_double(v: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip form
+    and Spark's parser is correctly-rounding, so the JVM double is
+    bit-identical to the Python one (verified including subnormals and
+    Double.MAX_VALUE).  Non-finite values have no SQL literal — fail
+    loudly rather than render 'infD'."""
+    f = float(v)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(f"_sql_double: non-finite literal {v!r}")
+    return repr(f) + "D"
+
+
+def _lit_double_arrays(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal rendered as ONE SQL expression.
+
+    Building the same constant from per-element ``F.lit`` costs one
+    py4j round trip per element — measured 2.2 s of pure driver time
+    for a 16x64 centroid table (every bench pass re-pays it), vs ~3 ms
+    to parse this string JVM-side; the parsed Literal is value- and
+    type-identical to the constant-folded CreateArray form (round-12)."""
+    inner = ",".join(
+        "array(" + ",".join(_sql_double(v) for v in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def _centroid_scores(vec_d: Column, centroids: list[list[float]]) -> Column:
     """Array of dot(vec, centroid_i) — centroids are literal arrays, the
     vector is a staged attribute; inner lambdas touch lambda vars only."""
-    cents = F.array(
-        *[F.array(*[F.lit(v) for v in c]) for c in centroids]
-    )
+    cents = _lit_double_arrays(centroids)
     return F.transform(cents, lambda c: dot_double(vec_d, c))
 
 
@@ -782,14 +807,18 @@ def semantic_decontaminate(
     )
     if not ev:
         raise ValueError("semantic_decontaminate: eval set is empty")
-    evlit = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in r["vec_d"]]).alias("v"),
-                F.lit(float(r["nrm"])).alias("n"),
-            )
+    # ONE SQL-rendered literal instead of |eval| x (dim + 1) F.lit py4j
+    # round trips (the _lit_double_arrays rationale) — same values,
+    # same array<struct<v:array<double>, n:double>> type.
+    evlit = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('v', array("
+            + ",".join(_sql_double(x) for x in r["vec_d"])
+            + f"), 'n', {_sql_double(r['nrm'])})"
             for r in ev
-        ]
+        )
+        + ")"
     )
     cn = norm_frame(corpus, id_col, vec_col, extra_cols=list(keep_cols))
     cos_arr = F.transform(
@@ -1065,13 +1094,24 @@ def kmeans_exact_assignments(
     centroids = [list(r["qv"]) for r in seeds]
 
     def assign(frame: DataFrame) -> DataFrame:
+        # centroid literals render as ONE SQL bigint-array expression per
+        # centroid instead of dim F.lit py4j round trips each (the
+        # _lit_double_arrays rationale; k x dim round trips per assign
+        # call were pure driver time re-paid every invocation).  'L'
+        # literals are bigint where per-element F.lit(int) was int32 —
+        # the subtraction against bigint qv promoted anyway, so the
+        # arithmetic and results are unchanged.
         cands = F.array(
             *[
                 F.struct(
                     F.aggregate(
                         F.zip_with(
                             F.col("qv"),
-                            F.array(*[F.lit(c) for c in cent]),
+                            F.expr(
+                                "array("
+                                + ",".join(f"{int(c)}L" for c in cent)
+                                + ")"
+                            ),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0).cast("bigint"),
