@@ -111,6 +111,37 @@ def md5_long(col: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("bigint")
 
 
+def evaluate_once(c: Column) -> Column:
+    """Pin an EXPENSIVE expression so the optimizer evaluates it exactly
+    once, by adding a provably-zero nondeterministic term (rand()*0).
+
+    Why: staging an expensive expression into its own projection stops
+    CollapseProject from duplicating it (the duck_round_expr contract),
+    but PushDownPredicates still substitutes the alias into any filter
+    pushed through the projection — and a filter pushed all the way into
+    a JOIN CONDITION re-evaluates the expression per reference.
+    Measured on the near-dup verify family: the `jaccard >= t` /
+    `greatest(containment) >= t` threshold filters inlined
+    ``size(array_intersect(sa.sh, sb.sh))`` TWICE into the pair-join
+    condition on top of the staged projection's own copy — three
+    O(|A|+|B|) hash-set passes per candidate pair where one suffices
+    (plans/r13/*_before.txt).  Marking the staged column nondeterministic
+    makes ``fields.forall(_.deterministic)`` false, so the filter stays
+    above the projection and references the attribute instead (the guide
+    §4.4 technique — nondeterminism as a duplication barrier — applied
+    to a JVM expression).
+
+    The added term is identically zero (rand in [0,1) times 0, cast to
+    the column's integer domain), so values, nullability (null + 0 =
+    null) and the declared query results are unchanged; task retries see
+    the same +0.  Use ONLY on expensive integer-valued expressions
+    consumed by a downstream filter; the flag also blocks legitimate
+    pushdown of unrelated filters through the projection, so keep such
+    filters upstream of the staging select (all in-module callers do).
+    """
+    return c + (F.rand(seed=0) * F.lit(0)).cast("int")
+
+
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
     array column.
@@ -517,13 +548,18 @@ def jaccard_pairs(
     # containment_scores applies the identity the same way).  The sizes
     # must be STAGED before the division: duck-rounding-free here, but
     # the raw expression referenced twice would re-run array_intersect.
+    # evaluate_once pins the staging against filter pushdown: callers'
+    # `jaccard >= t` filters otherwise inline the intersect TWICE into
+    # the pair-join condition (round-13; three set passes per pair -> 1).
     staged = (
         pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
         .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("_inter"),
+            evaluate_once(
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+            ).alias("_inter"),
             (F.size("sa.sh") + F.size("sb.sh")).alias("_nab"),
         )
     )
@@ -1578,14 +1614,18 @@ def containment_scores(
     # so the array ops must be bound to names first (CollapseProject
     # keeps the projections apart — see the helper's contract).  One
     # array_intersect in the plan, total (the union size derives from
-    # the set identity below).
+    # the set identity below); evaluate_once pins it there — without the
+    # barrier the min_containment filter's pushdown inlined the
+    # intersect TWICE into the pair-join condition (round-13).
     staged = (
         pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
         .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("_inter"),
+            evaluate_once(
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+            ).alias("_inter"),
             F.size("sa.sh").alias("_na"),
             F.size("sb.sh").alias("_nb"),
         )

@@ -673,15 +673,19 @@ def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = sh.alias("a"), sh.alias("b")
     # Stage the intersect size as an attribute, then derive the union
     # size from |A∪B| = |A| + |B| - |A∩B| (distinct shingle sets): one
-    # hash-set pass per pair instead of two, and the >= 0.2 filter
-    # pushdown re-references cheap attributes, never a second
-    # array_intersect (round-12; same identity as jaccard_pairs).
+    # hash-set pass per pair instead of two (round-12; same identity as
+    # jaccard_pairs).  evaluate_once pins the staged intersect against
+    # the >= 0.2 filter's pushdown — without the barrier the pushed join
+    # condition re-inlined array_intersect twice (the round-12 plan
+    # shows both copies; staging alone does not survive pushdown).
     staged = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.size(F.array_intersect("a.sh", "b.sh")).alias("_inter"),
+            D.evaluate_once(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+            ).alias("_inter"),
             (F.size("a.sh") + F.size("b.sh")).alias("_nab"),
         )
     )

@@ -846,9 +846,16 @@ def test_fixed_global_windows_stay_fixed(q):
 
 # name -> {plan-substring-regex: max allowed occurrences}
 PLAN_EXPR_BUDGETS = {
-    # 3 containment scores x (a-side + b-side shingle refs) = 5 is the
-    # honest count; round-10's regression shipped 50 here.
-    "q146_containment_near_dups": {r"array_intersect": 5, r"array_union": 2},
+    # ONE staged intersect per pair since round 13: evaluate_once pins
+    # the staging against threshold-filter pushdown (round-12's plan
+    # still carried 2 copies in the join condition + 1 in the project;
+    # round-10's regression shipped 50 here).
+    "q146_containment_near_dups": {r"array_intersect": 1, r"array_union": 0},
+    # same barrier in the q35 inline scorer and jaccard_pairs (q26
+    # family): the >= t filter must reference the staged attribute,
+    # never re-inline the intersect.
+    "q35_ngram_jaccard_pairs": {r"array_intersect": 1, r"array_union": 0},
+    "q26_minhash_near_dups": {r"array_intersect": 1, r"array_union": 0},
     # one sigmoid weight fold; round-10's regression shipped 10.
     "q92_model_quality_score": {r"aggregate\(": 2},
     # cosine fold per (rel, pairwise) stage; never duplicated per round().
@@ -911,3 +918,39 @@ def test_duck_round_staging_contract(spark):
         df.select(duck_round_expr(expensive, 6).alias("r")), "simple"
     )
     assert p_unstaged.count("array_intersect") > 1
+
+
+def test_evaluate_once_barrier_blocks_filter_inline(spark):
+    # evaluate_once's contract (round 13): a threshold filter above a
+    # staged expensive column must reference the ATTRIBUTE, not re-inline
+    # the expression into a pushed join condition.  Staging alone does
+    # not survive PushDownPredicates (second assertion keeps us honest:
+    # if Spark ever stops inlining, the barrier is dead weight and
+    # should be removed).  Values must be unchanged (the added rand()*0
+    # term is identically zero).
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import evaluate_once
+
+    left = spark.range(8).select(
+        F.col("id").alias("id_a"),
+        F.sequence(F.col("id"), F.col("id") + 5).alias("a"),
+    )
+    right = spark.range(8).select(
+        F.col("id").alias("id_b"),
+        F.sequence(F.col("id") + 2, F.col("id") + 9).alias("b"),
+    )
+
+    def scored(stage):
+        joined = left.join(right, F.col("id_a") <= F.col("id_b"))
+        inter = F.size(F.array_intersect("a", "b"))
+        return joined.select(
+            "id_a", "id_b", stage(inter).alias("_i")
+        ).filter(F.col("_i") >= 3)
+
+    guarded = scored(evaluate_once)
+    p = plan_of(guarded, "simple")
+    assert p.count("array_intersect") == 1, p
+    p_bare = plan_of(scored(lambda c: c), "simple")
+    assert p_bare.count("array_intersect") > 1, p_bare
+    got = sorted(map(tuple, guarded.collect()))
+    want = sorted(map(tuple, scored(lambda c: c).collect()))
+    assert got == want
