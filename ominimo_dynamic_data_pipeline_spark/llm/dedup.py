@@ -111,6 +111,27 @@ def md5_long(col: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("bigint")
 
 
+def _md5_long_sql(src: str, seed: int | None = None) -> str:
+    """Spark-SQL rendering of :func:`md5_long` (same expression tree, one
+    parser round trip instead of ~8 py4j calls — see the construction-
+    latency note below)."""
+    s = src if seed is None else f"concat('{seed}:', {src})"
+    return f"cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+
+
+# Construction-latency discipline (round 13): the signature/banding
+# stages are rebuilt from scratch on EVERY query invocation, and each
+# pyspark Column call is one ~0.25 ms py4j round trip — a 16-min
+# aggregate assembled per-Column costs ~220 ms of driver wall before any
+# task runs (cProfile: q127 spent 1.9 s of its 2.9 s wall in py4j
+# recv during construction).  Hot expression LADDERS (16 minhash mins,
+# 64 simhash sign sums, band-bucket structs) are therefore rendered as
+# SQL strings in Python (free) and parsed with ONE F.expr round trip
+# per output column; tests pin the optimized plans IDENTICAL to the
+# Column-built forms, so execution semantics are untouched (the r12
+# _lit_double_arrays precedent, generalized from literals to ladders).
+
+
 def evaluate_once(c: Column) -> Column:
     """Pin an EXPENSIVE expression so the optimizer evaluates it exactly
     once, by adding a provably-zero nondeterministic term (rand()*0).
@@ -284,14 +305,18 @@ def minhash_signatures(
     if shingles is not None and (
         shingles.storageLevel.useMemory or shingles.storageLevel.useDisk
     ):
+        # SQL-rendered ladder (construction-latency note at _md5_long_sql;
+        # optimized plan pinned identical to the Column-built form)
         hashed = shingles.select(
             F.col(id_col), F.explode("sh").alias("_sg")
-        ).select(F.col(id_col), md5_long(F.col("_sg")).alias("_h"))
-        hi = F.shiftright(F.col("_h"), 30)
-        lo = F.col("_h").bitwiseAND(lo_mask)
+        ).selectExpr(f"`{id_col}`", f"{_md5_long_sql('_sg')} AS _h")
+        lo_sql = f"(_h & {(1 << 30) - 1})"
         return hashed.groupBy(id_col).agg(
             *[
-                F.min((hi + F.lit(i + 1) * lo) % prime).alias(f"mh_{i}")
+                F.expr(
+                    f"min((shiftright(_h, 30) + {i + 1} * {lo_sql})"
+                    f" % {MINHASH_PRIME}) AS mh_{i}"
+                )
                 for i in range(num_hashes)
             ]
         )
@@ -428,22 +453,20 @@ def expand_member_pairs(
 def _band_bucket_structs(num_hashes: int, bands: int):
     """Array of (band, bucket) structs from the mh_* signature columns:
     bucket = md5 of the '-'-joined band rows (portable; the oracle
-    replicates concat_ws + md5 exactly)."""
+    replicates concat_ws + md5 exactly).  SQL-rendered, one parse round
+    trip (construction-latency note at _md5_long_sql)."""
     rows_per_band = num_hashes // bands
-    band_cols = []
+    band_sqls = []
     for b in range(bands):
-        parts = [
-            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("-", *[p.cast("string") for p in parts])
-                ).alias("bucket"),
-            )
+        parts = ", ".join(
+            f"cast(mh_{b * rows_per_band + r} as string)"
+            for r in range(rows_per_band)
         )
-    return F.array(*band_cols)
+        band_sqls.append(
+            f"named_struct('band', {b},"
+            f" 'bucket', md5(concat_ws('-', {parts})))"
+        )
+    return F.expr("array(" + ", ".join(band_sqls) + ")")
 
 
 def minhash_band_buckets(
@@ -665,24 +688,31 @@ def simhash_frame(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t"),
     )
-    hash_cols = [md5_long(F.col("_t"), seed=101).alias("_h1")]
+    # SQL-rendered ladders below (construction-latency note at
+    # _md5_long_sql): the 64 sign-sum aggregates plus the 64-term
+    # signature fold cost ~1000 py4j round trips per invocation when
+    # assembled Column-by-Column; optimized plans pinned identical.
+    hash_exprs = [f"{_md5_long_sql('_t', seed=101)} AS _h1"]
     if bits > 60:
-        hash_cols.append(md5_long(F.col("_t"), seed=202).alias("_h2"))
-    hashed = toks.select(F.col(id_col), *hash_cols)
+        hash_exprs.append(f"{_md5_long_sql('_t', seed=202)} AS _h2")
+    hashed = toks.selectExpr(f"`{id_col}`", *hash_exprs)
 
     def sign_sum(i: int) -> Column:
-        src, off = (F.col("_h1"), i) if i < 60 else (F.col("_h2"), i - 60)
-        return F.sum(
-            F.when(F.shiftright(src, off).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"_s{i}")
+        src, off = ("_h1", i) if i < 60 else ("_h2", i - 60)
+        return F.expr(
+            f"sum(CASE WHEN (shiftright({src}, {off}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS _s{i}"
+        )
 
     sums = hashed.groupBy(id_col).agg(*[sign_sum(i) for i in range(bits)])
-    sig = F.lit(0).cast("bigint")
-    for i in range(bits):
-        sig = sig + F.when(
-            F.col(f"_s{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
-        ).otherwise(F.lit(0).cast("bigint"))
-    return sums.select(F.col(id_col), sig.alias("sig"))
+    sig = " + ".join(
+        f"CASE WHEN _s{i} > 0 THEN shiftleft(cast(1 as bigint), {i})"
+        f" ELSE cast(0 as bigint) END"
+        for i in range(bits)
+    )
+    return sums.selectExpr(
+        f"`{id_col}`", f"(cast(0 as bigint) + {sig}) AS sig"
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -920,6 +920,110 @@ def test_duck_round_staging_contract(spark):
     assert p_unstaged.count("array_intersect") > 1
 
 
+def test_sql_rendered_ladders_match_column_built_plans(spark):
+    # Round-13 construction-latency rewrite: the minhash/simhash/band
+    # expression ladders are rendered as SQL strings (one F.expr parse
+    # round trip instead of hundreds of py4j Column calls per query
+    # construction).  The rendering must be a pure WIRE-FORMAT change:
+    # optimized plans pinned IDENTICAL to the original Column-built
+    # forms modulo expression ids, lambda-variable counters and the
+    # struct/named_struct pretty-name (same CreateNamedStruct node).
+    import re
+
+    from ominimo_dynamic_data_pipeline_spark.llm import dedup as D
+    from ominimo_dynamic_data_pipeline_spark.llm.text import tokens
+
+    def norm(df):
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        p = re.sub(r"#\d+L?", "#x", p)
+        p = re.sub(r"lambda x_\d+", "lambda x_N", p)
+        return p.replace("named_struct(", "struct(")
+
+    d = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta id"),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    sh = D.shingle_frame(d).persist()
+    sh.count()
+    try:
+        # minhash explode path (Column-built original inline)
+        lo_mask = F.lit((1 << 30) - 1)
+        prime = F.lit(D.MINHASH_PRIME)
+        hashed = sh.select(
+            F.col("doc_id"), F.explode("sh").alias("_sg")
+        ).select(F.col("doc_id"), D.md5_long(F.col("_sg")).alias("_h"))
+        hi = F.shiftright(F.col("_h"), 30)
+        lo = F.col("_h").bitwiseAND(lo_mask)
+        old_sigs = hashed.groupBy("doc_id").agg(
+            *[
+                F.min((hi + F.lit(i + 1) * lo) % prime).alias(f"mh_{i}")
+                for i in range(16)
+            ]
+        )
+        new_sigs = D.minhash_signatures(d, shingles=sh)
+        assert norm(new_sigs) == norm(old_sigs)
+
+        # band-bucket structs
+        rpb = 4
+        cols = []
+        for b in range(4):
+            parts = [F.col(f"mh_{b * rpb + r}") for r in range(rpb)]
+            cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws("-", *[p.cast("string") for p in parts])
+                    ).alias("bucket"),
+                )
+            )
+        old_b = new_sigs.select(
+            F.col("doc_id"), F.explode(F.array(*cols)).alias("bb")
+        )
+        new_b = new_sigs.select(
+            F.col("doc_id"),
+            F.explode(D._band_bucket_structs(16, 4)).alias("bb"),
+        )
+        assert norm(new_b) == norm(old_b)
+
+        # simhash frame
+        for bits in (16, 64):
+            toks_df = d.select(
+                F.col("doc_id"),
+                F.explode(
+                    F.array_distinct(tokens(F.col("text")))
+                ).alias("_t"),
+            )
+            hc = [D.md5_long(F.col("_t"), seed=101).alias("_h1")]
+            if bits > 60:
+                hc.append(D.md5_long(F.col("_t"), seed=202).alias("_h2"))
+            hashed2 = toks_df.select(F.col("doc_id"), *hc)
+
+            def ss(i):
+                src, off = (
+                    (F.col("_h1"), i) if i < 60 else (F.col("_h2"), i - 60)
+                )
+                return F.sum(
+                    F.when(
+                        F.shiftright(src, off).bitwiseAND(1) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"_s{i}")
+
+            sums = hashed2.groupBy("doc_id").agg(
+                *[ss(i) for i in range(bits)]
+            )
+            sig = F.lit(0).cast("bigint")
+            for i in range(bits):
+                sig = sig + F.when(
+                    F.col(f"_s{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("bigint"), i),
+                ).otherwise(F.lit(0).cast("bigint"))
+            old_s = sums.select(F.col("doc_id"), sig.alias("sig"))
+            assert norm(D.simhash_frame(d, bits=bits)) == norm(old_s)
+    finally:
+        sh.unpersist()
+
+
 def test_evaluate_once_barrier_blocks_filter_inline(spark):
     # evaluate_once's contract (round 13): a threshold filter above a
     # staged expensive column must reference the ATTRIBUTE, not re-inline
