@@ -522,27 +522,45 @@ def rfm_segments(
         distributed_ntile,
     )
 
-    # chained so the per-user rollup materializes once (each pass
-    # localCheckpoints its input); each NTILE is bit-identical to
-    # F.ntile(n).over(Window.orderBy(metric, user)) — pinned in tests
-    b = distributed_ntile(
-        f,
-        n_buckets,
-        [F.asc("recency_days"), F.asc(user_col)],
-        out_col="r_bucket",
+    # The three NTILEs depend only on the shared per-user rollup, never
+    # on each other, so they run as INDEPENDENT branches over the
+    # persisted rollup and join back on the user key (round 13).  Each
+    # branch sees a two-column projection (metric + tiebreak — its range
+    # exchange, census and Arrow hop carry nothing else), and the three
+    # branches are submitted from a small thread pool so each branch's
+    # census/checkpoint jobs back-fill the others' stragglers (guide
+    # §2.6 job overlap; the old CHAINED form serialized three
+    # fixed-overhead passes: measured 3.0 -> 2.4 s at sf0.1,
+    # bit-identical output).  Each NTILE stays bit-identical to
+    # F.ntile(n).over(Window.orderBy(metric, user)) — pinned in tests.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ominimo_dynamic_data_pipeline_spark.llm.dedup import (
+        persist_tracked,
     )
-    b = distributed_ntile(
-        b,
-        n_buckets,
-        [F.desc("freq"), F.asc(user_col)],
-        out_col="f_bucket",
-    )
-    b = distributed_ntile(
-        b,
-        n_buckets,
-        [F.desc("cents"), F.asc(user_col)],
-        out_col="m_bucket",
-    )
+
+    # one-generation tracked persist (the apriori_prefilter precedent):
+    # the rollup backs a returned lazy frame, so it cannot unpersist
+    # here; the registry bounds it to one generation per operator
+    f = persist_tracked("rfm_segments", f)
+    specs = [
+        ("recency_days", F.asc("recency_days"), "r_bucket"),
+        ("freq", F.desc("freq"), "f_bucket"),
+        ("cents", F.desc("cents"), "m_bucket"),
+    ]
+
+    def branch(spec):
+        metric, order, out_col = spec
+        slim = f.select(user_col, metric)
+        return distributed_ntile(
+            slim, n_buckets, [order, F.asc(user_col)], out_col=out_col
+        ).select(user_col, out_col)
+
+    with ThreadPoolExecutor(max_workers=len(specs)) as pool:
+        buckets = list(pool.map(branch, specs))
+    b = f
+    for part in buckets:
+        b = b.join(part, user_col)
     cnt_d = F.count(F.lit(1)).cast("double")
     dsum = lambda c: exact_str_double(  # noqa: E731
         F.sum(F.col(c).cast("decimal(19,0)"))
