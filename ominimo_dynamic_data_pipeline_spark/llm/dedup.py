@@ -299,6 +299,14 @@ def minhash_signatures(
       text; interpreted minima are the cheaper evil here.  The guard is
       the frame's actual storage level, not the argument's presence, so
       an unpersisted shared frame still degrades safely.
+
+    Edge divergence between the two forms (caller-supplied frames only):
+    a doc whose ``sh`` array is EMPTY is dropped by the explode+agg path
+    but emitted with NULL mh_i columns by the HOF path.  shingle_frame
+    never produces empty arrays (its ``>= n`` token filter guarantees
+    >= 1 shingle), so every in-repo caller sees identical results; a
+    caller-supplied ``shingles`` frame must uphold the same no-empty-
+    arrays contract.
     """
     lo_mask = F.lit((1 << 30) - 1)
     prime = F.lit(MINHASH_PRIME)
@@ -551,7 +559,14 @@ def jaccard_pairs(
     Pass a precomputed ``shingles`` frame to share the shingle stage.
     ``shingles_b`` resolves the ``id_b`` side from a DIFFERENT corpus
     (cross-corpus verification, e.g. incremental_near_dedup's batch vs
-    reference); default is the same frame on both sides."""
+    reference); default is the same frame on both sides.
+
+    PRECONDITION: shingle arrays must hold DISTINCT elements (what
+    shingle_frame produces — its grams are array_distinct).  The union
+    size is derived as |A|+|B|−|A∩B|, which is only exact for
+    duplicate-free arrays; a caller-supplied frame with repeated
+    elements gets silently wrong jaccard values (the pre-round-12
+    array_union form self-corrected duplicates)."""
     sh = (
         shingles
         if shingles is not None
@@ -1615,6 +1630,9 @@ def containment_scores(
     tweet quoted in an article: containment_a ~ 1, jaccard ~ 0).
     Same join shape as jaccard_pairs (pairs resolve against the shingle
     frame twice); shingle arrays shuffle only for candidate ids.
+    Same PRECONDITION as jaccard_pairs: shingle arrays must hold
+    DISTINCT elements (shingle_frame's contract) — the union size is
+    derived as |A|+|B|−|A∩B|, exact only for duplicate-free sets.
 
     ``min_containment`` filters on the RAW staged ratios using the exact
     rounded-threshold preimage (duck_round_cutoff), equivalent row-set

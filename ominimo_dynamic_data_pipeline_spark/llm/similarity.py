@@ -798,7 +798,12 @@ def semantic_decontaminate(
     precedent for bounded driver-side structures) and render as literal
     arrays — the whole check is then a PURE PROJECTION over the corpus:
     no join, no shuffle, streams with the scan.  For eval sets too big
-    for literals, fall back to a broadcast join + map-side max."""
+    for literals, fall back to a broadcast join + map-side max.
+
+    Raises ``ValueError`` if any eval vector component or norm is
+    non-finite (the _sql_double literal-render guard): NaN/Inf would
+    silently poison every cosine, so failing loudly at build time is
+    deliberate.  Validate or drop non-finite eval rows upstream."""
     ev = (
         norm_frame(eval_df, id_col, vec_col)
         .filter(F.col("nrm") > 0)
