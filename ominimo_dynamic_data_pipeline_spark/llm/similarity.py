@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1455,6 +1455,26 @@ def duck_round_expr(col: Column | str, d: int = 0) -> Column:
     contract.  Guarded by the plan-budget gate in tests/test_plans.py.
     """
     c = F.col(col) if isinstance(col, str) else col
+    # Construction fast path (round 13): each Column op is a ~0.25 ms
+    # py4j round trip and this tree has ~20 of them, re-paid on every
+    # call (~125 call sites across the catalog).  A SQL scalar function
+    # registered once per session is analyzer-INLINED into the exact
+    # same expression tree (the parameter binds as a staged projection,
+    # which also enforces the cheap-argument contract mechanically), so
+    # one call_function round trip replaces the whole build.  Plan
+    # parity vs the Column-built form is pinned in tests; the Column
+    # form remains as the no-active-session fallback.
+    spark = SparkSession.getActiveSession()
+    if spark is not None and _ensure_duck_round_fn(spark):
+        return F.call_function(
+            _DUCK_ROUND_FN, c, F.lit(float(10.0 ** d))
+        )
+    return _duck_round_column(c, d)
+
+
+def _duck_round_column(c: Column, d: int) -> Column:
+    """Column-built duck_round tree (the pre-round-13 form; fallback when
+    no active session can hold the SQL function registration)."""
     c = c.cast("double")
     p = F.lit(float(10.0 ** d))
     v = c * p
@@ -1468,6 +1488,48 @@ def duck_round_expr(col: Column | str, d: int = 0) -> Column:
         .otherwise(rounded)
         / p
     )
+
+
+_DUCK_ROUND_FN = "__duck_round"
+# body mirrors _duck_round_column exactly (v = cast(x as double) * p):
+# same when/otherwise branch order, same literals, same NULL and NaN
+# propagation — pinned plan-identical (modulo attribute names) in tests
+_DUCK_ROUND_BODY = (
+    "CASE WHEN isnan((cast(x as double) * p))"
+    " OR abs((cast(x as double) * p)) >= 4.503599627370496E15"
+    " THEN (cast(x as double) * p)"
+    " ELSE CASE WHEN (((cast(x as double) * p)"
+    " - cast(floor((cast(x as double) * p)) as double)) > 0.5D)"
+    " OR ((((cast(x as double) * p)"
+    " - cast(floor((cast(x as double) * p)) as double)) = 0.5D)"
+    " AND ((cast(x as double) * p) > 0D))"
+    " THEN cast(floor((cast(x as double) * p)) as double) + 1.0D"
+    " ELSE cast(floor((cast(x as double) * p)) as double) END END / p"
+)
+_DUCK_ROUND_REGISTERED: set[str] = set()
+
+
+def _ensure_duck_round_fn(spark: SparkSession) -> bool:
+    """Register the __duck_round SQL function once per session.  Keyed by
+    the JVM session object's identity hash (a restarted session under the
+    same Python wrapper re-registers).  Returns False when registration
+    fails (e.g. a connect-only surface without SQL-UDF support) so the
+    caller falls back to the Column build."""
+    try:
+        key = str(spark._jsparkSession.hashCode())  # type: ignore[union-attr]
+    except Exception:  # pragma: no cover — connect session: no _jsparkSession
+        key = str(id(spark))
+    if key in _DUCK_ROUND_REGISTERED:
+        return True
+    try:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {_DUCK_ROUND_FN}"
+            f"(x DOUBLE, p DOUBLE) RETURNS DOUBLE RETURN {_DUCK_ROUND_BODY}"
+        )
+    except Exception:  # pragma: no cover — engines without SQL UDFs
+        return False
+    _DUCK_ROUND_REGISTERED.add(key)
+    return True
 
 
 def mmr_rerank(
