@@ -187,6 +187,27 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _tokens_sql(src: str) -> str:
+    """Spark-SQL rendering of text.tokens() over column ``src`` (same
+    expression tree; construction-latency note at _md5_long_sql)."""
+    norm = f"regexp_replace(trim(lower(`{src}`)), '\\\\s+', ' ')"
+    return f"filter(split({norm}, '\\\\s+'), t -> t != '')"
+
+
+def _shingles_sql(toks: str, n: int) -> str:
+    """Spark-SQL rendering of shingles_from_tokens over attribute
+    ``toks`` (same expression tree; see _md5_long_sql)."""
+    parts = ", ".join(f"element_at(`{toks}`, i + {j + 1})" for j in range(n))
+    grams = (
+        f"transform(sequence(0, greatest(size(`{toks}`) - {n}, -1)),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+    return (
+        f"array_distinct(CASE WHEN size(`{toks}`) >= {n} THEN {grams}"
+        f" ELSE cast(array() as array<string>) END)"
+    )
+
+
 def shingle_frame(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -200,12 +221,14 @@ def shingle_frame(
     signature column: predicate pushdown substitutes alias expressions into
     the condition, and a condition containing the element_at lambda
     re-inlines tokens(text) per element — the same blow-up
-    shingles_from_tokens documents (measured: 0.8 s -> 30+ s at sf0.01)."""
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).filter(
-        F.size(F.col("toks")) >= n
-    )
-    return toks.select(
-        F.col(id_col), shingles_from_tokens(F.col("toks"), n).alias("sh")
+    shingles_from_tokens documents (measured: 0.8 s -> 30+ s at sf0.01).
+    SQL-rendered ladders (construction-latency note at _md5_long_sql);
+    plans pinned identical to the Column-built form in tests."""
+    toks = df.selectExpr(
+        f"`{id_col}`", f"{_tokens_sql(text_col)} AS toks"
+    ).filter(F.size(F.col("toks")) >= n)
+    return toks.selectExpr(
+        f"`{id_col}`", f"{_shingles_sql('toks', n)} AS sh"
     )
 
 

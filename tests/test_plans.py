@@ -975,7 +975,8 @@ def test_sql_rendered_ladders_match_column_built_plans(spark):
     def norm(df):
         p = df._jdf.queryExecution().optimizedPlan().toString()
         p = re.sub(r"#\d+L?", "#x", p)
-        p = re.sub(r"lambda x_\d+", "lambda x_N", p)
+        # lambda variable NAMES are parser artifacts (x_3 vs i)
+        p = re.sub(r"lambda [A-Za-z_][A-Za-z_0-9]*#x", "lambda V#x", p)
         return p.replace("named_struct(", "struct(")
 
     d = spark.range(6).select(
@@ -983,6 +984,18 @@ def test_sql_rendered_ladders_match_column_built_plans(spark):
         F.concat(F.lit("alpha beta gamma delta epsilon zeta id"),
                  F.col("id").cast("string")).alias("text"),
     )
+
+    # shingle_frame (tokens + shingles_from_tokens ladders)
+    for n in (2, 3):
+        toks_old = d.select(
+            F.col("doc_id"), tokens(F.col("text")).alias("toks")
+        ).filter(F.size(F.col("toks")) >= n)
+        old_sh = toks_old.select(
+            F.col("doc_id"),
+            D.shingles_from_tokens(F.col("toks"), n).alias("sh"),
+        )
+        assert norm(D.shingle_frame(d, n=n)) == norm(old_sh)
+
     sh = D.shingle_frame(d).persist()
     sh.count()
     try:
